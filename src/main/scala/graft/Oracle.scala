@@ -1,0 +1,433 @@
+package graft
+
+import graft.operators.SignalOps
+
+/** DuckDB oracle SQL — the semantic twin of every entry in
+  * `SparkEntry.queries`, run by the driver on the same parquet tables.
+  *
+  * Conventions that make hash-compare bit-stable cross-engine:
+  *  - integer/cents accumulation everywhere a SUM feeds a float result;
+  *  - DOUBLE literals written in e-notation (4e-1 …) because bare
+  *    fractional literals are DECIMAL in DuckDB;
+  *  - every float formula repeats the Spark plan token-for-token, so
+  *    both engines execute the identical IEEE operation sequence;
+  *  - every integer output column is CAST to BIGINT (DuckDB count/sum
+  *    would otherwise surface INT32/INT128);
+  *  - array folds use list_reduce (left fold), matching Spark's
+  *    `aggregate(.., 0.0, (a,x) -> a+x)` since 0.0+x0 == x0.
+  */
+object Oracle {
+
+  private val W = SignalOps.WindowMs
+
+  /** Shared CTE: the deterministic signal stream derived from `events`
+    * (twin of SignalOps.signals). */
+  val signalsCte: String =
+    s"""signals AS (
+  SELECT event_id,
+    'U' || CAST(user_id AS VARCHAR) AS symbol,
+    CASE WHEN event_type IN ('click','view','signup') THEN 'BUY' ELSE 'SELL' END AS side,
+    CASE WHEN event_id % 3 = 0 THEN '1m' WHEN event_id % 3 = 1 THEN '5m' ELSE '15m' END AS timeframe,
+    value AS price,
+    CAST(event_id % 100 + 1 AS DOUBLE) / 1e2 AS qty,
+    CAST(round(value * 100) AS BIGINT) AS price_c,
+    CAST(event_id % 100 + 1 AS BIGINT) AS qty_c,
+    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+    (epoch_ms(CAST(ts AS TIMESTAMP)) // $W) * $W AS w_start,
+    props
+  FROM events)"""
+
+  /** Shared CTEs: ranked signals -> per-timeframe exact sums -> final
+    * per-(window,symbol) aggregate (twin of WindowAgg). */
+  val windowAggCtes: String =
+    s"""$signalsCte,
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY w_start, symbol, timeframe ORDER BY ts_ms DESC, event_id DESC) AS rn_tf,
+    row_number() OVER (PARTITION BY w_start, symbol ORDER BY ts_ms DESC, event_id DESC) AS rn_all
+  FROM signals),
+tf AS (
+  SELECT w_start, symbol, timeframe,
+    CAST(count(*) AS BIGINT) AS cnt_all,
+    CAST(SUM(CASE WHEN side = 'BUY' THEN 1 ELSE -1 END) AS BIGINT) AS balance_tf,
+    CAST(SUM(CASE WHEN rn_tf <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_cap,
+    CAST(SUM(CASE WHEN rn_tf <= 10 THEN price_c END) AS BIGINT) AS sum_pc,
+    CAST(SUM(CASE WHEN rn_tf <= 10 THEN price_c * price_c END) AS BIGINT) AS sumsq_pc,
+    CAST(SUM(CASE WHEN rn_tf <= 10 AND side = 'BUY' THEN 1 ELSE 0 END) AS BIGINT) AS buy_cap,
+    CAST(SUM(CASE WHEN rn_all <= 5 THEN qty_c END) AS BIGINT) AS sum_q5c,
+    CAST(SUM(CASE WHEN rn_all <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_q5
+  FROM ranked GROUP BY 1, 2, 3),
+tf2 AS (
+  SELECT *,
+    (sum_pc / 1e2) / n_cap AS avg_price_tf,
+    CASE WHEN n_cap < 2 THEN 0e0 ELSE
+      sqrt(greatest(0e0, (sumsq_pc / 1e4 - (sum_pc / 1e2) * (sum_pc / 1e2) / n_cap) / n_cap))
+    END AS vol_tf,
+    CASE WHEN buy_cap * 2 >= n_cap THEN 'BUY' ELSE 'SELL' END AS mode_tf
+  FROM tf),
+agg AS (
+  SELECT w_start, symbol,
+    CAST(count(*) AS BIGINT) AS n_tf,
+    CAST(SUM(n_cap) AS BIGINT) AS signal_count,
+    CAST(SUM(balance_tf) AS BIGINT) AS balance,
+    CASE WHEN count(DISTINCT mode_tf) = 1 THEN 1e0 ELSE 5e-1 END AS alignment,
+    (coalesce(MAX(CASE WHEN timeframe = '1m' THEN avg_price_tf END), 0e0)
+     + coalesce(MAX(CASE WHEN timeframe = '5m' THEN avg_price_tf END), 0e0)
+     + coalesce(MAX(CASE WHEN timeframe = '15m' THEN avg_price_tf END), 0e0))
+      / CAST(count(*) AS BIGINT) AS avg_price,
+    (coalesce(MAX(CASE WHEN timeframe = '1m' THEN vol_tf END), 0e0)
+     + coalesce(MAX(CASE WHEN timeframe = '5m' THEN vol_tf END), 0e0)
+     + coalesce(MAX(CASE WHEN timeframe = '15m' THEN vol_tf END), 0e0))
+      / CAST(count(*) AS BIGINT) AS avg_vol,
+    (CAST(SUM(sum_q5c) AS BIGINT) / 1e2) / CAST(SUM(n_q5) AS BIGINT) AS qty_basis
+  FROM tf2 GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
+  /** Shared CTEs: decisions on top of the window aggregate (twin of
+    * Decide.decisions). */
+  val decisionsCtes: String =
+    s"""$windowAggCtes,
+dec AS (
+  SELECT *,
+    CASE WHEN balance > 5 THEN 'STRONG_BUY' WHEN balance > 2 THEN 'BUY'
+         WHEN balance < -5 THEN 'STRONG_SELL' WHEN balance < -2 THEN 'SELL'
+         ELSE 'HOLD' END AS action,
+    CASE WHEN balance > 5 THEN 998e-3 WHEN balance > 2 THEN 999e-3
+         WHEN balance < -5 THEN 1002e-3 WHEN balance < -2 THEN 1001e-3
+         ELSE 1e0 END AS price_adj
+  FROM agg),
+dec2 AS (
+  SELECT *,
+    CASE WHEN action = 'HOLD' THEN 5e-1 ELSE
+      least(1e0, alignment * 4e-1
+        + least(1e0, CAST(abs(balance) AS DOUBLE) / 1e1) * 4e-1
+        + greatest(3e-1, 1e0 - avg_vol / 1e2) * 2e-1)
+    END AS confidence,
+    avg_price * (CASE WHEN balance > 5 THEN 998e-3 WHEN balance > 2 THEN 999e-3
+         WHEN balance < -5 THEN 1002e-3 WHEN balance < -2 THEN 1001e-3
+         ELSE 1e0 END) AS suggested_price,
+    CASE WHEN action = 'HOLD' THEN 0e0 ELSE floor(qty_basis * 1e4) / 1e4 END AS suggested_qty,
+    CASE WHEN action IN ('STRONG_BUY','STRONG_SELL') THEN
+           CASE WHEN alignment > 8e-1 THEN 'ALIGNED_SIGNALS' ELSE 'MOMENTUM_SHIFT' END
+         WHEN action IN ('BUY','SELL') THEN 'ALIGNED_SIGNALS'
+         ELSE CASE WHEN alignment < 6e-1 THEN 'DIVERGENT_SIGNALS' ELSE 'INSUFFICIENT_DATA' END
+    END AS reason
+  FROM dec)"""
+
+  /** Shared CTEs: sized orders on top of decisions (twin of
+    * OrderOps.orders). */
+  val ordersCtes: String =
+    s"""$decisionsCtes,
+of1 AS (
+  SELECT *,
+    CASE WHEN starts_with(action, 'STRONG') THEN confidence * 12e-1 ELSE confidence END AS adj_conf,
+    CASE WHEN action IN ('BUY','STRONG_BUY') THEN 'BUY' ELSE 'SELL' END AS order_side
+  FROM dec2 WHERE action IN ('BUY','SELL','STRONG_BUY','STRONG_SELL')),
+of2 AS (SELECT * FROM of1 WHERE adj_conf >= 65e-2),
+lookup(symbol, base_price) AS (VALUES
+  ('U0', 5e1), ('U1', 6e1), ('U2', 7e1), ('U3', 8e1), ('U4', 9e1),
+  ('U5', 1e2), ('U6', 11e1), ('U7', 12e1), ('U8', 13e1), ('U9', 14e1)),
+sized AS (
+  SELECT of2.*, coalesce(lookup.base_price, 1e2) AS market_price,
+    round(1e0 + 9e0 * least(1e0, greatest(0e0, (adj_conf - 65e-2) / 35e-2)), 2) AS order_qty,
+    'ORD-' || CAST(w_start AS VARCHAR) || '-' || symbol AS client_order_id
+  FROM of2 LEFT JOIN lookup USING (symbol)),
+orders_out AS (
+  SELECT w_start, symbol, client_order_id, order_side, action, adj_conf,
+    order_qty, market_price,
+    '{"client_order_id":"' || client_order_id || '","symbol":"' || symbol
+      || '","side":"' || order_side || '","action":"' || action
+      || '","signals":' || CAST(signal_count AS VARCHAR) || '}' AS payload,
+    signal_count
+  FROM sized)"""
+
+  // ---- documents helpers ----
+
+  private val tokensExpr = "string_split(text, ' ')"
+  private val gramsExpr =
+    s"""list_distinct(CASE WHEN len($tokensExpr) < 3 THEN [] ELSE
+      list_transform(range(1, len($tokensExpr) - 1),
+        i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END)"""
+
+  // ---- embeddings helpers ----
+
+  /** left-fold dot product of two double lists, twin of EmbeddingOps.dot */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private val dotSelfSql = dotSql("embedding", "embedding")
+
+  /** twin of EmbeddingOps.lshBucket — six unrolled hyperplane dots */
+  private def bucketSql(emb: String): String = (0 until 6).map { j =>
+    val dotJ = s"list_reduce(list_transform(range(0, 64), " +
+      s"i -> (((1103515245 * (CAST($j AS BIGINT) * 64 + i) + 12345) % 65536) / 65536e0 - 5e-1)" +
+      s" * CAST($emb[i + 1] AS DOUBLE)), (x, y) -> x + y)"
+    s"(CASE WHEN $dotJ >= 0e0 THEN ${1L << j} ELSE 0 END)"
+  }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  val sql: Map[String, String] = Map(
+
+    "sig_parse_enrich" ->
+      s"""WITH $signalsCte
+SELECT event_id, symbol, side, timeframe, price, qty, ts_ms, w_start,
+  CAST(json_extract_string(props, '$$.k') AS INT) AS k,
+  CASE WHEN timeframe = '1m' THEN 1 WHEN timeframe = '5m' THEN 2
+       WHEN timeframe = '15m' THEN 3 ELSE 0 END AS strength
+FROM signals WHERE json_extract_string(props, '$$.k') IS NOT NULL
+ORDER BY event_id""",
+
+    "sig_union_merge" ->
+      s"""WITH $signalsCte,
+merged AS (
+  SELECT * FROM signals WHERE timeframe = '1m'
+  UNION ALL SELECT * FROM signals WHERE timeframe = '5m'
+  UNION ALL SELECT * FROM signals WHERE timeframe = '15m')
+SELECT timeframe, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(price_c) AS BIGINT) / 1e2 AS sum_price
+FROM merged GROUP BY 1 ORDER BY 1""",
+
+    "sig_window_agg" ->
+      s"""WITH $windowAggCtes
+SELECT w_start, symbol, n_tf, signal_count, balance, alignment, avg_price,
+  avg_vol, qty_basis
+FROM agg ORDER BY w_start, symbol""",
+
+    "sig_decisions" ->
+      s"""WITH $decisionsCtes
+SELECT w_start, symbol, action, confidence, suggested_price, suggested_qty,
+  reason, signal_count, balance
+FROM dec2 ORDER BY w_start, symbol""",
+
+    "ord_orders" ->
+      s"""WITH $ordersCtes
+SELECT w_start, symbol, client_order_id, order_side, action, adj_conf,
+  order_qty, market_price, payload
+FROM orders_out ORDER BY w_start, symbol""",
+
+    "cdc_outbox_route" ->
+      s"""WITH $ordersCtes
+SELECT client_order_id AS aggregate_id,
+  'trading.' || lower('ORDER') || 's' AS topic,
+  'ORDER_CREATED' AS event_type,
+  payload AS value,
+  w_start AS occurred_at_ms
+FROM orders_out WHERE payload IS NOT NULL ORDER BY aggregate_id""",
+
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+  CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q3_topk" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, l_orderkey
+LIMIT 10""",
+
+    "q5_join" ->
+      """SELECT n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) DESC, n_name""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+ORDER BY c_custkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey""",
+
+    "wf_rank_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+FROM orders
+QUALIFY rn <= 3
+ORDER BY o_custkey, rn""",
+
+    "wf_lag_delta" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value FROM events)
+SELECT event_id, user_id, ts_ms, value,
+  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_value,
+  value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS delta
+FROM e ORDER BY event_id""",
+
+    "rollup_acctbal" ->
+      """SELECT r_name, n_name,
+  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_acctbal,
+  CAST(count(*) AS BIGINT) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "distinct_agg" ->
+      """SELECT l_returnflag,
+  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "events_tumbling" ->
+      """SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) * 86400000 AS w_start,
+  event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "asof_join" ->
+      """WITH s AS (
+  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+    epoch_ms(CAST(ts AS TIMESTAMP)) * 1000000 + event_id AS ts_u, value, event_type
+  FROM events),
+p AS (SELECT * FROM s WHERE event_type = 'purchase'),
+c AS (SELECT * FROM s WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_ms, p.value, c.value AS last_click_val
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_u >= c.ts_u
+ORDER BY p.event_id""",
+
+    "doc_token_stats" ->
+      s"""SELECT doc_id, lang,
+  CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
+  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_clean,
+  CAST(len(list_distinct($tokensExpr)) AS BIGINT) AS n_distinct,
+  CAST(len(list_distinct($tokensExpr)) AS DOUBLE) / CAST(len($tokensExpr) AS BIGINT) AS ttr,
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($tokensExpr) AS BIGINT) AS avg_token_len
+FROM documents ORDER BY doc_id""",
+
+    "doc_lang_id" ->
+      s"""WITH scored AS (
+  SELECT doc_id, lang,
+    CAST(len(list_filter($tokensExpr, t -> t IN ('window','merge'))) AS BIGINT) AS s_de,
+    CAST(len(list_filter($tokensExpr, t -> t IN ('the','a'))) AS BIGINT) AS s_en,
+    CAST(len(list_filter($tokensExpr, t -> t IN ('data','table'))) AS BIGINT) AS s_es,
+    CAST(len(list_filter($tokensExpr, t -> t IN ('value','filter'))) AS BIGINT) AS s_fr,
+    CAST(len(list_filter($tokensExpr, t -> t IN ('spark','stream'))) AS BIGINT) AS s_zh
+  FROM documents)
+SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+  CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       ELSE 'zh' END AS predicted,
+  (CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+       ELSE 'zh' END) = lang AS match_label
+FROM scored ORDER BY doc_id""",
+
+    "doc_quality" ->
+      s"""WITH q AS (
+  SELECT doc_id,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter($tokensExpr, t -> t IN ('the','a'))) AS BIGINT) AS n_stop,
+    CAST(len(list_distinct($tokensExpr)) AS BIGINT) AS n_distinct
+  FROM documents),
+q2 AS (
+  SELECT *, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+    CAST(n_distinct AS DOUBLE) / n_tokens AS ttr
+  FROM q)
+SELECT doc_id, n_tokens, n_stop, n_distinct, stop_ratio, ttr,
+  least(1e0, n_tokens / 1e2) * 5e-1 + (1e0 - stop_ratio) * 3e-1 + ttr * 2e-1 AS quality
+FROM q2 ORDER BY doc_id""",
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS fp_md5,
+  CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp64,
+  CAST(len($gramsExpr) AS BIGINT) AS n_shingles
+FROM documents ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT doc_id,
+  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,
+  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM documents ORDER BY doc_id""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH docs AS (
+  SELECT doc_id, lang, $gramsExpr AS grams FROM documents),
+d2 AS (
+  SELECT doc_id, lang, CAST(len(grams) AS BIGINT) AS n_grams, grams
+  FROM docs WHERE len(grams) > 0),
+e AS (SELECT doc_id, lang, n_grams, unnest(grams) AS gram FROM d2),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_grams AS n1, b.n_grams AS n2,
+    CAST(count(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT d1, d2, n1, n2, common,
+  CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
+FROM p ORDER BY jaccard DESC, d1, d2 LIMIT 100""",
+
+    "emb_cosine_topk" ->
+      s"""WITH e AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self
+  FROM embeddings WHERE $dotSelfSql > 0e0),
+q AS (SELECT vec_id AS q_id, embedding AS qemb, dot_self AS q_dot FROM e WHERE vec_id < 5),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+    ${dotSql("q.qemb", "e.embedding")} / (sqrt(q.q_dot) * sqrt(e.dot_self)) AS sim
+  FROM e, q WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
+FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""",
+
+    "emb_cosine_neardup" ->
+      s"""WITH e AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self
+  FROM embeddings WHERE vec_id < 500 AND $dotSelfSql > 0e0)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+  ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) AS sim
+FROM e a, e b WHERE a.vec_id < b.vec_id
+  AND ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) > 2e-1
+ORDER BY sim DESC, d1, d2 LIMIT 100""",
+
+    "emb_ann_lsh" ->
+      s"""WITH e AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self,
+    ${bucketSql("embedding")} AS bucket
+  FROM embeddings WHERE $dotSelfSql > 0e0),
+q AS (SELECT vec_id AS q_id, embedding AS qemb, dot_self AS q_dot, bucket FROM e WHERE vec_id < 5),
+sims AS (
+  SELECT q.q_id, e.bucket, e.vec_id,
+    ${dotSql("q.qemb", "e.embedding")} / (sqrt(q.q_dot) * sqrt(e.dot_self)) AS sim
+  FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
+SELECT q_id, bucket, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
+FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
+    "mm_media_meta" ->
+      """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(octet_length(encode(text)) // 256 AS BIGINT) + 1 AS n_frames,
+  CAST(octet_length(encode(text)) % 7 AS BIGINT) AS feature0,
+  md5(text) AS fingerprint
+FROM documents ORDER BY doc_id"""
+  )
+}

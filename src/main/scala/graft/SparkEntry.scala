@@ -1,13 +1,62 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a DuckDB twin in `Oracle.sql` (same
+  * column names/types, bit-identical values — see Oracle's conventions).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the reference's full signal→decision pipeline
+    * (SURVEY §3.1) in batch form on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Decide.decisions(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  /** One entry per implemented operator family from SURVEY.md §2 plus the
+    * LLM-data-pipeline tier. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference pipeline (SURVEY §2.2-§2.8) ---
+    "sig_parse_enrich" -> ((s, d) => SignalOps.parseEnrich(Tables.events(s, d))),
+    "sig_union_merge" -> ((s, d) => SignalOps.unionMerge(Tables.events(s, d))),
+    "sig_window_agg" -> ((s, d) =>
+      WindowAgg.windowAgg(Tables.events(s, d)).orderBy("w_start", "symbol")),
+    "sig_decisions" -> ((s, d) =>
+      Decide.decisions(Tables.events(s, d)).orderBy("w_start", "symbol")),
+    "ord_orders" -> ((s, d) =>
+      OrderOps.orders(s, Tables.events(s, d)).orderBy("w_start", "symbol")),
+    "cdc_outbox_route" -> ((s, d) =>
+      CdcRoute.outboxEvents(s, Tables.events(s, d)).orderBy("aggregate_id")),
+    // --- relational suite (SURVEY §2.11 — free with Spark, still verified) ---
+    "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
+    "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
+    "q5_join" -> ((s, d) => Relational.q5Join(s, d)),
+    "join_semi" -> ((s, d) => Relational.joinSemi(s, d)),
+    "join_anti" -> ((s, d) => Relational.joinAnti(s, d)),
+    "wf_rank_topk" -> ((s, d) => Relational.wfRankTopPerGroup(s, d)),
+    "wf_lag_delta" -> ((s, d) => Relational.wfLagDelta(s, d)),
+    "rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
+    "distinct_agg" -> ((s, d) => Relational.distinctAgg(s, d)),
+    "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
+    "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    // --- LLM-data-pipeline tier: text analysis ---
+    "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
+    "doc_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "doc_quality" -> ((s, d) => TextOps.quality(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    // --- dedup ---
+    "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
+    // --- similarity search ---
+    "emb_cosine_topk" -> ((s, d) => EmbeddingOps.cosineTopK(s, d)),
+    "emb_cosine_neardup" -> ((s, d) => EmbeddingOps.cosineNearDup(s, d)),
+    "emb_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
+    // --- multimodal plumbing ---
+    "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMetaQuery(s, d))
+  )
+
+  /** DuckDB twins — the driver's correctness gate. */
+  def oracleSql: Map[String, String] = Oracle.sql
 }

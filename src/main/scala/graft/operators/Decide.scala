@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Decision operator (SURVEY.md §2.6, D1-D6; reference DecisionMaker.kt).
+  *
+  * The reference fans the alignment/balance/volatility computations out on
+  * virtual threads (DecisionMaker.kt:16-36) — a concurrency workaround we
+  * deliberately do not port (SURVEY §7.5(9)): here they are plain column
+  * expressions in one `select`, fully inside whole-stage codegen.
+  *
+  * Determinism (SURVEY §7.5(6)): the reference multiplies the qty basis by
+  * `Random.nextDouble(0.9, 1.1)` (DecisionMaker.kt:123) — quarantined to a
+  * fixed 1.0 factor in test mode so hashes are reproducible; live mode can
+  * re-enable via `rand(seed)`.
+  */
+object Decide {
+
+  /** D2 rule cascade + D3 confidence + D5 suggested price/qty + reason. */
+  def decisions(events: DataFrame): DataFrame = {
+    val w = WindowAgg.windowAgg(events)
+    val action =
+      when(col("balance") > 5, "STRONG_BUY")
+        .when(col("balance") > 2, "BUY")
+        .when(col("balance") < -5, "STRONG_SELL")
+        .when(col("balance") < -2, "SELL")
+        .otherwise("HOLD")
+    val priceAdj =
+      when(col("balance") > 5, 0.998)
+        .when(col("balance") > 2, 0.999)
+        .when(col("balance") < -5, 1.002)
+        .when(col("balance") < -2, 1.001)
+        .otherwise(1.0)
+    // D3 (DecisionMaker.kt:102-116): min(1, align*.4 + min(1,|bal|/10)*.4
+    //   + max(.3, 1 - avgVol/100)*.2); HOLD pins confidence at 0.5.
+    val conf = least(lit(1.0),
+      col("alignment") * 0.4
+        + least(lit(1.0), abs(col("balance")).cast("double") / 10.0) * 0.4
+        + greatest(lit(0.3), lit(1.0) - col("avg_vol") / 100.0) * 0.2)
+    w.withColumn("action", action)
+      .withColumn("price_adj", priceAdj)
+      .withColumn("confidence", when(col("action") === "HOLD", 0.5).otherwise(conf))
+      .withColumn("suggested_price", col("avg_price") * col("price_adj"))
+      // D4/D5: floor-truncate qty to 4 dp (DecisionMaker.kt:124); 0.0 on HOLD
+      .withColumn("suggested_qty",
+        when(col("action") === "HOLD", 0.0)
+          .otherwise(floor(col("qty_basis") * 10000.0) / 10000.0))
+      .withColumn("reason",
+        when(col("action").isin("STRONG_BUY", "STRONG_SELL"),
+          when(col("alignment") > 0.8, "ALIGNED_SIGNALS").otherwise("MOMENTUM_SHIFT"))
+          .when(col("action").isin("BUY", "SELL"), "ALIGNED_SIGNALS")
+          .otherwise(
+            when(col("alignment") < 0.6, "DIVERGENT_SIGNALS").otherwise("INSUFFICIENT_DATA")))
+      .select("w_start", "symbol", "action", "confidence",
+        "suggested_price", "suggested_qty", "reason", "signal_count", "balance")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two paths, per the builder brief:
+  *  - brute-force cosine top-k — the correctness baseline;
+  *  - LSH-bucketed ANN (random signed hyperplanes) — the scale path: at
+  *    100 TB the bucket join touches ~1/2^bits of the candidates per
+  *    query instead of all of them, and both sides shuffle only on the
+  *    compact bucket key.
+  *
+  * Numeric determinism: elements are cast float→double (exact), dot
+  * products are explicit left-to-right folds (`aggregate` with 0.0
+  * init), and the oracle mirrors them with `list_reduce` — IEEE-identical
+  * results, so even the top-k cut lines up bit-for-bit.
+  */
+object EmbeddingOps {
+
+  /** element-wise double view of an embedding column */
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** left-fold sum of an array<double> — order-deterministic, matching
+    * the oracle's list_reduce((a,b) -> a+b) (0.0 + x0 == x0). */
+  private def foldSum(c: Column): Column =
+    aggregate(c, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("dot_self", dot(col("v"), col("v")))
+      .filter(col("dot_self") > 0.0)
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 5. The tiny
+    * query side is broadcast; candidates stream through in one scan —
+    * no shuffle of the big side at all. */
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("dot_self").as("q_dot"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v"))
+        / (sqrt(col("q_dot")) * sqrt(col("dot_self"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id", "rn", "sim")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight w(j, i) — pure integer
+    * arithmetic so Spark and DuckDB produce identical doubles:
+    * ((1103515245*(j*64+i) + 12345) mod 65536) / 65536 - 0.5
+    * (65536 = 2^16 keeps the quotient exactly representable). */
+  private def hyper(j: Column, i: Column): Column =
+    ((lit(1103515245L) * (j * 64 + i) + 12345L) % 65536L) / lit(65536.0) - lit(0.5)
+
+  /** 6-bit signed-random-projection bucket of a double vector; the six
+    * plane dots are unrolled at plan-build time (pure codegen'd exprs). */
+  def lshBucket(v: Column): Column =
+    (0 until 6).map { j =>
+      val dotJ = foldSum(transform(sequence(lit(0), lit(63)), i =>
+        hyper(lit(j.toLong), i.cast("long")) * element_at(v, i + 1)))
+      when(dotJ >= 0.0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+
+  /** ANN via LSH buckets: candidates are only same-bucket vectors. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir))
+      .withColumn("bucket", lshBucket(col("v")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("dot_self").as("q_dot"), col("bucket"))
+    val sims = e.join(broadcast(q), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v"))
+        / (sqrt(col("q_dot")) * sqrt(col("dot_self"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "bucket", "vec_id", "rn", "sim")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Embedding-cosine near-duplicate pairs among the first 500 vectors
+    * (bounded demo of the near-dup sweep; the production path is
+    * annLsh-style bucketing first). */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(spark, dir)).filter(col("vec_id") < 500)
+    val a = e.select(col("vec_id").as("d1"), col("v").as("v1"), col("dot_self").as("n1"))
+    val b = e.select(col("vec_id").as("d2"), col("v").as("v2"), col("dot_self").as("n2"))
+    a.join(broadcast(b), col("d1") < col("d2"))
+      .withColumn("sim", dot(col("v1"), col("v2")) / (sqrt(col("n1")) * sqrt(col("n2"))))
+      .filter(col("sim") > 0.2)
+      .select("d1", "d2", "sim")
+      .orderBy(col("sim").desc, col("d1"), col("d2"))
+      .limit(100)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): media payloads travel as
+  * opaque `binary` columns with typed metadata structs; decode /
+  * feature-extract runs per-partition against a pluggable decoder.
+  *
+  * The real media codecs are not in this container, so `StubDecoder`
+  * produces deterministic fake features from the bytes — the Spark-side
+  * contract (schema, batch shape, partition parallelism, metadata
+  * propagation) is the real, tested part. The testdata has no media
+  * table, so document text doubles as the payload (`cast(text as binary)`).
+  */
+object MultimodalOps {
+
+  /** Typed metadata every media row carries alongside its payload. */
+  case class MediaMeta(docId: Long, nBytes: Long, contentType: String)
+  case class MediaRow(meta: MediaMeta, payload: Array[Byte])
+  case class MediaFeatures(docId: Long, nBytes: Long, nFrames: Long,
+    feature0: Long, fingerprint: String)
+
+  /** Decoder contract — swap in a real image/audio decoder in production.
+    * Must be deterministic given the payload bytes. */
+  trait Decoder extends Serializable {
+    def decode(row: MediaRow): MediaFeatures
+  }
+
+  /** Deterministic fake: "frames" = 256-byte chunks, feature = byte-sum
+    * proxy. Stands in for `???` real decoding (brief-sanctioned stub). */
+  object StubDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val n = row.payload.length.toLong
+      MediaFeatures(row.meta.docId, n, n / 256 + 1, n % 7,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(row.payload).map("%02x".format(_)).mkString)
+    }
+  }
+
+  /** documents.text → binary payload + metadata struct. */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .map(r => MediaRow(
+        MediaMeta(r.getLong(0), r.getAs[Array[Byte]](1).length.toLong, "text/plain"),
+        r.getAs[Array[Byte]](1)))
+  }
+
+  /** Per-partition decode — the mapPartitions shape a real decoder needs
+    * (amortize codec init per partition, stream rows, never collect). */
+  def decodeFeatures(spark: SparkSession, dir: String,
+      decoder: Decoder = StubDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(_.map(decoder.decode))
+  }
+
+  /** Oracle-checked face of the stub decode (column-expression twin of
+    * StubDecoder so DuckDB can mirror it). */
+  def mediaMetaQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_bytes", length(col("text").cast("binary")).cast("long"))
+      .withColumn("n_frames", expr("n_bytes div 256") + 1L)
+      .withColumn("feature0", col("n_bytes") % 7)
+      .withColumn("fingerprint", md5(col("text").cast("binary")))
+      .select("doc_id", "n_bytes", "n_frames", "feature0", "fingerprint")
+      .orderBy("doc_id")
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-manager operators (SURVEY.md §2.2 P7-P10 + §2.7 O1-O3;
+  * reference OrderService.kt).
+  *
+  * Deterministic quarantine (SURVEY §7.5(6)): the reference's
+  * `clientOrderId = "ORD-{currentMillis}-{uuid8}"` (OrderService.kt:132-133)
+  * becomes `ORD-{w_start}-{symbol}` — the idempotency key the unique DB
+  * constraint relies on (configmap-init.yaml:48-49) must be stable across
+  * replays anyway, so deriving it from the (window, symbol) business key is
+  * the *correct* exactly-once design, not just a test convenience.
+  */
+object OrderOps {
+
+  val ConfidenceThreshold = 0.65
+  val BaseQty = 1.0
+  val MaxQty = 10.0
+
+  /** P7 whitelist -> P8 STRONG boost ×1.2 + threshold -> P9 side ->
+    * P10 broadcast price lookup -> O1 sizing -> O2 id -> O3 payload. */
+  def orders(spark: SparkSession, events: DataFrame): DataFrame = {
+    val d = Decide.decisions(events)
+    val filtered = d
+      .filter(col("action").isin("BUY", "SELL", "STRONG_BUY", "STRONG_SELL"))
+      .withColumn("adj_conf",
+        when(col("action").startsWith("STRONG"), col("confidence") * 1.2)
+          .otherwise(col("confidence")))
+      .filter(col("adj_conf") >= ConfidenceThreshold)
+      .withColumn("order_side",
+        when(col("action").isin("BUY", "STRONG_BUY"), "BUY").otherwise("SELL"))
+    // O1 (OrderService.kt:190-199): clamp((conf-thr)/(1-thr),0,1) lerped
+    // into [base, max], half-up rounded to 2 dp (Spark round = HALF_UP,
+    // matching Kotlin roundToInt).
+    // Literals written out (0.35, 9.0) rather than Scala-folded constants
+    // so the oracle SQL can repeat the exact same double tokens.
+    val normConf = least(lit(1.0), greatest(lit(0.0),
+      (col("adj_conf") - lit(0.65)) / lit(0.35)))
+    SignalOps.priceLookup(spark, filtered)
+      .withColumn("order_qty", round(lit(1.0) + lit(9.0) * normConf, 2))
+      .withColumn("client_order_id",
+        concat(lit("ORD-"), col("w_start"), lit("-"), col("symbol")))
+      .withColumn("payload",
+        concat(lit("{\"client_order_id\":\""), col("client_order_id"),
+          lit("\",\"symbol\":\""), col("symbol"),
+          lit("\",\"side\":\""), col("order_side"),
+          lit("\",\"action\":\""), col("action"),
+          lit("\",\"signals\":"), col("signal_count"), lit("}")))
+      .select("w_start", "symbol", "client_order_id", "order_side", "action",
+        "adj_conf", "order_qty", "market_price", "payload")
+  }
+}

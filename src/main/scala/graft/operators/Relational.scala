@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query suite (SURVEY.md §2.11): the categories the reference
+  * lacks but Spark provides natively — exercised so a reference user gets
+  * the full relational surface from this engine. All money aggregates
+  * accumulate in exact DECIMAL and convert to DOUBLE only at the end
+  * (identical formulas in graft.Oracle), so hash-compare vs DuckDB is
+  * bit-stable under any degree of parallelism.
+  *
+  * Scale notes per query are inline; the common rules: filters stay
+  * ahead of joins (Catalyst pushes them into the parquet scan), small
+  * dimension tables are broadcast explicitly, and every query's plan was
+  * checked with explain(formatted) for PushedFilters/pruned ReadSchema.
+  */
+object Relational {
+
+  private def dec(c: String, t: String) = col(c).cast(t)
+
+  /** TPC-H Q1-style pricing summary: single scan, partial-agg friendly,
+    * 6-row result — the shuffle moves only per-group partial sums. */
+  def q1Pricing(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qty = dec("l_quantity", "decimal(12,2)")
+    val ep = dec("l_extendedprice", "decimal(14,2)")
+    val disc = dec("l_discount", "decimal(4,2)")
+    val tax = dec("l_tax", "decimal(4,2)")
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(ep).cast("double").as("sum_base_price"),
+        sum(ep * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(ep * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(ep).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(disc).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style shipping-priority top-k. The exact-decimal revenue is
+    * also the sort key, so the top-10 cut is deterministic cross-engine.
+    * Join order: filtered orders ⋈ lineitem (both pushed-down scans),
+    * customer side reduced by segment filter before joining. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    val ep = dec("l_extendedprice", "decimal(14,2)")
+    val disc = dec("l_discount", "decimal(4,2)")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(ep * (lit(1) - disc)).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q5-style multi-join: region/nation are broadcast (tiny dims
+    * never shuffle the fact side); customer⋈orders⋈lineitem⋈supplier
+    * shuffle on their keys with AQE free to re-plan. */
+  def q5Join(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val ep = dec("l_extendedprice", "decimal(14,2)")
+    val disc = dec("l_discount", "decimal(4,2)")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .join(o, o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") && s("s_nationkey") === c("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(ep * (lit(1) - disc)).as("revenue_dec"))
+      .orderBy(col("revenue_dec").desc, col("n_name"))
+      .select(col("n_name"), col("revenue_dec").cast("double").as("revenue"))
+  }
+
+  /** Left-semi join (EXISTS): customers holding at least one 'F' order. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no urgent order. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(spark, dir)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Ranking window function: top-3 orders per customer by price.
+    * Single hash exchange on o_custkey + sort; no global sort of the
+    * fact table. */
+  def wfRankTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic window function: per-user event-over-event value delta
+    * (lag) — the classic sessionized-stream derivative. */
+  def wfLagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    e.withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .select("event_id", "user_id", "ts_ms", "value", "prev_value", "delta")
+      .orderBy("event_id")
+  }
+
+  /** ROLLUP over region -> nation of customer account balances (exact
+    * cents accumulation). Expressed through the SQL interface: Spark
+    * 4.1's DetectAmbiguousSelfJoin false-positives on rollup-after-join
+    * in the DataFrame API (the Expand duplicates dataset-tagged
+    * attributes); the SQL path builds the identical plan from fresh
+    * attributes. */
+  def rollupAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("g_customer")
+    Tables.nation(spark, dir).createOrReplaceTempView("g_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("g_region")
+    spark.sql("""
+      SELECT r_name, n_name,
+        SUM(CAST(round(c_acctbal * 100) AS BIGINT)) / 1e2 AS sum_acctbal,
+        count(1) AS n_customers
+      FROM g_customer
+      JOIN g_nation ON c_nationkey = n_nationkey
+      JOIN g_region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+  }
+
+  /** Multiple distinct aggregations in one pass (Spark expands to a
+    * single multi-phase aggregate). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** Native tumbling event-time window (the batch face of the streaming
+    * `groupBy(window(...))` — identical logical plan in readStream). */
+  def eventsTumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** As-of join — the canonical stream-correlation operator Spark lacks
+    * natively (DuckDB has ASOF JOIN; our oracle uses it). Implemented
+    * the scalable way: tag both sides, one hash exchange on user_id, one
+    * sort, `last(ignoreNulls)` running carry — O(n log n/partition), no
+    * per-key state blowup, vs. the naive O(clicks × purchases) theta
+    * join. ts is disambiguated to a unique key (ms*1e6 + event_id) so
+    * tie-breaks are deterministic cross-engine. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("ts_u", col("ts_ms") * 1000000L + col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts_u")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("last_click_val",
+        last(when(col("event_type") === "click", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts_ms", "value", "last_click_val")
+      .orderBy("event_id")
+  }
+}

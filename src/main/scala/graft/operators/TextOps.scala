@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-data-pipeline tier (builder brief):
+  * token statistics, language-ID, quality scoring, fingerprinting — all
+  * pure column expressions (whole-stage codegen, no UDFs), one scan of
+  * `documents`, embarrassingly parallel at 100 TB.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the document text. */
+  def tokens: Column = split(col("text"), " ")
+
+  /** Distinct word n-grams (shingles) of the text, n=3. Documents shorter
+    * than n tokens yield an empty set (guarded — `sequence` would happily
+    * count backwards otherwise). */
+  def wordTrigrams: Column = {
+    val t = tokens
+    array_distinct(
+      when(size(t) < 3, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(t) - 2), i =>
+          concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+  }
+
+  /** Token counting + type/token ratio (BPE-ish cost proxies for a
+    * training-data pipeline). All counts emitted as BIGINT for oracle
+    * type parity. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("n_chars_clean", length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(tokens)).cast("long"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len", col("n_chars_clean").cast("double") / col("n_tokens"))
+      .select("doc_id", "lang", "n_tokens", "n_chars_clean", "n_distinct",
+        "ttr", "avg_token_len")
+      .orderBy("doc_id")
+
+  /** Language-ID by marker-token scoring — the classic stopword-profile
+    * heuristic. The marker sets are tuned to the synthetic corpus
+    * vocabulary so the argmax actually varies; ties break alphabetically
+    * (deterministic). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "merge"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "table"),
+    "fr" -> Seq("value", "filter"),
+    "zh" -> Seq("spark", "stream"))
+
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = langMarkers.foldLeft(Tables.documents(spark, dir)) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"s_$lang",
+          size(filter(tokens, t => t.isin(markers.map(lit(_)): _*))).cast("long"))
+    }
+    val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    // foldRight keeps alphabetical priority: 'de' wins ties, then 'en', …
+    val predicted = langMarkers.foldRight(lit("und"): Column) {
+      case ((lang, _), acc) => when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+    }
+    scored.withColumn("predicted", predicted)
+      .withColumn("match_label", (col("predicted") === col("lang")).cast("boolean"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        langMarkers.map { case (l, _) => col(s"s_$l") } ++
+        Seq(col("predicted"), col("match_label")): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/diversity mix in [0,1] — the usual
+    * pre-training filter signal. Doubles derive only from integer counts
+    * via formulas repeated token-identically in the oracle. */
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("n_stop",
+        size(filter(tokens, t => t.isin("the", "a"))).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(tokens)).cast("long"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / 100.0) * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.3 + col("ttr") * 0.2)
+      .select("doc_id", "n_tokens", "n_stop", "n_distinct", "stop_ratio",
+        "ttr", "quality")
+      .orderBy("doc_id")
+
+  /** Document fingerprinting: full-content MD5 (exact-dup key), a 60-bit
+    * integer prefix of it (compact join/bucket key), and the distinct
+    * shingle count (near-dup prefilter signal). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp_md5", md5(col("text").cast("binary")))
+      .withColumn("fp64", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+      .withColumn("n_shingles", size(wordTrigrams).cast("long"))
+      .select("doc_id", "fp_md5", "fp64", "n_shingles")
+      .orderBy("doc_id")
+
+  /** Exact deduplication: keeper = min doc_id per identical text.
+    * Implemented as a window min over the content key — at 100 TB the
+    * partition key would be the md5 fingerprint (bounded-width shuffle
+    * key) rather than raw text; semantics identical. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text").cast("binary")))
+    Tables.documents(spark, dir)
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("boolean"))
+      .select("doc_id", "keeper_id", "is_dup")
+      .orderBy("doc_id")
+  }
+
+  /** N-gram Jaccard near-duplicate detection, the scalable way: explode
+    * distinct shingles, self-join on (shingle, lang-block), count common
+    * shingles per pair, then |A∩B|/(|A|+|B|-|A∩B|). No doc×doc cross
+    * join — candidate pairs only materialize where a shingle collides,
+    * and the lang block bounds the worst case. Top-100 by similarity
+    * (deterministic tie-break) keeps the output stable at any SF. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), wordTrigrams.as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+    val e = docs.select(col("doc_id"), col("lang"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val a = e.select(col("gram"), col("lang"), col("doc_id").as("d1"), col("n_grams").as("n1"))
+    val b = e.select(col("gram"), col("lang"), col("doc_id").as("d2"), col("n_grams").as("n2"))
+    a.join(b, Seq("gram", "lang"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(100)
+  }
+}
