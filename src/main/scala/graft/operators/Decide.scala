@@ -18,8 +18,17 @@ import org.apache.spark.sql.functions._
 object Decide {
 
   /** D2 rule cascade + D3 confidence + D5 suggested price/qty + reason. */
-  def decisions(events: DataFrame): DataFrame = {
-    val w = WindowAgg.windowAgg(events)
+  def decisions(events: DataFrame): DataFrame =
+    fromAgg(WindowAgg.windowAgg(events))
+      .select("w_start", "symbol", "action", "confidence",
+        "suggested_price", "suggested_qty", "reason", "signal_count", "balance")
+
+  /** The decision expressions over any frame carrying the aggregate
+    * columns (balance, alignment, avg_price, avg_vol, qty_basis) — shared
+    * by the batch path above and the streaming pipeline
+    * (graft.streaming.SignalStream), one logical definition for both
+    * execution modes. */
+  def fromAgg(w: DataFrame): DataFrame = {
     val action =
       when(col("balance") > 5, "STRONG_BUY")
         .when(col("balance") > 2, "BUY")
@@ -52,7 +61,5 @@ object Decide {
           .when(col("action").isin("BUY", "SELL"), "ALIGNED_SIGNALS")
           .otherwise(
             when(col("alignment") < 0.6, "DIVERGENT_SIGNALS").otherwise("INSUFFICIENT_DATA")))
-      .select("w_start", "symbol", "action", "confidence",
-        "suggested_price", "suggested_qty", "reason", "signal_count", "balance")
   }
 }

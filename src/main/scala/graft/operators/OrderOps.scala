@@ -21,8 +21,13 @@ object OrderOps {
 
   /** P7 whitelist -> P8 STRONG boost ×1.2 + threshold -> P9 side ->
     * P10 broadcast price lookup -> O1 sizing -> O2 id -> O3 payload. */
-  def orders(spark: SparkSession, events: DataFrame): DataFrame = {
-    val d = Decide.decisions(events)
+  def orders(spark: SparkSession, events: DataFrame): DataFrame =
+    fromDecisions(spark, Decide.decisions(events))
+
+  /** The decision→order stage alone — shared with the streaming sink
+    * (graft.streaming.OutboxPipeline), which applies it inside
+    * foreachBatch. */
+  def fromDecisions(spark: SparkSession, d: DataFrame): DataFrame = {
     val filtered = d
       .filter(col("action").isin("BUY", "SELL", "STRONG_BUY", "STRONG_SELL"))
       .withColumn("adj_conf",

