@@ -408,6 +408,52 @@ FROM e a, e b WHERE a.vec_id < b.vec_id
   AND ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) > 2e-1
 ORDER BY sim DESC, d1, d2 LIMIT 100""",
 
+    "dedup_minhash_lsh" -> {
+      import graft.operators.MinHashOps.{P, K, Bands, RowsPerBand, hashParams}
+      val gid = "(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % " + P + ")"
+      val sigElems = (0 until K).map { i =>
+        val (a, b) = hashParams(i)
+        s"list_min(list_transform(grams, g -> ($a * $gid + $b) % $P))"
+      }.mkString("[", ", ", "]")
+      val bandElems = (0 until Bands).map { b =>
+        (0 until RowsPerBand).foldLeft("0") { (acc, r) =>
+          s"(($acc * 1009 + sig[${b * RowsPerBand + r + 1}]) % $P)"
+        }
+      }.mkString("[", ", ", "]")
+      s"""WITH docs AS (
+  SELECT doc_id, lang, $gramsExpr AS grams FROM documents),
+d2 AS (SELECT * FROM docs WHERE len(grams) > 0),
+sigs AS (SELECT doc_id, lang, grams, $sigElems AS sig FROM d2),
+bands AS (SELECT doc_id, lang, $bandElems AS bands FROM sigs),
+e AS (SELECT doc_id, lang, unnest(bands) AS band_hash,
+        generate_subscripts(bands, 1) AS band_idx FROM bands),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM e a JOIN e b ON a.lang = b.lang AND a.band_idx = b.band_idx
+    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT d1, d2,
+  CAST(len(list_intersect(g1.grams, g2.grams)) AS BIGINT) AS common,
+  CAST(len(g1.grams) AS BIGINT) AS n1,
+  CAST(len(g2.grams) AS BIGINT) AS n2,
+  CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE)
+    / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))) AS jaccard
+FROM cand
+JOIN d2 g1 ON g1.doc_id = d1
+JOIN d2 g2 ON g2.doc_id = d2
+ORDER BY jaccard DESC, d1, d2 LIMIT 50"""
+    },
+
+    "doc_simhash" -> {
+      val thash = "(CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))"
+      val bits = (0 until 16).map { b =>
+        val pow = 1L << b
+        s"(CASE WHEN CAST(list_sum(list_transform($tokensExpr, " +
+          s"t -> (($thash // $pow) % 2) * 2 - 1)) AS BIGINT) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash16
+FROM documents ORDER BY doc_id"""
+    },
+
     "emb_ann_lsh" ->
       s"""WITH e AS (
   SELECT vec_id, embedding, $dotSelfSql AS dot_self,

@@ -49,6 +49,8 @@ object SparkEntry {
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => MinHashOps.minhashLshPairs(s, d)),
+    "doc_simhash" -> ((s, d) => MinHashOps.simhash(s, d)),
     // --- similarity search ---
     "emb_cosine_topk" -> ((s, d) => EmbeddingOps.cosineTopK(s, d)),
     "emb_cosine_neardup" -> ((s, d) => EmbeddingOps.cosineNearDup(s, d)),

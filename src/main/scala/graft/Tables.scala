@@ -32,4 +32,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** documents/embeddings ship as one small parquet file → one input
+    * partition — but their operators run interpreted higher-order
+    * functions per row (hashing, folds), so the work is CPU-bound, not
+    * IO-bound. Spread it across the cluster up front. On a real 100 TB
+    * table the source has thousands of splits and this repartition
+    * disappears. */
+  def documentsPar(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  def embeddingsPar(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 }

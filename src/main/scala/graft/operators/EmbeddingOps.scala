@@ -40,7 +40,7 @@ object EmbeddingOps {
     * query side is broadcast; candidates stream through in one scan —
     * no shuffle of the big side at all. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    val e = withNorm(Tables.embeddingsPar(spark, dir))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("dot_self").as("q_dot"))
     val sims = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -71,7 +71,7 @@ object EmbeddingOps {
 
   /** ANN via LSH buckets: candidates are only same-bucket vectors. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir))
+    val e = withNorm(Tables.embeddingsPar(spark, dir))
       .withColumn("bucket", lshBucket(col("v")))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -91,7 +91,7 @@ object EmbeddingOps {
     * (bounded demo of the near-dup sweep; the production path is
     * annLsh-style bucketing first). */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = withNorm(Tables.embeddings(spark, dir)).filter(col("vec_id") < 500)
+    val e = withNorm(Tables.embeddingsPar(spark, dir)).filter(col("vec_id") < 500)
     val a = e.select(col("vec_id").as("d1"), col("v").as("v1"), col("dot_self").as("n1"))
     val b = e.select(col("vec_id").as("d2"), col("v").as("v2"), col("dot_self").as("n2"))
     a.join(broadcast(b), col("d1") < col("d2"))

@@ -15,25 +15,28 @@ object TextOps {
   /** Whitespace tokens of the document text. */
   def tokens: Column = split(col("text"), " ")
 
-  /** Distinct word n-grams (shingles) of the text, n=3. Documents shorter
-    * than n tokens yield an empty set (guarded — `sequence` would happily
-    * count backwards otherwise). */
-  def wordTrigrams: Column = {
-    val t = tokens
+  /** Distinct word n-grams (shingles) over a MATERIALIZED tokens column,
+    * n=3. Always derive shingles from a dedicated `toks` column, never
+    * inline `split(...)`: higher-order functions run interpreted (no
+    * codegen), so an inlined split would re-tokenize the document for
+    * every element access — O(len²) per row. Documents shorter than n
+    * tokens yield an empty set (guarded — `sequence` would happily count
+    * backwards otherwise). */
+  def wordTrigrams(t: Column): Column =
     array_distinct(
       when(size(t) < 3, array().cast("array<string>")).otherwise(
         transform(sequence(lit(1), size(t) - 2), i =>
           concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-  }
 
   /** Token counting + type/token ratio (BPE-ish cost proxies for a
     * training-data pipeline). All counts emitted as BIGINT for oracle
     * type parity. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(tokens).cast("long"))
+    Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chars_clean", length(regexp_replace(col("text"), " ", "")).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(tokens)).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("avg_token_len", col("n_chars_clean").cast("double") / col("n_tokens"))
       .select("doc_id", "lang", "n_tokens", "n_chars_clean", "n_distinct",
@@ -52,10 +55,11 @@ object TextOps {
     "zh" -> Seq("spark", "stream"))
 
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val scored = langMarkers.foldLeft(Tables.documents(spark, dir)) {
+    val scored = langMarkers.foldLeft(
+      Tables.documentsPar(spark, dir).withColumn("toks", tokens)) {
       case (df, (lang, markers)) =>
         df.withColumn(s"s_$lang",
-          size(filter(tokens, t => t.isin(markers.map(lit(_)): _*))).cast("long"))
+          size(filter(col("toks"), t => t.isin(markers.map(lit(_)): _*))).cast("long"))
     }
     val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
     // foldRight keeps alphabetical priority: 'de' wins ties, then 'en', …
@@ -74,11 +78,12 @@ object TextOps {
     * pre-training filter signal. Doubles derive only from integer counts
     * via formulas repeated token-identically in the oracle. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .withColumn("n_tokens", size(tokens).cast("long"))
+    Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
-        size(filter(tokens, t => t.isin("the", "a"))).cast("long"))
-      .withColumn("n_distinct", size(array_distinct(tokens)).cast("long"))
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("quality",
@@ -92,10 +97,11 @@ object TextOps {
     * integer prefix of it (compact join/bucket key), and the distinct
     * shingle count (near-dup prefilter signal). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
       .withColumn("fp_md5", md5(col("text").cast("binary")))
       .withColumn("fp64", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
-      .withColumn("n_shingles", size(wordTrigrams).cast("long"))
+      .withColumn("n_shingles", size(wordTrigrams(col("toks"))).cast("long"))
       .select("doc_id", "fp_md5", "fp64", "n_shingles")
       .orderBy("doc_id")
 
@@ -105,7 +111,7 @@ object TextOps {
     * key) rather than raw text; semantics identical. */
   def dedupExact(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(md5(col("text").cast("binary")))
-    Tables.documents(spark, dir)
+    Tables.documentsPar(spark, dir)
       .withColumn("keeper_id", min(col("doc_id")).over(w))
       .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("boolean"))
       .select("doc_id", "keeper_id", "is_dup")
@@ -113,23 +119,42 @@ object TextOps {
   }
 
   /** N-gram Jaccard near-duplicate detection, the scalable way: explode
-    * distinct shingles, self-join on (shingle, lang-block), count common
-    * shingles per pair, then |A∩B|/(|A|+|B|-|A∩B|). No doc×doc cross
-    * join — candidate pairs only materialize where a shingle collides,
-    * and the lang block bounds the worst case. Top-100 by similarity
-    * (deterministic tie-break) keeps the output stable at any SF. */
+    * distinct shingles, build the postings list per (lang, shingle), emit
+    * pairs straight from each postings list, count common shingles per
+    * pair, then |A∩B|/(|A|+|B|-|A∩B|). No doc×doc cross join and no
+    * self-join — candidate pairs only materialize where a shingle
+    * collides. Top-100 by similarity (deterministic tie-break) keeps the
+    * output stable at any SF. */
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), wordTrigrams.as("grams"))
-      .filter(size(col("grams")) > 0)
+    val docs = Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), col("lang"), wordTrigrams(col("toks")).as("grams"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
+    // no size>0 filter: explode already drops empty-gram docs, and an
+    // explicit filter would be pushed below the projection, re-deriving
+    // the (interpreted) shingle expression per row
     val e = docs.select(col("doc_id"), col("lang"), col("n_grams"),
       explode(col("grams")).as("gram"))
-    val a = e.select(col("gram"), col("lang"), col("doc_id").as("d1"), col("n_grams").as("n1"))
-    val b = e.select(col("gram"), col("lang"), col("doc_id").as("d2"), col("n_grams").as("n2"))
-    a.join(b, Seq("gram", "lang"))
-      .filter(col("d1") < col("d2"))
-      .groupBy("d1", "d2", "n1", "n2")
+    // Pairs WITHOUT a self-join: group the postings list per shingle and
+    // emit its pairs directly — the shingle derivation runs once (a
+    // self-join would evaluate it per side), and one exchange on
+    // (lang, gram) replaces two plus a broadcast. Postings are capped:
+    // a shingle shared by >1000 docs is a stopword-gram that would add
+    // O(df²) pairs and no near-dup signal (standard df-cut; far below
+    // the cap at test SFs, load-bearing at 100 TB).
+    val pairs = e.groupBy("lang", "gram")
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))),
+        1, 1000).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(sequence(lit(1), size(col("ds")) - 1), i =>
+        transform(sequence(i + 1, size(col("ds"))), j =>
+          struct(
+            element_at(col("ds"), i).getField("doc_id").as("d1"),
+            element_at(col("ds"), i).getField("n_grams").as("n1"),
+            element_at(col("ds"), j).getField("doc_id").as("d2"),
+            element_at(col("ds"), j).getField("n_grams").as("n2")))))).as("p"))
+    pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
