@@ -1,0 +1,205 @@
+package graft.functions
+
+import graft.operators.MinHashOps
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot text-dedup path.
+  *
+  * Why custom expressions (brief preference order (b)): the composed
+  * built-in form — `array_distinct(transform(sequence(...),
+  * concat_ws(element_at×3)))` and K× `array_min(transform(...))` — runs
+  * every lambda interpreted (higher-order functions have no codegen),
+  * costing ~1 ms/doc; these single-pass versions do the same work in
+  * plain JVM loops, ~30× faster, with BIT-IDENTICAL output (asserted by
+  * ExpressionParitySpec against the composed form, and by the DuckDB
+  * oracle which is shared with the built-in path).
+  *
+  * Both are CodegenFallback: one eval call per row replaces hundreds of
+  * interpreted lambda frames, which is where the time went — full
+  * doGenCode would add little on top.
+  */
+
+/** `graft_trigrams(tokens)` — distinct word 3-grams, first-occurrence
+  * order, exactly matching TextOps.wordTrigrams' composed form. */
+case class TrigramShingles(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
+    var i = 0
+    while (i < n - 2) {
+      val sp = UTF8String.fromString(" ")
+      seen.add(UTF8String.concat(arr.getUTF8String(i), sp,
+        arr.getUTF8String(i + 1), sp, arr.getUTF8String(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): TrigramShingles = copy(c)
+  override def prettyName: String = "graft_trigrams"
+}
+
+/** `graft_minhash(grams)` — the K-element MinHash signature in one pass:
+  * md5-prefix gram id mod P, then K universal hashes, tracking all K
+  * minima per gram. Matches MinHashOps.gramIds∘signature exactly
+  * (same md5 prefix, same (a,b) parameters, same modulus). */
+case class MinHashSignature(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val P = MinHashOps.P
+  private val params: Array[(Long, Long)] =
+    (0 until MinHashOps.K).map(MinHashOps.hashParams).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(params.length)(Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var g = 0
+    while (g < n) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(g).getBytes)
+      // first 15 hex chars = first 7 bytes + high nibble of byte 8
+      var id = 0L
+      var b = 0
+      while (b < 7) { id = (id << 8) | (digest(b) & 0xffL); b += 1 }
+      id = (id << 4) | ((digest(7) & 0xf0L) >> 4)
+      id %= P
+      var i = 0
+      while (i < params.length) {
+        val (a, c) = params(i)
+        val h = (a * id + c) % P
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(mins.map(Long.box).asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
+  override def prettyName: String = "graft_minhash"
+}
+
+/** `graft_pairs(arr)` — all unordered index pairs (i < j) of an array, as
+  * array<struct<l, r>> with the element type preserved.
+  *
+  * Exists because `explode(flatten(transform(sequence(...), transform(
+  * sequence(...), struct(element_at…)))))` — the composed form — gets
+  * collapsed into the Generate and re-evaluated per EMITTED row, turning
+  * pair generation O(k²) per bucket into O(k⁴) (measured: the n-gram
+  * Jaccard sweep spent 13 s of 13 s there at sf0.1). One opaque pass
+  * keeps Generate exploding a plain attribute. */
+case class ArrayPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("l", elemType), StructField("r", elemType))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pairs needs an array, got ${child.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val et = elemType
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = arr.get(i, et)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array(a, arr.get(j, et)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): ArrayPairs = copy(c)
+  override def prettyName: String = "graft_pairs"
+}
+
+/** `graft_pairs_gen(arr)` — GENERATOR form of ArrayPairs: emits one row
+  * (l, r) per unordered pair directly, like `explode`. Preferred over
+  * `explode(graft_pairs(arr))`: a single-reference projection collapses
+  * into Generate and the array expression is then re-evaluated per
+  * EMITTED row (measured O(k⁴) per bucket); a Generator is evaluated
+  * once per INPUT row by contract, and emits pairs lazily (no k²/2
+  * array materialized). */
+case class PairsGenerator(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with CodegenFallback {
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("l", elemType), StructField("r", elemType)))
+
+  override def supportCodegen: Boolean = false // interpreted generator path
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_pairs_gen needs an array, got ${child.dataType.catalogString}")
+    }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val et = elemType
+    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var a: Any = if (n > 0) arr.get(0, et) else null
+      def hasNext: Boolean = i < n - 1 && j < n
+      def next(): org.apache.spark.sql.catalyst.InternalRow = {
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array(a, arr.get(j, et)))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1; if (i < n) a = arr.get(i, et) }
+        row
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): PairsGenerator = copy(c)
+  override def prettyName: String = "graft_pairs_gen"
+}

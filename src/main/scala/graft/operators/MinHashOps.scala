@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -63,10 +64,9 @@ object MinHashOps {
     val docs = Tables.documentsPar(spark, dir)
       .withColumn("toks", TextOps.tokens)
       .select(col("doc_id"), col("lang"),
-        TextOps.wordTrigrams(col("toks")).as("grams"))
+        GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
       .filter(size(col("grams")) > 0)
-      .withColumn("gram_ids", gramIds(col("grams")))
-      .withColumn("sig", signature(col("gram_ids")))
+      .withColumn("sig", GraftFunctions.graftMinhash(spark, "grams"))
       .withColumn("bands", bandHashes(col("sig")))
     // Explode a LITERAL index array and pick the band by element_at —
     // NOT posexplode(bands): a generator over an array column computed in
@@ -83,11 +83,8 @@ object MinHashOps {
     val cand = exploded.groupBy("lang", "band_idx", "band_hash")
       .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 1000).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(sequence(lit(1), size(col("ds")) - 1), i =>
-        transform(sequence(i + 1, size(col("ds"))), j =>
-          struct(element_at(col("ds"), i).as("d1"),
-            element_at(col("ds"), j).as("d2")))))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+      .select(col("l").as("d1"), col("r").as("d2"))
       .distinct()
     // exact-verify candidates only (candidate count is LSH-bounded)
     val g1 = docs.select(col("doc_id").as("d1"), col("grams").as("grams1"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -101,7 +102,8 @@ object TextOps {
       .withColumn("toks", tokens)
       .withColumn("fp_md5", md5(col("text").cast("binary")))
       .withColumn("fp64", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
-      .withColumn("n_shingles", size(wordTrigrams(col("toks"))).cast("long"))
+      .withColumn("n_shingles",
+        size(GraftFunctions.graftTrigrams(spark, "toks")).cast("long"))
       .select("doc_id", "fp_md5", "fp64", "n_shingles")
       .orderBy("doc_id")
 
@@ -128,7 +130,8 @@ object TextOps {
   def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
-      .select(col("doc_id"), col("lang"), wordTrigrams(col("toks")).as("grams"))
+      .select(col("doc_id"), col("lang"),
+        GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
     // no size>0 filter: explode already drops empty-gram docs, and an
     // explicit filter would be pushed below the projection, re-deriving
@@ -146,15 +149,9 @@ object TextOps {
       .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))),
         1, 1000).as("ds"))
       .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(sequence(lit(1), size(col("ds")) - 1), i =>
-        transform(sequence(i + 1, size(col("ds"))), j =>
-          struct(
-            element_at(col("ds"), i).getField("doc_id").as("d1"),
-            element_at(col("ds"), i).getField("n_grams").as("n1"),
-            element_at(col("ds"), j).getField("doc_id").as("d2"),
-            element_at(col("ds"), j).getField("n_grams").as("n2")))))).as("p"))
-    pairs.groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"),
-        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+    pairs.groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        col("l.n_grams").as("n1"), col("r.n_grams").as("n2"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
