@@ -311,6 +311,48 @@ SELECT p.event_id, p.user_id, p.ts_ms, p.value, c.value AS last_click_val
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_u >= c.ts_u
 ORDER BY p.event_id""",
 
+    "sessionize" ->
+      """WITH e AS (
+  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER w >= 1800000
+                   OR lag(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+sessions AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+  CAST(MIN(ts_ms) AS BIGINT) AS session_start,
+  CAST(MAX(ts_ms) AS BIGINT) AS session_end,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(SUM(value_c) AS BIGINT) / 1e2 AS sum_value
+FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "cube_orders" ->
+      """SELECT o_orderpriority, o_orderstatus,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_price
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""",
+
+    "interval_join" ->
+      """WITH e AS (
+  SELECT event_id, user_id, event_type,
+    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events),
+p AS (SELECT event_id, user_id, ts_ms AS p_ts FROM e WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts_ms AS c_ts, value_c FROM e WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.p_ts,
+  CAST(count(*) AS BIGINT) AS n_clicks_1h,
+  CAST(SUM(c.value_c) AS BIGINT) / 1e2 AS click_value_1h
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.c_ts >= p.p_ts - 3600000 AND c.c_ts < p.p_ts
+GROUP BY 1, 2, 3 ORDER BY 1""",
+
     "doc_token_stats" ->
       s"""SELECT doc_id, lang,
   CAST(len($tokensExpr) AS BIGINT) AS n_tokens,

@@ -41,6 +41,10 @@ object SparkEntry {
     "distinct_agg" -> ((s, d) => Relational.distinctAgg(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
+    "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "cube_orders" -> ((s, d) => Relational.cubeOrders(s, d)),
+    "interval_join" -> ((s, d) => Relational.intervalJoin(s, d)),
+    "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     // --- LLM-data-pipeline tier: text analysis ---
     "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
     "doc_lang_id" -> ((s, d) => TextOps.langId(s, d)),

@@ -176,6 +176,78 @@ object Relational {
         col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** Sessionization: split each user's event stream at >30-minute gaps
+    * (gaps-and-islands via lag + running sum — one exchange on user_id,
+    * two window passes over the same sort; the native `session_window`
+    * is the streaming face of the same operator). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30L * 60L * 1000L
+    val e = Tables.events(spark, dir).withColumn("ts_ms", unix_millis(col("ts")))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val newSession = when(
+      col("ts_ms") - lag(col("ts_ms"), 1).over(byUser) >= gapMs || lag(col("ts_ms"), 1).over(byUser).isNull, 1L
+    ).otherwise(0L)
+    e.withColumn("new_s", newSession)
+      .withColumn("session_id",
+        sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min(col("ts_ms")).as("session_start"),
+        max(col("ts_ms")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** CUBE over order priority × status (all four grouping sets). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("o_totalprice") * 100).cast("long")) / 100.0).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderpriority"), asc_nulls_first("o_orderstatus"))
+
+  /** Interval (range) join, the scalable way: clicks within the hour
+    * before each purchase. A naive theta join is O(clicks×purchases)
+    * per user; bucketing both sides by the hour and joining each
+    * purchase to its own and the previous bucket makes it an equi-join
+    * whose candidates are only the two adjacent hours — the standard
+    * range-join decomposition (candidate set ~2/24th of a day per
+    * purchase instead of everything). */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hourMs = 3600000L
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("bucket", expr(s"ts_ms div $hourMs"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms").as("p_ts"), col("bucket"))
+      .withColumn("probe", explode(array(col("bucket"), col("bucket") - 1)))
+      .drop("bucket")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ms").as("c_ts"),
+        round(col("value") * 100).cast("long").as("c_value_c"),
+        col("bucket").as("probe"))
+    purchases.join(clicks, Seq("user_id", "probe"))
+      .filter(col("c_ts") >= col("p_ts") - hourMs && col("c_ts") < col("p_ts"))
+      .groupBy("event_id", "user_id", "p_ts")
+      .agg(
+        count(lit(1)).as("n_clicks_1h"),
+        (sum(col("c_value_c")) / 100.0).as("click_value_1h"))
+      .orderBy("event_id")
+  }
+
+  /** HLL approximate distinct (no DuckDB oracle — sketch internals are
+    * engine-specific; accuracy is asserted against the exact count in
+    * OperatorInvariantsSpec instead). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** As-of join — the canonical stream-correlation operator Spark lacks
     * natively (DuckDB has ASOF JOIN; our oracle uses it). Implemented
     * the scalable way: tag both sides, one hash exchange on user_id, one

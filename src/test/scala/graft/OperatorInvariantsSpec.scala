@@ -58,6 +58,45 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(nulls >= 0) // structural: no exception, null is representable
   }
 
+  test("approx_count_distinct within its 2% design error") {
+    val r = Relational.approxDistinct(spark, d).collect()
+    r.foreach { row =>
+      val (approx, exact) = (row.getLong(1).toDouble, row.getLong(2).toDouble)
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"HLL error too large: approx=$approx exact=$exact")
+    }
+  }
+
+  test("sessions are gap-consistent: no intra-session gap >= 30min, " +
+    "consecutive sessions separated by >= 30min") {
+    val s = Relational.sessionize(spark, d).collect()
+      .groupBy(_.getLong(0)).values
+    s.foreach { sessions =>
+      val sorted = sessions.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // next session's start must be >= prev end + 30min
+          assert(b.getLong(2) - a.getLong(3) >= 30L * 60 * 1000)
+        case _ =>
+      }
+    }
+  }
+
+  test("interval join: click counts match a direct per-row filter") {
+    val e = Tables.events(spark, d)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select("event_id", "user_id", "event_type", "ts_ms").collect()
+    val clicks = e.filter(_.getString(2) == "click")
+    val expected = e.filter(_.getString(2) == "purchase").map { p =>
+      val n = clicks.count(c => c.getLong(1) == p.getLong(1)
+        && c.getLong(3) >= p.getLong(3) - 3600000L && c.getLong(3) < p.getLong(3))
+      (p.getLong(0), n.toLong)
+    }.filter(_._2 > 0).toMap
+    val got = Relational.intervalJoin(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(got == expected)
+  }
+
   test("dedup_exact: keeper is the min doc_id of its text group") {
     val dd = TextOps.dedupExact(spark, d)
     assert(dd.filter(col("keeper_id") > col("doc_id")).count() == 0)
