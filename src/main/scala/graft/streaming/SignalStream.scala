@@ -48,6 +48,15 @@ object SignalStream {
         col("seq"))
       .withColumn("processed_at", current_timestamp())
 
+  /** P3 (peek/debug passthrough, SignalTopology.kt:101-109) — the
+    * reference logs each record in flight; the Spark-shaped equivalent is
+    * a named observation: zero-copy passthrough whose metrics surface in
+    * every micro-batch's StreamingQueryProgress (and in QueryExecution
+    * listeners in batch). */
+  def peekMetrics(df: DataFrame, name: String = "graft_signals"): DataFrame =
+    df.observe(name, count(lit(1)).as("records"),
+      sum(when(col("side") === "BUY", 1L).otherwise(0L)).as("buys"))
+
   /** Streaming dedup of at-least-once signal delivery on the reference's
     * verification key symbol-price-side-ts (eos-monitor.yaml:34-36) —
     * the upstream half of end-to-end exactly-once: replayed/duplicate

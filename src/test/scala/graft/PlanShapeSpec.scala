@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the "is this the plan you'd want at
+  * 100 TB" checks from the build brief, pinned as tests so a refactor
+  * that silently de-optimizes a plan fails CI:
+  *  - filters/projections reach the parquet scan (PushedFilters,
+  *    pruned ReadSchema);
+  *  - tiny dimensions broadcast (no shuffle of the fact side);
+  *  - the windowed signal aggregate clusters on ONE exchange;
+  *  - no cartesian products anywhere.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def countIn(s: String, needle: String): Int =
+    needle.r.findAllIn(s).length
+
+  test("q1: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan(Relational.q1Pricing(spark, sf()))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), "scan reads columns q1 never touches")
+    assert(!readSchema.contains("l_partkey"))
+  }
+
+  test("q5: dimension joins broadcast, fact side not nested-loop joined") {
+    val p = plan(Relational.q5Join(spark, sf()))
+    assert(countIn(p, "BroadcastHashJoin") >= 2, "region/nation should broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("semi/anti joins plan as semi/anti, not materialized joins") {
+    assert(plan(Relational.joinSemi(spark, sf())).contains("LeftSemi"))
+    assert(plan(Relational.joinAnti(spark, sf())).contains("LeftAnti"))
+  }
+
+  test("windowed signal aggregate: a single hash exchange feeds both " +
+    "window functions and both aggregation levels") {
+    // windowAgg before any presentation orderBy
+    val p = plan(WindowAgg.windowAgg(Tables.events(spark, sf())))
+    // one hashpartitioning exchange on (w_start, symbol); the
+    // (w_start,symbol,timeframe) window and groupBys reuse its clustering
+    val hashExchanges = countIn(p, "Exchange hashpartitioning")
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+  }
+
+  test("price lookup is a broadcast hash join with the tiny side built") {
+    val d = Decide.decisions(Tables.events(spark, sf()))
+    val p = plan(SignalOps.priceLookup(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("cosine top-k broadcasts the query side; candidates stream once") {
+    val p = plan(EmbeddingOps.cosineTopK(spark, sf()))
+    assert(p.contains("Broadcast"), "query side must broadcast")
+    // the candidate scan appears exactly twice (once for queries, once
+    // for candidates) — no repeated recomputation of the big side
+    assert(countIn(p, "Scan parquet") <= 2)
+  }
+
+  test("interval join is an equi-join on (user, bucket), not a theta join") {
+    val p = plan(Relational.intervalJoin(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "range predicate must ride an equi-join, not a nested loop")
+  }
+}
