@@ -353,6 +353,11 @@ FROM p JOIN c ON p.user_id = c.user_id
   AND c.c_ts >= p.p_ts - 3600000 AND c.c_ts < p.p_ts
 GROUP BY 1, 2, 3 ORDER BY 1""",
 
+    "doc_top_tokens" ->
+      s"""WITH t AS (SELECT unnest($tokensExpr) AS token FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 50""",
+
     "doc_token_stats" ->
       s"""SELECT doc_id, lang,
   CAST(len($tokensExpr) AS BIGINT) AS n_tokens,

@@ -47,6 +47,7 @@ object SparkEntry {
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     // --- LLM-data-pipeline tier: text analysis ---
     "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
+    "doc_top_tokens" -> ((s, d) => TextOps.topTokensSalted(s, d)),
     "doc_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "doc_quality" -> ((s, d) => TextOps.quality(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),

@@ -120,6 +120,25 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Skew-safe corpus term frequency: two-phase SALTED aggregation.
+    * A plain groupBy(token) sends every occurrence of a hot token ("the")
+    * to one reducer — the classic straggler at 100 TB. Salting first
+    * groups on (token, hash(doc) % 16) so the hot key fans out over 16
+    * partial sums, then the tiny per-salt partials re-aggregate. Exact
+    * same result, bounded per-reducer load. */
+  def topTokensSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+      .groupBy("token", "salt")
+      .agg(count(lit(1)).as("partial"))
+    salted.groupBy("token")
+      .agg(sum(col("partial")).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
   /** N-gram Jaccard near-duplicate detection, the scalable way: explode
     * distinct shingles, build the postings list per (lang, shingle), emit
     * pairs straight from each postings list, count common shingles per
