@@ -353,6 +353,13 @@ FROM p JOIN c ON p.user_id = c.user_id
   AND c.c_ts >= p.p_ts - 3600000 AND c.c_ts < p.p_ts
 GROUP BY 1, 2, 3 ORDER BY 1""",
 
+    "percentiles" ->
+      """SELECT o_orderstatus,
+  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 5e-1) / 1e2 AS median_price,
+  quantile_cont(CAST(round(o_totalprice * 100) AS BIGINT), 9e-1) / 1e2 AS p90_price,
+  CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1""",
+
     "doc_top_tokens" ->
       s"""WITH t AS (SELECT unnest($tokensExpr) AS token FROM documents)
 SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -237,6 +237,20 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Ordered statistics: exact interpolated median / p90 of order value
+    * per status. Accumulation is integer cents; Spark `percentile` and
+    * DuckDB `quantile_cont` use the same (n-1)p linear interpolation, so
+    * the doubles match bit-for-bit (probed before adoption). */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderstatus")
+      .agg(
+        (expr("percentile(cents, 0.5)") / 100.0).as("median_price"),
+        (expr("percentile(cents, 0.9)") / 100.0).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** HLL approximate distinct (no DuckDB oracle — sketch internals are
     * engine-specific; accuracy is asserted against the exact count in
     * OperatorInvariantsSpec instead). */
