@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues}
+
+/** The transformWithState (arbitrary-state v2, Spark 4.x) face of the
+  * windowed signal aggregate — third implementation of SURVEY §2.5 W3
+  * beside the typed `Aggregator` (Catalyst-planned partial aggregation,
+  * the default) and `flatMapGroupsWithState` (StatefulSignals).
+  *
+  * Why carry it: the reference's processor is an arbitrary-state RocksDB
+  * program (SignalTopology.kt:31-37 state store + SignalAggregator.kt
+  * mutable aggregate), and transformWithState is the Spark-4-native
+  * replacement for that API class — typed state HANDLES (value/list/map)
+  * instead of one opaque blob, event-time TIMERS instead of timeout
+  * flags, and per-state TTL. It requires RocksDBStateStoreProvider,
+  * matching the reference's store.
+  *
+  * State layout mirrors the reference's SerializableState
+  * (SignalAggregator.kt:79-89, three per-timeframe maps) as one
+  * MapState[timeframe -> TfState] — a real map handle, so a hot key
+  * updates ONE timeframe entry instead of rewriting the whole buffer
+  * (the reason this API exists; with the blob-state APIs every arrival
+  * deserializes+reserializes the full AggState).
+  *
+  * Semantics match StatefulSignals exactly: per-batch fold in (tsMs,
+  * seq) order, update-mode emission of windows with >= 2 timeframes
+  * (W7), state dropped by an event-time timer when the watermark passes
+  * window end (no-grace, SURVEY §2.10). Final per-window values are
+  * batch-size-invariant; TwsSignalsSpec asserts bit-parity with the
+  * one-shot Aggregator fold.
+  */
+object TwsSignals {
+
+  val WindowMs: Long = StatefulSignals.WindowMs
+
+  /** Processor keyed by (symbol, w_start); input rows are
+    * StatefulSignals.KeyedSig, output rows StatefulSignals.WindowUpdate. */
+  class WindowProcessor
+      extends StatefulProcessor[(String, Long), StatefulSignals.KeyedSig,
+        StatefulSignals.WindowUpdate] {
+
+    @transient private var tfState:
+        org.apache.spark.sql.streaming.MapState[String, TfState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      // no TTL: lifecycle is watermark-driven via the timer (reference
+      // windows close on time, not on idleness)
+      tfState = getHandle.getMapState[String, TfState](
+        "tfs", Encoders.STRING, Encoders.product[TfState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: (String, Long),
+        rows: Iterator[StatefulSignals.KeyedSig],
+        timerValues: TimerValues): Iterator[StatefulSignals.WindowUpdate] = {
+      val sorted = rows.toSeq.sortBy(s => (s.tsMs, s.seq))
+      sorted.foreach { k =>
+        val tf = if (tfState.containsKey(k.timeframe)) tfState.getValue(k.timeframe)
+          else TfState(Nil, 0L)
+        val st = SignalAggregator.reduce(AggState(Map(k.timeframe -> tf)),
+          SigInput(k.symbol, k.timeframe, k.side, k.priceC, k.qtyC, k.tsMs, k.seq))
+        tfState.updateValue(k.timeframe, st.tfs(k.timeframe))
+      }
+      // close the window when the watermark passes its end (event-time
+      // timer, one per key — registered on first arrival only)
+      if (timerValues.getCurrentWatermarkInMs() >= 0 &&
+          getHandle.listTimers().isEmpty)
+        getHandle.registerTimer(key._2 + WindowMs)
+      val st = AggState(tfState.iterator().map { case (k2, v) => k2 -> v }.toMap)
+      val r = SignalAggregator.finish(st)
+      if (r.n_tf >= 2)
+        Iterator.single(StatefulSignals.WindowUpdate(key._1, key._2, r.n_tf,
+          r.signal_count, r.balance, r.alignment, r.avg_price, r.avg_vol,
+          r.qty_basis, closed = false))
+      else Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: (String, Long),
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[StatefulSignals.WindowUpdate] = {
+      tfState.clear()
+      Iterator.empty
+    }
+  }
+
+  /** parsed (SignalStream.parse shape) → running per-(symbol, window)
+    * updates via transformWithState. Streaming-only by API contract —
+    * requires RocksDBStateStoreProvider (caller sets
+    * spark.sql.streaming.stateStore.providerClass). */
+  def windowUpdates(spark: SparkSession, parsed: DataFrame)
+      : Dataset[StatefulSignals.WindowUpdate] = {
+    import spark.implicits._
+    val withW = parsed
+      .withColumn("w_start", expr(s"(tsMs div ${WindowMs}L) * ${WindowMs}L"))
+      .withColumn("event_time", timestamp_millis(col("tsMs")))
+    val src = if (parsed.isStreaming) withW.withWatermark("event_time", "0 seconds")
+      else withW
+    src.select(col("symbol"), col("timeframe"), col("side"), col("priceC"),
+        col("qtyC"), col("tsMs"), col("seq"), col("w_start"), col("event_time"))
+      .as[StatefulSignals.KeyedSig]
+      .groupByKey(k => (k.symbol, k.w_start))
+      .transformWithState(new WindowProcessor, TimeMode.EventTime(),
+        OutputMode.Update(), Encoders.product[StatefulSignals.WindowUpdate])
+  }
+}
