@@ -1,9 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line per run (driver contract).
+  *
+  * Protocol (hardened in round 2 per VERDICT.md "What's wrong" #1-2):
+  *  - every query runs REPS times (default 3, env SPARK_GRAFT_REPS) and
+  *    reports the MEDIAN — a single GC pause / first-touch page-in no
+  *    longer fabricates a 20× outlier (round 1's cdc_outbox_route);
+  *  - a query that throws is recorded in an "errors" map (name → message)
+  *    and the process exits nonzero — failures can no longer hide as
+  *    near-zero timings.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,18 +27,34 @@ object Bench {
     try SparkEntry.queries("q1_pricing")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes EVERY output column — count() would let
-      // Spark prune projections and under-measure map-heavy queries
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes EVERY output column — count() would let
+        // Spark prune projections and under-measure map-heavy queries
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(200).replaceAll("[\"\\\\\n\r\t]", " ")
+            None
+        }
+      }
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
+      .mkString("{", ",", "}")
+    val total = results.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

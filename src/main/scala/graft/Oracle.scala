@@ -132,11 +132,14 @@ sized AS (
     'ORD-' || CAST(w_start AS VARCHAR) || '-' || symbol AS client_order_id
   FROM of2 LEFT JOIN lookup USING (symbol)),
 orders_out AS (
-  SELECT w_start, symbol, client_order_id, order_side, action, adj_conf,
-    order_qty, market_price,
-    '{"client_order_id":"' || client_order_id || '","symbol":"' || symbol
-      || '","side":"' || order_side || '","action":"' || action
-      || '","signals":' || CAST(signal_count AS VARCHAR) || '}' AS payload,
+  SELECT w_start, symbol, md5(client_order_id) AS order_id, client_order_id,
+    order_side, action, adj_conf, order_qty, market_price,
+    '{"orderId":"' || md5(client_order_id) || '","clientOrderId":"' || client_order_id
+      || '","symbol":"' || symbol || '","side":"' || order_side
+      || '","qty":' || CAST(CAST(order_qty AS DECIMAL(12,2)) AS VARCHAR)
+      || ',"price":' || CAST(CAST(market_price AS DECIMAL(12,2)) AS VARCHAR)
+      || ',"status":"PENDING","confidence":' || CAST(CAST(confidence AS DECIMAL(18,6)) AS VARCHAR)
+      || ',"signals":' || CAST(signal_count AS VARCHAR) || '}' AS payload,
     signal_count
   FROM sized)"""
 
@@ -192,20 +195,43 @@ SELECT w_start, symbol, n_tf, signal_count, balance, alignment, avg_price,
 FROM agg ORDER BY w_start, symbol""",
 
     "sig_decisions" ->
-      s"""WITH $decisionsCtes
-SELECT w_start, symbol, action, confidence, suggested_price, suggested_qty,
-  reason, signal_count, balance
-FROM dec2 ORDER BY w_start, symbol""",
+      s"""WITH $decisionsCtes,
+sigj AS (
+  SELECT w_start, symbol,
+    '[' || string_agg('{"ts":' || ts_ms || ',"event_id":' || event_id
+      || ',"timeframe":"' || timeframe || '","side":"' || side
+      || '","price":' || (price_c // 100) || '.' || lpad(CAST(price_c % 100 AS VARCHAR), 2, '0')
+      || ',"qty":' || (qty_c // 100) || '.' || lpad(CAST(qty_c % 100 AS VARCHAR), 2, '0') || '}',
+      ',' ORDER BY ts_ms DESC, event_id DESC) || ']' AS signals_json
+  FROM ranked WHERE rn_tf <= 10 GROUP BY 1, 2)
+SELECT d.w_start, d.symbol,
+  md5('DEC-' || CAST(d.w_start AS VARCHAR) || '-' || d.symbol) AS decision_id,
+  d.action, d.confidence, d.suggested_price, d.suggested_qty, d.reason,
+  d.signal_count, d.balance, d.w_start + $W AS decided_at_ms, s.signals_json
+FROM dec2 d JOIN sigj s ON d.w_start = s.w_start AND d.symbol = s.symbol
+ORDER BY d.w_start, d.symbol""",
+
+    "sig_decision_signals" ->
+      s"""WITH $windowAggCtes
+SELECT r.w_start, r.symbol,
+  CAST(row_number() OVER (PARTITION BY r.w_start, r.symbol
+    ORDER BY r.ts_ms DESC, r.event_id DESC) AS BIGINT) AS sig_rank,
+  r.ts_ms AS sig_ts_ms, r.event_id AS sig_event_id,
+  r.timeframe AS sig_timeframe, r.side AS sig_side,
+  r.price AS sig_price, r.qty AS sig_qty
+FROM ranked r JOIN agg a ON r.w_start = a.w_start AND r.symbol = a.symbol
+WHERE r.rn_tf <= 10
+ORDER BY r.w_start, r.symbol, sig_rank""",
 
     "ord_orders" ->
       s"""WITH $ordersCtes
-SELECT w_start, symbol, client_order_id, order_side, action, adj_conf,
-  order_qty, market_price, payload
+SELECT w_start, symbol, order_id, client_order_id, order_side, action,
+  adj_conf, order_qty, market_price, payload
 FROM orders_out ORDER BY w_start, symbol""",
 
     "cdc_outbox_route" ->
       s"""WITH $ordersCtes
-SELECT client_order_id AS aggregate_id,
+SELECT order_id AS aggregate_id,
   'trading.' || lower('ORDER') || 's' AS topic,
   'ORDER_CREATED' AS event_type,
   payload AS value,

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col => col_}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,8 +24,30 @@ object SparkEntry {
     "sig_union_merge" -> ((s, d) => SignalOps.unionMerge(Tables.events(s, d))),
     "sig_window_agg" -> ((s, d) =>
       WindowAgg.windowAgg(Tables.events(s, d)).orderBy("w_start", "symbol")),
-    "sig_decisions" -> ((s, d) =>
-      Decide.decisions(Tables.events(s, d)).orderBy("w_start", "symbol")),
+    // Full D6 record: the nested signals array rides as ArrayType in the
+    // library API (Decide.decisionsNested); for the scalar-based oracle
+    // compare it is emitted as canonical JSON here and element-by-element
+    // in sig_decision_signals below.
+    "sig_decisions" -> ((s, d) => {
+      val n = Decide.decisionsNested(Tables.events(s, d))
+      n.withColumn("signals_json", Decide.signalsJson(col_("signals")))
+        .drop("signals")
+        .orderBy("w_start", "symbol")
+    }),
+    "sig_decision_signals" -> ((s, d) =>
+      Decide.decisionsNested(Tables.events(s, d))
+        .select(col_("w_start"), col_("symbol"),
+          org.apache.spark.sql.functions.posexplode(col_("signals"))
+            .as(Seq("idx", "sig")))
+        .select(col_("w_start"), col_("symbol"),
+          (col_("idx") + 1).cast("long").as("sig_rank"),
+          col_("sig.ts_ms").as("sig_ts_ms"),
+          col_("sig.event_id").as("sig_event_id"),
+          col_("sig.timeframe").as("sig_timeframe"),
+          col_("sig.side").as("sig_side"),
+          col_("sig.price").as("sig_price"),
+          col_("sig.qty").as("sig_qty"))
+        .orderBy("w_start", "symbol", "sig_rank")),
     "ord_orders" -> ((s, d) =>
       OrderOps.orders(s, Tables.events(s, d)).orderBy("w_start", "symbol")),
     "cdc_outbox_route" -> ((s, d) =>

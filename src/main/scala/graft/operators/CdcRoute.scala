@@ -23,7 +23,8 @@ object CdcRoute {
       .withColumn("event_type", lit("ORDER_CREATED"))
       .filter(col("payload").isNotNull)
       .select(
-        col("client_order_id").as("aggregate_id"),
+        // aggregateId = order.id (OrderService.kt:175), not the client id
+        col("order_id").as("aggregate_id"),
         concat(lit("trading."), lower(col("aggregate_type")), lit("s")).as("topic"),
         col("event_type"),
         col("payload").as("value"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Decision operator (SURVEY.md §2.6, D1-D6; reference DecisionMaker.kt).
@@ -17,11 +17,52 @@ import org.apache.spark.sql.functions._
   */
 object Decide {
 
-  /** D2 rule cascade + D3 confidence + D5 suggested price/qty + reason. */
+  /** D2 rule cascade + D3 confidence + D5 suggested price/qty + reason.
+    * The slim record — no nested signals list; the streaming pipeline and
+    * the order sink consume this shape. */
   def decisions(events: DataFrame): DataFrame =
     fromAgg(WindowAgg.windowAgg(events))
       .select("w_start", "symbol", "action", "confidence",
         "suggested_price", "suggested_qty", "reason", "signal_count", "balance")
+
+  /** D6 FULL decision record (TradingDecision.kt:11-22, assembly
+    * kt:39-57): everything in `decisions` plus
+    *  - `signals`: the nested array of constituent Signal structs —
+    *    per-timeframe capped lists flattened ts-desc (getAllSignals,
+    *    SignalAggregator.kt:42-44), at most 30 elements;
+    *  - `decision_id`: the reference's `id = UUID.randomUUID()` under the
+    *    determinism quarantine (SURVEY §7.5(6)) — derived from the
+    *    (window, symbol) business key, stable across replays;
+    *  - `decided_at_ms`: the reference's `timestamp = Instant.now()`
+    *    quarantined to the window close instant. */
+  def decisionsNested(events: DataFrame): DataFrame =
+    fromAgg(WindowAgg.windowAgg(events, withSignals = true))
+      .withColumn("decision_id",
+        md5(concat(lit("DEC-"), col("w_start"), lit("-"), col("symbol")).cast("binary")))
+      .withColumn("decided_at_ms", col("w_start") + lit(SignalOps.WindowMs))
+      .select("w_start", "symbol", "decision_id", "action", "confidence",
+        "suggested_price", "suggested_qty", "reason", "signal_count",
+        "balance", "signals", "decided_at_ms")
+
+  /** Canonical JSON rendering of the nested `signals` array — the wire
+    * form a downstream consumer (the reference's order-manager re-parses
+    * the list, order-manager Models.kt:6-13) reads. price/qty render via
+    * exact integer cents (they are 2-decimal by construction) so the
+    * string is deterministic cross-engine where raw double formatting
+    * would not be. */
+  def signalsJson(signals: Column): Column = {
+    def cents2(c: Column): Column = {
+      val v = round(c * 100).cast("long")
+      concat((v / 100).cast("long"), lit("."), lpad((v % 100).cast("string"), 2, "0"))
+    }
+    concat(lit("["), array_join(transform(signals, s =>
+      concat(lit("{\"ts\":"), s("ts_ms"),
+        lit(",\"event_id\":"), s("event_id"),
+        lit(",\"timeframe\":\""), s("timeframe"),
+        lit("\",\"side\":\""), s("side"),
+        lit("\",\"price\":"), cents2(s("price")),
+        lit(",\"qty\":"), cents2(s("qty")), lit("}"))), ","), lit("]"))
+  }
 
   /** The decision expressions over any frame carrying the aggregate
     * columns (balance, alignment, avg_price, avg_vol, qty_basis) — shared

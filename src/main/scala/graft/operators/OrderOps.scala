@@ -47,13 +47,27 @@ object OrderOps {
       .withColumn("order_qty", round(lit(1.0) + lit(9.0) * normConf, 2))
       .withColumn("client_order_id",
         concat(lit("ORD-"), col("w_start"), lit("-"), col("symbol")))
+      // O2 twin of the reference's `id = UUID.randomUUID()`
+      // (OrderService.kt:132): deterministically derived from the
+      // idempotency key so replays reuse the same aggregate id.
+      .withColumn("order_id", md5(col("client_order_id").cast("binary")))
+      // O3: full 9-field payload (OrderService.kt:161-171): orderId,
+      // clientOrderId, symbol, side, qty, price, status, confidence
+      // (the PRE-boost decision confidence, kt:170), signals (count).
+      // Numeric fields render via DECIMAL casts — fixed scale gives a
+      // deterministic cross-engine string where raw double formatting
+      // would not.
       .withColumn("payload",
-        concat(lit("{\"client_order_id\":\""), col("client_order_id"),
+        concat(lit("{\"orderId\":\""), col("order_id"),
+          lit("\",\"clientOrderId\":\""), col("client_order_id"),
           lit("\",\"symbol\":\""), col("symbol"),
           lit("\",\"side\":\""), col("order_side"),
-          lit("\",\"action\":\""), col("action"),
-          lit("\",\"signals\":"), col("signal_count"), lit("}")))
-      .select("w_start", "symbol", "client_order_id", "order_side", "action",
-        "adj_conf", "order_qty", "market_price", "payload")
+          lit("\",\"qty\":"), col("order_qty").cast("decimal(12,2)").cast("string"),
+          lit(",\"price\":"), col("market_price").cast("decimal(12,2)").cast("string"),
+          lit(",\"status\":\"PENDING\",\"confidence\":"),
+          col("confidence").cast("decimal(18,6)").cast("string"),
+          lit(",\"signals\":"), col("signal_count"), lit("}")))
+      .select("w_start", "symbol", "order_id", "client_order_id", "order_side",
+        "action", "adj_conf", "order_qty", "market_price", "payload")
   }
 }

@@ -39,8 +39,16 @@ import org.apache.spark.sql.functions._
 object WindowAgg {
 
   /** Per-(window, symbol, timeframe) partial aggregate — the exact
-    * integer-cents sums everything downstream derives from. */
-  def tfLevel(events: DataFrame): DataFrame = {
+    * integer-cents sums everything downstream derives from.
+    *
+    * `withSignals` additionally collects the capped (rn_tf <= 10) signal
+    * rows as an array of structs — the raw material of the decision
+    * record's nested `signals` payload (W9/D6, TradingDecision.kt:19).
+    * Off by default: the list rides the (w_start, symbol) exchange, so
+    * queries that don't emit it shouldn't pay for it. The list is
+    * BOUNDED — at most 10 structs per (window, symbol, timeframe), so a
+    * hot symbol cannot OOM a reducer even at 100 TB. */
+  def tfLevel(events: DataFrame, withSignals: Boolean = false): DataFrame = {
     val s = SignalOps.signals(events)
     val byTf = Window.partitionBy("w_start", "symbol", "timeframe")
       .orderBy(col("ts_ms").desc, col("event_id").desc)
@@ -48,10 +56,7 @@ object WindowAgg {
       .orderBy(col("ts_ms").desc, col("event_id").desc)
     val priceC = round(col("price") * 100).cast("long")
     val qtyC = round(col("qty") * 100).cast("long")
-    s.withColumn("rn_tf", row_number().over(byTf))
-      .withColumn("rn_all", row_number().over(byAll))
-      .groupBy("w_start", "symbol", "timeframe")
-      .agg(
+    val base = Seq(
         count(lit(1)).as("cnt_all"),
         sum(when(col("side") === "BUY", 1L).otherwise(-1L)).as("balance_tf"),
         sum(when(col("rn_tf") <= 10, 1L).otherwise(0L)).as("n_cap"),
@@ -59,7 +64,17 @@ object WindowAgg {
         sum(when(col("rn_tf") <= 10, priceC * priceC)).as("sumsq_pc"),
         sum(when(col("rn_tf") <= 10 && col("side") === "BUY", 1L).otherwise(0L)).as("buy_cap"),
         sum(when(col("rn_all") <= 5, qtyC)).as("sum_q5c"),
-        sum(when(col("rn_all") <= 5, 1L).otherwise(0L)).as("n_q5"))
+        sum(when(col("rn_all") <= 5, 1L).otherwise(0L)).as("n_q5")) ++
+      (if (withSignals)
+        // collect_list drops the NULLs `when` leaves for uncapped rows
+        Seq(collect_list(when(col("rn_tf") <= 10, struct(
+          col("ts_ms"), col("event_id"), col("timeframe"), col("side"),
+          col("price"), col("qty")))).as("sigs_tf"))
+      else Nil)
+    s.withColumn("rn_tf", row_number().over(byTf))
+      .withColumn("rn_all", row_number().over(byAll))
+      .groupBy("w_start", "symbol", "timeframe")
+      .agg(base.head, base.tail: _*)
       .withColumn("avg_price_tf", (col("sum_pc") / 100.0) / col("n_cap"))
       .withColumn("vol_tf",
         when(col("n_cap") < 2, lit(0.0)).otherwise(
@@ -73,11 +88,16 @@ object WindowAgg {
 
   /** Final per-(window, symbol) aggregate. Per-timeframe doubles are
     * pivoted into fixed slots (1m/5m/15m) and combined in a fixed textual
-    * order so floating-point addition order is deterministic. */
-  def windowAgg(events: DataFrame): DataFrame = {
-    val tf = tfLevel(events)
+    * order so floating-point addition order is deterministic.
+    *
+    * `withSignals` flattens the per-tf capped lists into one `signals`
+    * array sorted (ts_ms desc, event_id desc) — the reference's
+    * getAllSignals ts-desc order (SignalAggregator.kt:42-44) with the
+    * deterministic event_id tie-break; at most 30 structs per row. */
+  def windowAgg(events: DataFrame, withSignals: Boolean = false): DataFrame = {
+    val tf = tfLevel(events, withSignals)
     def slot(t: String, c: String) = max(when(col("timeframe") === t, col(c)))
-    val g = tf.groupBy("w_start", "symbol").agg(
+    val aggs = Seq(
       count(lit(1)).as("n_tf"),
       sum(col("n_cap")).as("signal_count"),
       sum(col("balance_tf")).as("balance"),
@@ -89,7 +109,12 @@ object WindowAgg {
       slot("5m", "vol_tf").as("v_5m"),
       slot("15m", "vol_tf").as("v_15m"),
       sum(col("sum_q5c")).as("sum_q5c"),
-      sum(col("n_q5")).as("n_q5"))
+      sum(col("n_q5")).as("n_q5")) ++
+      (if (withSignals)
+        Seq(sort_array(flatten(collect_list(col("sigs_tf"))), asc = false)
+          .as("signals"))
+      else Nil)
+    val g = tf.groupBy("w_start", "symbol").agg(aggs.head, aggs.tail: _*)
     g.filter(col("n_tf") >= 2)
       .withColumn("alignment", when(col("n_modes") === 1, 1.0).otherwise(0.5))
       .withColumn("avg_price",
@@ -99,7 +124,8 @@ object WindowAgg {
         (coalesce(col("v_1m"), lit(0.0)) + coalesce(col("v_5m"), lit(0.0))
           + coalesce(col("v_15m"), lit(0.0))) / col("n_tf"))
       .withColumn("qty_basis", (col("sum_q5c") / 100.0) / col("n_q5"))
-      .select("w_start", "symbol", "n_tf", "signal_count", "balance",
+      .select(Seq("w_start", "symbol", "n_tf", "signal_count", "balance",
         "alignment", "avg_price", "avg_vol", "qty_basis")
+        ++ (if (withSignals) Seq("signals") else Nil) map col: _*)
   }
 }
