@@ -480,12 +480,13 @@ FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""",
 
     "emb_cosine_neardup" ->
       s"""WITH e AS (
-  SELECT vec_id, embedding, $dotSelfSql AS dot_self
-  FROM embeddings WHERE vec_id < 500 AND $dotSelfSql > 0e0)
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self,
+    ${bucketSql("embedding")} AS bucket
+  FROM embeddings WHERE $dotSelfSql > 0e0)
 SELECT a.vec_id AS d1, b.vec_id AS d2,
   ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) AS sim
-FROM e a, e b WHERE a.vec_id < b.vec_id
-  AND ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) > 2e-1
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) > 2e-1
 ORDER BY sim DESC, d1, d2 LIMIT 100""",
 
     "dedup_minhash_lsh" -> {

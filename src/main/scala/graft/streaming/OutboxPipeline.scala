@@ -51,6 +51,31 @@ object OutboxPipeline {
     def clear(): Unit = { orders.clear(); outbox.clear(); duplicateAttempts = 0 }
   }
 
+  /** O7 (OrderService.kt:72-81, processor Main.kt:68-92): the reference
+    * logs `Orders created: N (ratio% of decisions)` from a 30-second side
+    * thread. The Spark shape: the sink's foreachBatch already knows both
+    * sides of the ratio — decisions entering the batch and orders the
+    * idempotent store actually accepted — so the report is pure derived
+    * state and needs no extra thread. Replayed batches count as consumed
+    * decisions but create 0 orders — exactly how the reference's
+    * at-least-once consumer counters behave. */
+  object RatioReport {
+    @volatile var decisionsProcessed: Long = 0L
+    @volatile var ordersCreated: Long = 0L
+
+    def record(decisions: Long, created: Long): Unit = synchronized {
+      decisionsProcessed += decisions
+      ordersCreated += created
+    }
+    def ratioPct: Double =
+      if (decisionsProcessed == 0) 0.0
+      else ordersCreated * 100.0 / decisionsProcessed
+    /** The reference's report line shape (OrderService.kt:78-80). */
+    def report: String =
+      f"Orders created: $ordersCreated%d ($ratioPct%.1f%% of $decisionsProcessed%d decisions)"
+    def reset(): Unit = synchronized { decisionsProcessed = 0; ordersCreated = 0 }
+  }
+
   /** O4/O5 sink: decisions stream → sized orders → idempotent atomic
     * writes, per partition (no collect — the iterator streams through
     * the executor, exactly how the JDBC variant batches statements). */
@@ -61,6 +86,8 @@ object OutboxPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second")) // reference commit cadence
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val nDecisions = batch.count()
+        val createdBefore = TxnStore.orders.size()
         val sized = OrderOps.fromDecisions(batch.sparkSession, batch)
         sized.select(
           col("client_order_id").as("clientOrderId"), col("symbol"),
@@ -71,6 +98,7 @@ object OutboxPipeline {
           .foreachPartition { (it: Iterator[OrderRec]) =>
             it.foreach(TxnStore.writeAtomically)
           }
+        RatioReport.record(nDecisions, (TxnStore.orders.size() - createdBefore).toLong)
         ()
       }
 

@@ -64,6 +64,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(p, "Scan parquet") <= 2)
   }
 
+  test("embedding near-dup joins on the LSH bucket key — no cross join") {
+    val p = plan(EmbeddingOps.cosineNearDup(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "near-dup candidates must come from the bucket equi-join")
+  }
+
   test("interval join is an equi-join on (user, bucket), not a theta join") {
     val p = plan(Relational.intervalJoin(spark, sf()))
     assert(!p.contains("CartesianProduct"))

@@ -36,6 +36,34 @@ class MetricsAndThroughputSpec extends SparkSpec {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("O7: decisions->orders ratio report matches the stream's truth") {
+    OutboxPipeline.TxnStore.clear()
+    OutboxPipeline.RatioReport.reset()
+    val base = Files.createTempDirectory("ratio").toString
+    val rows = SignalGen.batch(spark, 600, baseTsMs = 1704067200000L, gapMs = 500L)
+      .select("value").collect().map(_.getString(0))
+    Files.write(java.nio.file.Paths.get(base, "in.json"),
+      rows.mkString("\n").getBytes("UTF-8"))
+
+    val raw = spark.readStream.text(base)
+      .selectExpr("value", "CAST(0 AS LONG) AS seq")
+    val parsed = SignalStream.dedupSignals(SignalStream.parse(raw))
+    val decisions = SignalStream.decisions(spark, parsed, "5 minutes")
+    val q = OutboxPipeline.ordersSink(spark, decisions, s"$base/ckpt").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val r = OutboxPipeline.RatioReport
+    assert(r.ordersCreated == OutboxPipeline.TxnStore.orders.size().toLong,
+      "created count must equal what the store accepted")
+    assert(r.decisionsProcessed > 0 && r.ordersCreated > 0)
+    assert(r.ordersCreated <= r.decisionsProcessed,
+      "cannot create more orders than decisions consumed")
+    val expectPct = r.ordersCreated * 100.0 / r.decisionsProcessed
+    assert(math.abs(r.ratioPct - expectPct) < 1e-9)
+    info(r.report)
+  }
+
   test("pipeline throughput probe (batch face, events/s)") {
     val n = 200000L
     val parsed = SignalStream.parse(SignalGen.batch(spark, n, gapMs = 100L))
