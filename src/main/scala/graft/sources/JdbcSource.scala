@@ -3,17 +3,25 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** JDBC source (SURVEY §2.1 S4; reference DatabaseManager.kt:90-121
-  * `getRecentOrders`): SELECT … FROM app.orders ORDER BY created_at DESC
-  * LIMIT n, plus the incremental poll the emulated CDC path (S5 option b)
-  * uses.
+/** JDBC source + transactional sink (SURVEY §2.1 S4, §2.7 O4; reference
+  * DatabaseManager.kt).
   *
-  * No RDBMS ships in the test container, so these are exercised only by
-  * compilation and the production docstring; the streaming tests cover
-  * the same contract against OutboxPipeline.TxnStore. Partitioning
-  * matters at scale: `recentOrders` is a driver-side peek (LIMIT n —
-  * deliberately not distributed); `incrementalOrders` carries
-  * partitionColumn bounds so a backfill scan fans out across executors.
+  * Reads (DatabaseManager.kt:90-121 `getRecentOrders` + the incremental
+  * poll the emulated CDC path uses). Partitioning matters at scale:
+  * `recentOrders` is a driver-side peek (LIMIT n — deliberately not
+  * distributed); `incrementalOrders` carries partitionColumn bounds so a
+  * backfill scan fans out across executors.
+  *
+  * The write side (`writeOrdersPartition`) is the reference's
+  * saveOrderWithOutbox (DatabaseManager.kt:33-88): one transaction per
+  * partition batch, order INSERT + outbox INSERT per record, duplicate
+  * client_order_id rolled back to a per-record savepoint — the Derby/ANSI
+  * twin of Postgres `ON CONFLICT DO NOTHING`, which makes sink replays
+  * idempotent (§2.10 EOS).
+  *
+  * Exercised end-to-end in JdbcEosSpec against in-process Derby (the
+  * container ships no server RDBMS; Derby embedded is on the Spark
+  * classpath and runs the identical JDBC contract).
   */
 object JdbcSource {
 
@@ -23,7 +31,7 @@ object JdbcSource {
       .orderBy(col("created_at").desc)
       .limit(limit)
 
-  /** Incremental poll on the generated epoch-millis column
+  /** Incremental poll on the epoch-millis column
     * (configmap-init.yaml:36-46) — the self-contained CDC emulation's
     * batch face. `numPartitions` splits [fromMs, toMs) so the read is
     * cluster-parallel, not a single-connection trickle. */
@@ -37,4 +45,63 @@ object JdbcSource {
       .option("numPartitions", numPartitions)
       .jdbc(url, "app.outbox", props)
       .filter(col("occurred_at_ms") >= fromMs && col("occurred_at_ms") < toMs)
+
+  /** One order+outbox record in the app.orders/app.outbox shape. */
+  final case class JdbcOrder(orderId: String, clientOrderId: String,
+    symbol: String, side: String, qty: Double, price: Double,
+    status: String, payload: String, occurredAtMs: Long)
+
+  /** Executor-side partition write: one JDBC transaction per partition,
+    * per-record savepoint so a duplicate key (replayed batch) skips just
+    * that record and the rest of the batch still commits. Returns
+    * (attempted, inserted) for the ratio report. */
+  def writeOrdersPartition(url: String, rows: Iterator[JdbcOrder]): (Long, Long) = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      val oStmt = conn.prepareStatement(
+        "INSERT INTO app.orders (id, client_order_id, symbol, side, qty, " +
+          "price, status, created_at, updated_at) VALUES (?,?,?,?,?,?,?,?,?)")
+      val bStmt = conn.prepareStatement(
+        "INSERT INTO app.outbox (event_id, aggregate_type, aggregate_id, " +
+          "type, payload, occurred_at, occurred_at_ms) VALUES (?,?,?,?,?,?,?)")
+      var attempted = 0L
+      var inserted = 0L
+      rows.foreach { r =>
+        attempted += 1
+        val sp = conn.setSavepoint()
+        try {
+          val ts = new java.sql.Timestamp(r.occurredAtMs)
+          oStmt.setString(1, r.orderId)
+          oStmt.setString(2, r.clientOrderId)
+          oStmt.setString(3, r.symbol)
+          oStmt.setString(4, r.side)
+          oStmt.setBigDecimal(5, new java.math.BigDecimal(r.qty).setScale(8,
+            java.math.RoundingMode.HALF_UP))
+          oStmt.setBigDecimal(6, new java.math.BigDecimal(r.price).setScale(8,
+            java.math.RoundingMode.HALF_UP))
+          oStmt.setString(7, r.status)
+          oStmt.setTimestamp(8, ts)
+          oStmt.setTimestamp(9, ts)
+          oStmt.executeUpdate()
+          bStmt.setString(1, s"EVT-${r.orderId}")
+          bStmt.setString(2, "ORDER")
+          bStmt.setString(3, r.orderId)
+          bStmt.setString(4, "ORDER_CREATED")
+          bStmt.setString(5, r.payload)
+          bStmt.setTimestamp(6, ts)
+          bStmt.setLong(7, r.occurredAtMs)
+          bStmt.executeUpdate()
+          inserted += 1
+        } catch {
+          // duplicate idempotency key: the ON CONFLICT DO NOTHING twin —
+          // roll back this record only, keep the batch transaction alive
+          case _: java.sql.SQLIntegrityConstraintViolationException =>
+            conn.rollback(sp)
+        }
+      }
+      conn.commit()
+      (attempted, inserted)
+    } finally conn.close()
+  }
 }

@@ -102,6 +102,36 @@ object OutboxPipeline {
         ()
       }
 
+  /** O4, production face: the same decisions sink but against a real
+    * JDBC database — one transaction per partition via
+    * JdbcSource.writeOrdersPartition (the reference's
+    * saveOrderWithOutbox, DatabaseManager.kt:33-88). Replays are no-ops
+    * through the unique client_order_id, exactly like the TxnStore
+    * variant; JdbcEosSpec drives it against in-process Derby. */
+  def ordersSinkJdbc(spark: SparkSession, decisions: DataFrame,
+      checkpoint: String, url: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    decisions.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sized = OrderOps.fromDecisions(batch.sparkSession, batch)
+        sized.select(
+          col("order_id").as("orderId"),
+          col("client_order_id").as("clientOrderId"), col("symbol"),
+          col("order_side").as("side"),
+          col("order_qty").as("qty"), col("market_price").as("price"),
+          lit("PENDING").as("status"), col("payload"),
+          col("w_start").as("occurredAtMs"))
+          .as[graft.sources.JdbcSource.JdbcOrder](
+            org.apache.spark.sql.Encoders.product[graft.sources.JdbcSource.JdbcOrder])
+          .foreachPartition { (it: Iterator[graft.sources.JdbcSource.JdbcOrder]) =>
+            graft.sources.JdbcSource.writeOrdersPartition(url, it)
+            ()
+          }
+        ()
+      }
+
   /** Outbox rows as a DataFrame (for the parquet-WAL variant of the
     * relay and for tests). */
   def outboxFrame(spark: SparkSession): DataFrame = {
