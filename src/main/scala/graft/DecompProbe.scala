@@ -1,0 +1,47 @@
+package graft
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway decomposition probe for the doGenCode decision (VERDICT r1
+  * next-round #9): how much of dedup_minhash_lsh is the custom-expression
+  * stage at all, and of that, how much could codegen possibly reclaim. */
+object DecompProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(tag: String)(f: => Unit): Double = {
+      f // warm
+      val t0 = System.nanoTime(); f; val s = (System.nanoTime() - t0) / 1e9
+      println(f"[decomp] $tag%-22s $s%.3f s"); s
+    }
+    val docs = Tables.documentsPar(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+    time("scan+tokenize") {
+      docs.select(col("doc_id"), size(col("toks")).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("trigrams") {
+      docs.select(col("doc_id"),
+        size(GraftFunctions.graftTrigrams(spark, "toks")).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("trigrams+minhash") {
+      docs.select(col("doc_id"),
+        GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
+        .select(col("doc_id"),
+          size(GraftFunctions.graftMinhash(spark, "grams")).as("n"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full dedup_minhash_lsh") {
+      SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}
