@@ -397,7 +397,10 @@ FROM t GROUP BY 1 ORDER BY n DESC, token LIMIT 50""",
   CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_clean,
   CAST(len(list_distinct($tokensExpr)) AS BIGINT) AS n_distinct,
   CAST(len(list_distinct($tokensExpr)) AS DOUBLE) / CAST(len($tokensExpr) AS BIGINT) AS ttr,
-  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($tokensExpr) AS BIGINT) AS avg_token_len
+  CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len($tokensExpr) AS BIGINT) AS avg_token_len,
+  CAST(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]*[aeiou]+|[bcdfghjklmnpqrstvwxyz]+')) AS BIGINT) AS n_subwords,
+  CAST(len(regexp_extract_all(text, '[bcdfghjklmnpqrstvwxyz]*[aeiou]+|[bcdfghjklmnpqrstvwxyz]+')) AS DOUBLE)
+    / CAST(len($tokensExpr) AS BIGINT) AS bpe_fertility
 FROM documents ORDER BY doc_id""",
 
     "doc_lang_id" ->
@@ -440,7 +443,11 @@ FROM q2 ORDER BY doc_id""",
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5,
   CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS fp64,
-  CAST(len($gramsExpr) AS BIGINT) AS n_shingles
+  CAST(len($gramsExpr) AS BIGINT) AS n_shingles,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform($tokensExpr,
+      t -> CAST(('0x' || substr(md5(t), 1, 7)) AS BIGINT))),
+    (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT) AS fp_roll
 FROM documents ORDER BY doc_id""",
 
     "dedup_exact" ->
@@ -546,6 +553,32 @@ sims AS (
     ${dotSql("q.qemb", "e.embedding")} / (sqrt(q.q_dot) * sqrt(e.dot_self)) AS sim
   FROM e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id)
 SELECT q_id, bucket, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
+FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
+    "emb_ann_ivf" ->
+      s"""WITH e AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self
+  FROM embeddings WHERE $dotSelfSql > 0e0),
+c AS (SELECT vec_id AS c_id, embedding AS cemb, dot_self AS c_dot FROM e WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, c.c_id,
+    ${dotSql("e.embedding", "c.cemb")} - 5e-1 * c.c_dot AS score
+  FROM e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS crn
+  FROM scored),
+cell AS (SELECT vec_id, c_id AS cell FROM assign WHERE crn = 1),
+qprobe AS (SELECT vec_id AS q_id, c_id AS probe FROM assign WHERE vec_id < 5 AND crn <= 2),
+sims AS (
+  SELECT q.q_id, ce.cell, ce.vec_id,
+    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) AS sim
+  FROM qprobe q
+  JOIN cell ce ON ce.cell = q.probe AND ce.vec_id <> q.q_id
+  JOIN e a ON a.vec_id = q.q_id
+  JOIN e b ON b.vec_id = ce.vec_id)
+SELECT q_id, cell, vec_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
 FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
 

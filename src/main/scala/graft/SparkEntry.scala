@@ -84,6 +84,7 @@ object SparkEntry {
     "emb_cosine_topk" -> ((s, d) => EmbeddingOps.cosineTopK(s, d)),
     "emb_cosine_neardup" -> ((s, d) => EmbeddingOps.cosineNearDup(s, d)),
     "emb_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
+    "emb_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),
     // --- multimodal plumbing ---
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMetaQuery(s, d))
   )

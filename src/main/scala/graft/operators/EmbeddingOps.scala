@@ -87,6 +87,47 @@ object EmbeddingOps {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF-style ANN beside the LSH path (round-2 plan item 5): a coarse
+    * quantizer with DETERMINISTIC data-seeded centroids — the first 16
+    * vectors (the kmeans-lite init; real kmeans iterations would refine
+    * the same driver-side centroid state). Assignment is argmax of
+    * dot(v, c) - ||c||²/2 (equivalent to argmin L2), ties to the lowest
+    * centroid id; queries probe their nprobe=2 nearest cells and rank
+    * candidates by exact cosine.
+    *
+    * Scale shape: centroids are driver state broadcast into a per-row
+    * expression — assignment is embarrassingly parallel, NO shuffle of
+    * the vector table; the candidate join shuffles only on the compact
+    * cell id. (The 16 interpreted fold-dots per row would become one
+    * custom Expression at production scale, like graft_minhash.) */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddingsPar(spark, dir))
+    val cents: Array[(Long, Seq[Double], Double)] = e.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("v"), col("dot_self")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    // struct sort on (-score, cid): score desc, ties -> lowest centroid id
+    val ranked = sort_array(array(cents.map { case (cid, cv, cdot) =>
+      val d = dot(col("v"), typedLit(cv))
+      struct((-(d - lit(0.5) * lit(cdot))).as("ns"), lit(cid).as("cid"))
+    }: _*))
+    val assigned = e.withColumn("cell", element_at(ranked, 1)("cid"))
+      .withColumn("cell2", element_at(ranked, 2)("cid"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("dot_self").as("q_dot"),
+        explode(array(col("cell"), col("cell2"))).as("probe"))
+    val sims = assigned.join(broadcast(q), col("cell") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v"))
+        / (sqrt(col("q_dot")) * sqrt(col("dot_self"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "cell", "vec_id", "rn", "sim")
+      .orderBy("q_id", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs, the scale-safe way (VERDICT
     * r1 "Next round" #4): candidate pairs come only from shared LSH
     * buckets — an EQUI-join on the compact bucket key — then exact cosine

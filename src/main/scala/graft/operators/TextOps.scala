@@ -29,9 +29,16 @@ object TextOps {
         transform(sequence(lit(1), size(t) - 2), i =>
           concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
 
-  /** Token counting + type/token ratio (BPE-ish cost proxies for a
-    * training-data pipeline). All counts emitted as BIGINT for oracle
-    * type parity. */
+  /** BPE-ish subword segmentation regex: maximal consonant*-vowel+ onsets
+    * or trailing consonant runs — a deterministic stand-in for a learned
+    * BPE merge table; `n_subwords / n_tokens` is the tokenizer-fertility
+    * cost proxy a training pipeline budgets by. Plain alternation +
+    * character classes, so Java (Spark) and RE2 (oracle) agree. */
+  val SubwordRegex = "[bcdfghjklmnpqrstvwxyz]*[aeiou]+|[bcdfghjklmnpqrstvwxyz]+"
+
+  /** Token counting + type/token ratio + BPE-ish subword counts (cost
+    * proxies for a training-data pipeline). All counts emitted as BIGINT
+    * for oracle type parity. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
@@ -40,8 +47,10 @@ object TextOps {
       .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
       .withColumn("avg_token_len", col("n_chars_clean").cast("double") / col("n_tokens"))
+      .withColumn("n_subwords", regexp_count(col("text"), lit(SubwordRegex)).cast("long"))
+      .withColumn("bpe_fertility", col("n_subwords").cast("double") / col("n_tokens"))
       .select("doc_id", "lang", "n_tokens", "n_chars_clean", "n_distinct",
-        "ttr", "avg_token_len")
+        "ttr", "avg_token_len", "n_subwords", "bpe_fertility")
       .orderBy("doc_id")
 
   /** Language-ID by marker-token scoring — the classic stopword-profile
@@ -95,8 +104,11 @@ object TextOps {
       .orderBy("doc_id")
 
   /** Document fingerprinting: full-content MD5 (exact-dup key), a 60-bit
-    * integer prefix of it (compact join/bucket key), and the distinct
-    * shingle count (near-dup prefilter signal). */
+    * integer prefix of it (compact join/bucket key), the distinct shingle
+    * count (near-dup prefilter signal), and a token-level POLYNOMIAL
+    * ROLLING HASH (base-31 left fold of per-token 28-bit md5-prefix
+    * hashes mod 1e9+7) — the order-sensitive content key: documents with
+    * the same words in a different order collide on nothing else here. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
@@ -104,7 +116,12 @@ object TextOps {
       .withColumn("fp64", conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
       .withColumn("n_shingles",
         size(GraftFunctions.graftTrigrams(spark, "toks")).cast("long"))
-      .select("doc_id", "fp_md5", "fp64", "n_shingles")
+      .withColumn("fp_roll",
+        aggregate(col("toks"), lit(0L), (acc, t) =>
+          (acc * lit(31L)
+            + conv(substring(md5(t.cast("binary")), 1, 7), 16, 10).cast("long"))
+            % lit(1000000007L)))
+      .select("doc_id", "fp_md5", "fp64", "n_shingles", "fp_roll")
       .orderBy("doc_id")
 
   /** Exact deduplication: keeper = min doc_id per identical text.

@@ -125,6 +125,26 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(joined.filter(col("bucket") =!= col("b")).count() == 0)
   }
 
+  test("ivf ann: structure sound, recall vs brute force reported") {
+    val ivf = EmbeddingOps.annIvf(spark, d)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    // <= 3 per query, self excluded, sims are valid cosines
+    val perQ = rows.groupBy(_.getLong(0)).values.map(_.size)
+    assert(perQ.forall(_ <= 3))
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(rows.forall(r => math.abs(r.getDouble(4)) <= 1.0 + 1e-12))
+    // recall@3 vs the exact brute-force ranking — IVF with nprobe=2/16 on
+    // uniform synthetic vectors is a coverage/structure demo, so only a
+    // loose floor is asserted; the measured value goes to the log
+    val exact = EmbeddingOps.cosineTopK(spark, d).filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"IVF recall@3 vs exact: $recall%.2f")
+    assert(recall > 0.0, "IVF found nothing the exact ranking has")
+  }
+
   test("generator: deterministic and fully parseable") {
     val g1 = SignalGen.batch(spark, 500).collect().map(_.getString(0))
     val g2 = SignalGen.batch(spark, 500).collect().map(_.getString(0))
