@@ -103,6 +103,14 @@ object SignalAggregator extends Aggregator[SigInput, AggState, AggResult] {
     AggResult(nTf, signalCount, balance, alignment, avgPrice, avgVol, qtyBasis)
   }
 
+  /** The decision record's nested `signals` payload from streaming state
+    * (W9/D6 parity with WindowAgg's batch array): the capped per-tf
+    * lists flattened (tsMs desc, seq desc) — the reference's
+    * getAllSignals order with the deterministic tie-break. Bounded at
+    * Cap × 3 elements like the state itself. */
+  def finishSignals(s: AggState): Seq[SigInput] =
+    s.tfs.values.flatten(_.sigs).toSeq.sortBy(ord).reverse
+
   def bufferEncoder: Encoder[AggState] = Encoders.product[AggState]
   def outputEncoder: Encoder[AggResult] = Encoders.product[AggResult]
 }

@@ -50,6 +50,13 @@ class PlanShapeSpec extends SparkSpec {
       s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
   }
 
+  test("nested-signals aggregate keeps the single hash exchange") {
+    val p = plan(WindowAgg.windowAgg(Tables.events(spark, sf()), withSignals = true))
+    val hashExchanges = countIn(p, "Exchange hashpartitioning")
+    assert(hashExchanges == 1,
+      s"signals collection must not add an exchange, got $hashExchanges:\n$p")
+  }
+
   test("price lookup is a broadcast hash join with the tiny side built") {
     val d = Decide.decisions(Tables.events(spark, sf()))
     val p = plan(SignalOps.priceLookup(spark, d))

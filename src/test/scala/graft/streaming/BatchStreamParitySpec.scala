@@ -27,4 +27,37 @@ class BatchStreamParitySpec extends SparkSpec {
     assert(a.nonEmpty)
     assert(a == b)
   }
+
+  test("streaming finishSignals == batch nested signals array, per key") {
+    val events = Tables.events(spark, sf())
+    // batch truth: the nested array on the full decision record
+    val batchSigs = Decide.decisionsNested(events)
+      .select(col("w_start"), col("symbol"), col("signals"))
+      .collect().map { r =>
+        (r.getLong(0), r.getString(1)) ->
+          r.getSeq[org.apache.spark.sql.Row](2)
+            .map(s => (s.getLong(0), s.getLong(1), s.getString(2), s.getString(3)))
+      }.toMap
+    // streaming state face: fold the identical signal stream per key
+    val folded = SignalOps.signals(events).collect()
+      .map { r =>
+        val wStart = r.getAs[Long]("w_start")
+        val sym = r.getAs[String]("symbol")
+        (wStart, sym) -> SigInput(sym, r.getAs[String]("timeframe"),
+          r.getAs[String]("side"),
+          math.round(r.getAs[Double]("price") * 100),
+          math.round(r.getAs[Double]("qty") * 100),
+          r.getAs[Long]("ts_ms"), r.getAs[Long]("event_id"))
+      }.groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> vs.map(_._2).sortBy(s => (s.tsMs, s.seq))
+          .foldLeft(SignalAggregator.zero)(SignalAggregator.reduce)
+      }
+    batchSigs.foreach { case (k, expect) =>
+      val got = SignalAggregator.finishSignals(folded(k))
+        .map(s => (s.tsMs, s.seq, s.timeframe, s.side))
+      assert(got == expect.toSeq, s"signals mismatch for $k")
+    }
+    assert(batchSigs.nonEmpty)
+  }
 }
