@@ -450,6 +450,22 @@ FROM q2 ORDER BY doc_id""",
     (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT) AS fp_roll
 FROM documents ORDER BY doc_id""",
 
+    "dedup_canonical" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+w AS (
+  SELECT doc_id, fp,
+    MIN(doc_id) OVER (PARTITION BY fp) AS keeper,
+    CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_copies
+  FROM d)
+SELECT doc_id, fp, n_copies FROM w WHERE doc_id = keeper ORDER BY doc_id""",
+
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 AS bucket
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 = 0
+ORDER BY doc_id""",
+
     "dedup_exact" ->
       """SELECT doc_id,
   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions.{col => col_}
 object SparkEntry {
 
   /** Flagship: the reference's full signal→decision pipeline
-    * (SURVEY §3.1) in batch form on sf0.001. */
+    * (SURVEY §3.1) in batch form on sf0.001 — the COMPLETE decision
+    * record including the nested signals array (round 2). */
   def entry(spark: SparkSession): DataFrame =
-    Decide.decisions(Tables.events(spark, "/root/testdata/sf0.001"))
+    Decide.decisionsNested(Tables.events(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator family from SURVEY.md §2 plus the
     * LLM-data-pipeline tier. */
@@ -77,6 +78,8 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_canonical" -> ((s, d) => TextOps.dedupCanonical(s, d)),
+    "doc_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashOps.minhashLshPairs(s, d)),
     "doc_simhash" -> ((s, d) => MinHashOps.simhash(s, d)),

@@ -141,6 +141,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Canonical-corpus materialization after exact dedup: one row per
+    * distinct text (the min-doc_id keeper) with its multiplicity — the
+    * "write the deduplicated training set" step. Same slim-shuffle shape
+    * as dedupExact: only (doc_id, fingerprint) rides the exchange. */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val slim = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val w = Window.partitionBy("fp")
+    slim.withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w).cast("long"))
+      .filter(col("doc_id") === col("keeper_id"))
+      .select(col("doc_id"), col("fp"), col("n_copies"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: hash-bucket each document on a
+    * seeded md5 of its id and keep bucket 0 — a reproducible ~10% sample
+    * per language with NO shuffle and no RNG state (the only sampling
+    * that is replay-stable across a 1000-executor backfill). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("#g1"))
+          .cast("binary")), 1, 7), 16, 10).cast("long") % 10)
+      .filter(col("bucket") === 0)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
   /** Skew-safe corpus term frequency: two-phase SALTED aggregation.
     * A plain groupBy(token) sends every occurrence of a hot token ("the")
     * to one reducer — the classic straggler at 100 TB. Salting first
