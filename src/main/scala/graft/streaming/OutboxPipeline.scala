@@ -85,22 +85,52 @@ object OutboxPipeline {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second")) // reference commit cadence
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val nDecisions = batch.count()
-        val createdBefore = TxnStore.orders.size()
-        val sized = OrderOps.fromDecisions(batch.sparkSession, batch)
-        sized.select(
-          col("client_order_id").as("clientOrderId"), col("symbol"),
-          col("order_side").as("side"), col("action"),
-          col("order_qty").as("qty"), col("market_price").as("price"),
-          col("payload"), col("w_start").as("wStart"))
-          .as[OrderRec](org.apache.spark.sql.Encoders.product[OrderRec])
-          .foreachPartition { (it: Iterator[OrderRec]) =>
-            it.foreach(TxnStore.writeAtomically)
-          }
-        RatioReport.record(nDecisions, (TxnStore.orders.size() - createdBefore).toLong)
-        ()
+      .foreachBatch { (batch: DataFrame, _: Long) => writeDecisionsBatch(batch) }
+
+  /** One micro-batch of the orders sink: size the decisions, write them
+    * idempotently, feed the ratio report. Shared with test sinks that
+    * wrap it (e.g. crash injection in ResilienceSpec). */
+  def writeDecisionsBatch(batch: DataFrame): Unit = {
+    val nDecisions = batch.count()
+    val createdBefore = TxnStore.orders.size()
+    val sized = OrderOps.fromDecisions(batch.sparkSession, batch)
+    sized.select(
+      col("client_order_id").as("clientOrderId"), col("symbol"),
+      col("order_side").as("side"), col("action"),
+      col("order_qty").as("qty"), col("market_price").as("price"),
+      col("payload"), col("w_start").as("wStart"))
+      .as[OrderRec](org.apache.spark.sql.Encoders.product[OrderRec])
+      .foreachPartition { (it: Iterator[OrderRec]) =>
+        it.foreach(TxnStore.writeAtomically)
       }
+    RatioReport.record(nDecisions, (TxnStore.orders.size() - createdBefore).toLong)
+    ()
+  }
+
+  /** The reference's failure policy (signal-processor Main.kt:36-39 +
+    * OrderService.kt:103-106): uncaught stream failure → log, back off,
+    * restart from the checkpoint. With the idempotent sink, the replayed
+    * batch is absorbed and delivery stays exactly-once. Returns the
+    * number of restarts taken. */
+  def runWithRestarts(start: () => StreamingQuery,
+      maxRestarts: Int = 3, backoffMs: Long = 5000L): Int = {
+    var restarts = 0
+    while (true) {
+      val q = start()
+      try {
+        q.processAllAvailable()
+        q.stop()
+        return restarts
+      } catch {
+        case e: Throwable =>
+          try q.stop() catch { case _: Throwable => () }
+          if (restarts >= maxRestarts) throw e
+          restarts += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    restarts
+  }
 
   /** O4, production face: the same decisions sink but against a real
     * JDBC database — one transaction per partition via
