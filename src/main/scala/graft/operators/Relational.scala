@@ -253,13 +253,14 @@ object Relational {
 
   /** HLL approximate distinct (no DuckDB oracle — sketch internals are
     * engine-specific; accuracy is asserted against the exact count in
-    * OperatorInvariantsSpec instead). */
+    * OperatorInvariantsSpec instead). Pure sketch path: partial HLL
+    * buffers merge map-side, so the exchange carries one sketch per
+    * (flag, partition) — the exact count it replaces at 100 TB would
+    * shuffle every distinct key. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
   /** As-of join — the canonical stream-correlation operator Spark lacks

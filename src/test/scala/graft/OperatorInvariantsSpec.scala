@@ -59,11 +59,14 @@ class OperatorInvariantsSpec extends SparkSpec {
   }
 
   test("approx_count_distinct within its 2% design error") {
-    val r = Relational.approxDistinct(spark, d).collect()
-    r.foreach { row =>
-      val (approx, exact) = (row.getLong(1).toDouble, row.getLong(2).toDouble)
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"HLL error too large: approx=$approx exact=$exact")
+    val approx = Relational.approxDistinct(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val exact = Tables.lineitem(spark, d).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    exact.foreach { case (flag, ex) =>
+      assert(math.abs(approx(flag) - ex) / ex < 0.05,
+        s"HLL error too large for $flag: approx=${approx(flag)} exact=$ex")
     }
   }
 
