@@ -326,6 +326,33 @@ FROM lineitem GROUP BY 1 ORDER BY 1""",
   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "events_hopping" ->
+      """WITH e AS (
+  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_type,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events),
+expanded AS (
+  SELECT (ts_ms // 86400000) * 86400000 - i * 86400000 AS w_start,
+    event_type, value_c
+  FROM e CROSS JOIN (VALUES (0), (1)) AS offs(i))
+SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(value_c) AS BIGINT) / 1e2 AS sum_value
+FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "setops_customers" ->
+      """WITH c95 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+c96 AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+SELECT 'both_years' AS set_kind, o_custkey FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+UNION ALL
+SELECT 'only_1996' AS set_kind, o_custkey FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c95)
+ORDER BY set_kind, o_custkey""",
+
     "asof_join" ->
       """WITH s AS (
   SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,

@@ -64,6 +64,8 @@ object SparkEntry {
     "rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
     "distinct_agg" -> ((s, d) => Relational.distinctAgg(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
+    "events_hopping" -> ((s, d) => Relational.eventsHopping(s, d)),
+    "setops_customers" -> ((s, d) => Relational.setOpsCustomers(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "cube_orders" -> ((s, d) => Relational.cubeOrders(s, d)),

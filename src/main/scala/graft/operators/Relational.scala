@@ -176,6 +176,39 @@ object Relational {
         col("n"), col("sum_value"))
       .orderBy("w_start", "event_type")
 
+  /** HOPPING (sliding) window aggregation — 2-day windows every 1 day,
+    * Spark's native `window(ts, size, slide)`: each event lands in
+    * size/slide windows, starts epoch-aligned to the slide. The oracle
+    * twin replays the same alignment arithmetic with an explicit 2-row
+    * unnest (window_start = (ts div slide)*slide - i*slide). */
+  def eventsHopping(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
+      .select(unix_millis(col("w.start")).as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Set operations over derived relations (free with Spark; verified
+    * anyway): customers active in BOTH years (INTERSECT = distinct set
+    * semantics) and in 1996 but not 1995 (EXCEPT). */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def custsIn(year: Int) = o
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val both = custsIn(1995).intersect(custsIn(1996))
+      .withColumn("set_kind", lit("both_years"))
+    val only96 = custsIn(1996).except(custsIn(1995))
+      .withColumn("set_kind", lit("only_1996"))
+    both.union(only96)
+      .select(col("set_kind"), col("o_custkey"))
+      .orderBy("set_kind", "o_custkey")
+  }
+
   /** Sessionization: split each user's event stream at >30-minute gaps
     * (gaps-and-islands via lag + running sum — one exchange on user_id,
     * two window passes over the same sort; the native `session_window`
