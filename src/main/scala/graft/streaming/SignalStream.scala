@@ -99,16 +99,26 @@ object SignalStream {
         "suggested_price", "suggested_qty", "reason", "signal_count", "balance")
   }
 
+  /** Projection from the Kafka source wire schema — (key binary, value
+    * binary, topic string, partition int, offset long, timestamp,
+    * timestampType) per the Spark Kafka connector contract — into the
+    * engine's raw frame (value string, seq long), then P1/P2 parse.
+    * Factored out of `fromKafka` so the whole boundary is drivable by a
+    * broker-shaped frame without a broker (KafkaShapeSpec): everything
+    * downstream of the connector's `load()` is exercised. */
+  def fromKafkaRaw(kafka: DataFrame): DataFrame =
+    parse(kafka.select(col("value").cast("string").as("value"),
+      col("offset").as("seq")))
+
   /** Kafka source (S1/S2) — the production entry. Subscribes to all three
     * signal topics at once (the union U1 collapses into the source). */
   def fromKafka(spark: SparkSession, bootstrap: String, topics: String): DataFrame =
-    parse(spark.readStream.format("kafka")
+    fromKafkaRaw(spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topics)
       .option("kafka.isolation.level", "read_committed") // EOS read side
       .option("startingOffsets", "earliest")
-      .load()
-      .select(col("value").cast("string").as("value"), col("offset").as("seq")))
+      .load())
 
   /** Kafka sink shape (P6/C2-C3): key by symbol, JSON payload, explicit
     * topic column — at-least-once in Spark; end-to-end exactly-once is
