@@ -499,6 +499,81 @@ ORDER BY doc_id""",
   doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
 FROM documents ORDER BY doc_id""",
 
+    "doc_chunk" ->
+      s"""WITH d AS (
+  SELECT doc_id, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
+  FROM documents),
+d2 AS (
+  SELECT *, 1 + (greatest(0, n_tokens - 16) + 7) // 8 AS n_chunks FROM d),
+c AS (
+  SELECT doc_id, n_tokens, toks,
+    unnest(generate_series(0, n_chunks - 1)) AS k
+  FROM d2)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+  CAST(1 + 8 * k AS BIGINT) AS tok_start,
+  CAST(least(16, n_tokens - 8 * k) AS BIGINT) AS chunk_tokens,
+  md5(array_to_string(list_slice(toks, 1 + 8 * k, 8 * k + 16), ' ')) AS chunk_md5,
+  array_to_string(list_slice(toks, 1 + 8 * k, 8 * k + 16), ' ') AS chunk_text
+FROM c ORDER BY doc_id, chunk_id""",
+
+    "doc_contamination" ->
+      s"""WITH docs AS (
+  SELECT doc_id, $gramsExpr AS grams,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 = 0 AS is_eval
+  FROM documents),
+d2 AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n_grams, is_eval FROM docs),
+ev AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM d2 WHERE is_eval)),
+tr AS (SELECT doc_id, n_grams, unnest(grams) AS gram FROM d2 WHERE NOT is_eval),
+hits AS (
+  SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (gram) GROUP BY 1, 2)
+SELECT doc_id, n_grams, n_hits,
+  CAST(n_hits AS DOUBLE) / n_grams AS contamination
+FROM hits WHERE CAST(n_hits AS DOUBLE) / n_grams >= 25e-2
+ORDER BY contamination DESC, doc_id""",
+
+    "doc_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensExpr) AS token FROM documents),
+freq AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1)
+SELECT doc_id,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(freq) AS BIGINT) AS sum_freq,
+  CAST(MIN(freq) AS BIGINT) AS min_freq,
+  CAST(SUM(CASE WHEN freq <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+  CAST(SUM(freq) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_freq
+FROM tok JOIN freq USING (token)
+GROUP BY doc_id ORDER BY doc_id""",
+
+    "doc_pivot" ->
+      """SELECT source,
+  CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+  CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+  CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+  CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+FROM documents GROUP BY source ORDER BY source""",
+
+    "emb_quantize" ->
+      """WITH vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+am AS (
+  SELECT vec_id, v,
+    list_reduce(list_prepend(0e0, v), (a, x) -> greatest(a, abs(x))) AS amax
+  FROM vd),
+qt AS (
+  SELECT vec_id, v, amax,
+    list_transform(v, x -> CAST(round(x * 127e0 / amax) AS BIGINT)) AS q
+  FROM am WHERE amax > 0e0)
+SELECT vec_id, amax,
+  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), q), (a, x) -> a + x) AS BIGINT) AS q_sum,
+  CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+  list_reduce(list_prepend(0e0, list_transform(range(1, 65), i ->
+    (v[i] - CAST(q[i] AS DOUBLE) * amax / 127e0) * (v[i] - CAST(q[i] AS DOUBLE) * amax / 127e0))),
+    (a, x) -> a + x) AS sq_err
+FROM qt ORDER BY vec_id""",
+
     "dedup_ngram_jaccard" ->
       s"""WITH docs AS (
   SELECT doc_id, lang, $gramsExpr AS grams FROM documents),

@@ -78,6 +78,10 @@ object SparkEntry {
     "doc_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "doc_quality" -> ((s, d) => TextOps.quality(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "doc_chunk" -> ((s, d) => TextOps.chunk(s, d)),
+    "doc_contamination" -> ((s, d) => TextOps.contamination(s, d)),
+    "doc_rarity" -> ((s, d) => TextOps.rarity(s, d)),
+    "doc_pivot" -> ((s, d) => TextOps.pivotSourceLang(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_canonical" -> ((s, d) => TextOps.dedupCanonical(s, d)),
@@ -90,6 +94,7 @@ object SparkEntry {
     "emb_cosine_neardup" -> ((s, d) => EmbeddingOps.cosineNearDup(s, d)),
     "emb_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
     "emb_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),
+    "emb_quantize" -> ((s, d) => EmbeddingOps.quantize(s, d)),
     // --- multimodal plumbing ---
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMetaQuery(s, d))
   )

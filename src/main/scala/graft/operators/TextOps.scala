@@ -188,6 +188,109 @@ object TextOps {
       .limit(50)
   }
 
+  /** Seeded hash bucket of a doc_id (0-9) — the deterministic sampling
+    * key shared by sampleStratified and the contamination eval split. */
+  private def sampleBucket: Column =
+    conv(substring(md5(concat(col("doc_id").cast("string"), lit("#g1"))
+      .cast("binary")), 1, 7), 16, 10).cast("long") % 10
+
+  /** Overlapping token-window CHUNKING — the "long document → training
+    * samples" step: 16-token windows every 8 tokens (50% overlap), the
+    * last chunk short. n_chunks = 1 + ceil(max(0, n-16)/8) so every token
+    * is covered and no chunk is fully contained in its predecessor.
+    * Pure per-row generate+slice (posexplode of an index sequence): no
+    * shuffle at all, embarrassingly parallel at 100 TB, and the output
+    * carries a per-chunk md5 so chunk-level exact dedup can chain on it
+    * with the same slim-shuffle shape as dedupExact. */
+  def chunk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        lit(1L) + expr("(greatest(0L, n_tokens - 16L) + 7L) div 8L"))
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("k", "k2")))
+      .withColumn("chunk_id", col("k").cast("long"))
+      .withColumn("tok_start", (lit(1L) + lit(8L) * col("chunk_id")))
+      .withColumn("chunk_tokens", least(lit(16L), col("n_tokens") - lit(8L) * col("chunk_id")))
+      .withColumn("chunk_text",
+        concat_ws(" ", slice(col("toks"), col("tok_start").cast("int"), lit(16))))
+      .withColumn("chunk_md5", md5(col("chunk_text").cast("binary")))
+      .select("doc_id", "chunk_id", "tok_start", "chunk_tokens", "chunk_md5", "chunk_text")
+      .orderBy("doc_id", "chunk_id")
+
+  /** Benchmark CONTAMINATION detection — the decontamination pass every
+    * training pipeline runs before an eval release: which training docs
+    * share word-trigrams with the held-out eval split (here: the
+    * deterministic 10% sample bucket standing in for the benchmark set).
+    *
+    * Scale shape: the eval side is reduced to DISTINCT grams BEFORE the
+    * join, so each training gram matches at most one eval row — a hot
+    * stopword-gram causes NO pair fan-out (unlike a doc×doc overlap
+    * join), and the single equi-join on the compact gram string is all
+    * that shuffles. AQE broadcasts the eval-gram set outright when the
+    * benchmark is small (the common case). */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), GraftFunctions.graftTrigrams(spark, "toks").as("grams"),
+        (sampleBucket === 0).as("is_eval"))
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+    val evalGrams = docs.filter(col("is_eval"))
+      .select(explode(col("grams")).as("gram")).distinct()
+    val train = docs.filter(!col("is_eval"))
+      .select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+    train.join(evalGrams, "gram")
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contamination", col("n_hits").cast("double") / col("n_grams"))
+      .filter(col("contamination") >= 0.25)
+      .select("doc_id", "n_grams", "n_hits", "contamination")
+      .orderBy(col("contamination").desc, col("doc_id"))
+  }
+
+  /** Token-RARITY scoring — the perplexity-filter stand-in (CCNet-style):
+    * score each document by the corpus frequency of its tokens. Pass 1
+    * builds the corpus frequency table (in production a reusable
+    * artifact); pass 2 joins each token occurrence to its frequency and
+    * aggregates per document. All aggregates are integer (BIGINT sums /
+    * mins — order-independent, bit-exact); the one double derives from
+    * them in a single division.
+    *
+    * Scale: the frequency join fans out ≤1 row per occurrence (the freq
+    * table is keyed by token), so hot tokens skew partition sizes but
+    * never blow up row counts; AQE skew-split handles the rest. */
+  def rarity(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+    val freq = tok.groupBy("token").agg(count(lit(1)).as("freq"))
+    tok.join(freq, "token")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("sum_freq"),
+        min(col("freq")).as("min_freq"),
+        sum(when(col("freq") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("avg_freq", col("sum_freq").cast("double") / col("n_tokens"))
+      .select("doc_id", "n_tokens", "sum_freq", "min_freq", "n_rare", "avg_freq")
+      .orderBy("doc_id")
+  }
+
+  /** PIVOT: corpus composition matrix source × lang — the "what am I
+    * training on" report. The pivot value list is explicit (the lang set
+    * is closed), which skips the extra distinct-scan Spark needs for an
+    * implicit pivot — at 100 TB that scan would double the cost. */
+  def pivotSourceLang(spark: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    Tables.documents(spark, dir)
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+      .select(col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+      .orderBy("source")
+  }
+
   /** N-gram Jaccard near-duplicate detection, the scalable way: explode
     * distinct shingles, build the postings list per (lang, shingle), emit
     * pairs straight from each postings list, count common shingles per

@@ -84,4 +84,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "range predicate must ride an equi-join, not a nested loop")
   }
+
+  test("chunking and quantization are shuffle-free per-row transforms") {
+    // the only permissible exchanges: documentsPar's round-robin spread
+    // and the presentation orderBy's range partitioning — never a
+    // hash-shuffle (there is no key to group on)
+    for (df <- Seq(TextOps.chunk(spark, sf()), EmbeddingOps.quantize(spark, sf()))) {
+      val p = plan(df)
+      assert(countIn(p, "Exchange hashpartitioning") == 0,
+        s"per-row transform must not shuffle by key:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("contamination joins train grams to DISTINCT eval grams — equi-join, no fan-out side") {
+    val p = plan(TextOps.contamination(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // eval side must deduplicate before the join (HashAggregate above the
+    // eval scan) so a hot gram cannot fan out pairs
+    assert(countIn(p, "HashAggregate") >= 2, s"missing eval-side distinct:\n$p")
+  }
+
+  test("pivot with explicit values needs no extra distinct scan") {
+    val p = plan(TextOps.pivotSourceLang(spark, sf()))
+    // one scan of documents (an implicit pivot runs a whole extra job to
+    // collect distinct pivot values); the two hash exchanges are Spark's
+    // standard two-level pivot rewrite (pre-aggregate on (source, lang),
+    // then pivot-first on source) — both on compact keys
+    assert(countIn(p, "Scan parquet") == 1, "implicit pivot would scan twice")
+    assert(countIn(p, "Exchange hashpartitioning") <= 2)
+  }
 }
