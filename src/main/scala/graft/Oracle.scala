@@ -151,6 +151,22 @@ orders_out AS (
       list_transform(range(1, len($tokensExpr) - 1),
         i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END)"""
 
+  /** twin of TextOps.quality — shared by doc_quality and doc_unpivot */
+  private val qualitySql: String =
+    s"""WITH q AS (
+  SELECT doc_id,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
+    CAST(len(list_filter($tokensExpr, t -> t IN ('the','a'))) AS BIGINT) AS n_stop,
+    CAST(len(list_distinct($tokensExpr)) AS BIGINT) AS n_distinct
+  FROM documents),
+q2 AS (
+  SELECT *, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+    CAST(n_distinct AS DOUBLE) / n_tokens AS ttr
+  FROM q)
+SELECT doc_id, n_tokens, n_stop, n_distinct, stop_ratio, ttr,
+  least(1e0, n_tokens / 1e2) * 5e-1 + (1e0 - stop_ratio) * 3e-1 + ttr * 2e-1 AS quality
+FROM q2 ORDER BY doc_id"""
+
   // ---- embeddings helpers ----
 
   /** left-fold dot product of two double lists, twin of EmbeddingOps.dot */
@@ -339,6 +355,27 @@ SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(SUM(value_c) AS BIGINT) / 1e2 AS sum_value
 FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 1e2 AS sum_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "wf_range_frame" ->
+      """WITH e AS (
+  SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+    CAST(round(value * 100) AS BIGINT) AS value_c
+  FROM events)
+SELECT event_id, user_id, ts_ms,
+  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+  CAST(SUM(value_c) OVER w AS BIGINT) / 1e2 AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""",
+
     "setops_customers" ->
       """WITH c95 AS (
   SELECT o_custkey FROM orders
@@ -452,20 +489,17 @@ SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
        ELSE 'zh' END) = lang AS match_label
 FROM scored ORDER BY doc_id""",
 
-    "doc_quality" ->
-      s"""WITH q AS (
-  SELECT doc_id,
-    CAST(len($tokensExpr) AS BIGINT) AS n_tokens,
-    CAST(len(list_filter($tokensExpr, t -> t IN ('the','a'))) AS BIGINT) AS n_stop,
-    CAST(len(list_distinct($tokensExpr)) AS BIGINT) AS n_distinct
-  FROM documents),
-q2 AS (
-  SELECT *, CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
-    CAST(n_distinct AS DOUBLE) / n_tokens AS ttr
-  FROM q)
-SELECT doc_id, n_tokens, n_stop, n_distinct, stop_ratio, ttr,
-  least(1e0, n_tokens / 1e2) * 5e-1 + (1e0 - stop_ratio) * 3e-1 + ttr * 2e-1 AS quality
-FROM q2 ORDER BY doc_id""",
+    "doc_quality" -> qualitySql,
+
+    "doc_unpivot" ->
+      s"""WITH src AS ($qualitySql)
+SELECT doc_id, metric, value FROM (
+  SELECT doc_id, 'quality' AS metric, quality AS value FROM src
+  UNION ALL
+  SELECT doc_id, 'stop_ratio' AS metric, stop_ratio AS value FROM src
+  UNION ALL
+  SELECT doc_id, 'ttr' AS metric, ttr AS value FROM src)
+ORDER BY doc_id, metric""",
 
     "doc_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS fp_md5,

@@ -66,6 +66,9 @@ object SparkEntry {
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     "events_hopping" -> ((s, d) => Relational.eventsHopping(s, d)),
     "setops_customers" -> ((s, d) => Relational.setOpsCustomers(s, d)),
+    "grouping_sets" -> ((s, d) => Relational.groupingSetsOrders(s, d)),
+    "doc_unpivot" -> ((s, d) => Relational.unpivotQuality(s, d)),
+    "wf_range_frame" -> ((s, d) => Relational.wfRangeFrame(s, d)),
     "asof_join" -> ((s, d) => Relational.asofJoin(s, d)),
     "sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "cube_orders" -> ((s, d) => Relational.cubeOrders(s, d)),

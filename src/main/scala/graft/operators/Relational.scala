@@ -315,4 +315,45 @@ object Relational {
       .select("event_id", "user_id", "ts_ms", "value", "last_click_val")
       .orderBy("event_id")
   }
+
+  /** GROUPING SETS — the explicit-set cousin of rollup/cube (§2.11
+    * sweep): (status, priority), (status), grand total. SQL interface
+    * for the same Spark 4.1 reason as rollupAcctbal. One Expand + one
+    * aggregation exchange — the same plan shape cube builds. */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("g_orders")
+    spark.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        count(1) AS n,
+        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 1e2 AS sum_price
+      FROM g_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** UNPIVOT (wide → long): the quality metrics melted to (doc_id,
+    * metric, value) rows — per-row Expand, no shuffle beyond the
+    * presentation sort. */
+  def unpivotQuality(spark: SparkSession, dir: String): DataFrame =
+    TextOps.quality(spark, dir)
+      .select("doc_id", "stop_ratio", "ttr", "quality")
+      .unpivot(Array(col("doc_id")),
+        Array(col("stop_ratio"), col("ttr"), col("quality")), "metric", "value")
+      .orderBy("doc_id", "metric")
+
+  /** Time-RANGE window frame (vs the ROWS frames elsewhere): per-user
+    * trailing-1-hour count/sum at every event. RANGE on the numeric
+    * ts_ms includes peers and needs no self-join — one exchange on
+    * user_id, one sort, O(1) frame maintenance per row. */
+  def wfRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("value_c", round(col("value") * 100).cast("long"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(-3600000L, Window.currentRow)
+    e.withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value_c")).over(w) / 100.0)
+      .select("event_id", "user_id", "ts_ms", "n_1h", "sum_1h")
+      .orderBy("event_id")
+  }
 }
