@@ -75,6 +75,7 @@ object SparkEntry {
     "interval_join" -> ((s, d) => Relational.intervalJoin(s, d)),
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
+    "approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     // --- LLM-data-pipeline tier: text analysis ---
     "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
     "doc_top_tokens" -> ((s, d) => TextOps.topTokensSalted(s, d)),

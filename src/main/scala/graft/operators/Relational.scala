@@ -296,6 +296,25 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** Approximate percentiles (no DuckDB oracle — same sketch-tier rule
+    * as approxDistinct). The scale path beside the exact `percentiles`
+    * query: exact percentile materializes every group value at the
+    * reducer (sort-based, O(group) memory), while this sketch keeps a
+    * bounded digest per partition and merges map-side — the exchange
+    * carries one digest per (status, partition) regardless of SF. The
+    * accuracy parameter trades digest size for rank error (1e4 ≈ 0.01%
+    * rank error — asserted against the exact quantiles in
+    * OperatorInvariantsSpec). */
+  def approxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+      .groupBy("o_orderstatus")
+      .agg(
+        (expr("approx_percentile(cents, 0.5, 10000)") / 100.0).as("median_price"),
+        (expr("approx_percentile(cents, 0.9, 10000)") / 100.0).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** As-of join — the canonical stream-correlation operator Spark lacks
     * natively (DuckDB has ASOF JOIN; our oracle uses it). Implemented
     * the scalable way: tag both sides, one hash exchange on user_id, one

@@ -70,6 +70,21 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile tracks the exact quantiles") {
+    val approx = Relational.approxPercentiles(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.percentiles(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (status, (med, p90)) =>
+      val (am, a90) = approx(status)
+      // rank error 1e-4 on these group sizes ⇒ tiny value error; allow 1%
+      assert(math.abs(am - med) / med < 0.01,
+        s"median off for $status: approx=$am exact=$med")
+      assert(math.abs(a90 - p90) / p90 < 0.01,
+        s"p90 off for $status: approx=$a90 exact=$p90")
+    }
+  }
+
   test("sessions are gap-consistent: no intra-session gap >= 30min, " +
     "consecutive sessions separated by >= 30min") {
     val s = Relational.sessionize(spark, d).collect()
