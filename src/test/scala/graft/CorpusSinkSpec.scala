@@ -32,6 +32,37 @@ class CorpusSinkSpec extends SparkSpec {
     assert(a == b, "round-trip lost or altered rows")
   }
 
+  test("range layout: files carry disjoint key ranges, filter reaches the scan") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("range").toString + "/events"
+    val e = Tables.events(spark, sf()).withColumn("ts_ms", unix_millis(col("ts")))
+      .select("event_id", "user_id", "ts_ms", "event_type", "value")
+    CorpusSink.writeRangeLayout(e, out, "ts_ms", nFiles = 4)
+
+    // per-file min/max must be pairwise disjoint — the property parquet
+    // footer stats turn into whole-file skipping
+    val files = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files.size >= 3, s"expected >=3 range files, got ${files.size}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("ts_ms"), max("ts_ms")).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+
+    // the time predicate must be pushed to the scan (footer-stats skipping)
+    val mid = ranges.head._2
+    val q = spark.read.parquet(out).filter(col("ts_ms") <= mid)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts_ms), LessThanOrEqual(ts_ms"),
+      s"ts filter not pushed:\n$plan")
+    assert(q.count() == e.filter(col("ts_ms") <= mid).count())
+  }
+
   test("read side prunes partitions at the directory level") {
     val out = Files.createTempDirectory("corpus2").toString + "/docs"
     CorpusSink.writePartitioned(Tables.documents(spark, sf()), out, "lang")
