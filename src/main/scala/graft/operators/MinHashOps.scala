@@ -60,7 +60,14 @@ object MinHashOps {
 
   /** Candidate pairs from LSH band buckets, verified with exact Jaccard.
     * Output: top-50 pairs by exact similarity (deterministic). */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsAll(spark, dir).limit(50)
+
+  /** The same pipeline WITHOUT the presentation top-k cut — every
+    * LSH-surfaced pair that verification confirms. MinHashRecallSpec
+    * measures recall on this stage so the limit can't mask (or fake)
+    * a candidate-generation miss. */
+  def minhashLshPairsAll(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsPar(spark, dir)
       .withColumn("toks", TextOps.tokens)
       .select(col("doc_id"), col("lang"),
@@ -97,7 +104,6 @@ object MinHashOps {
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-      .limit(50)
   }
 
   /** 16-bit SimHash of the token multiset (token hash = 28-bit md5

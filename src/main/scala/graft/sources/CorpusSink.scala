@@ -20,17 +20,22 @@ object CorpusSink {
   /** Write `df` partitioned by `partCol`, with at most `filesPerPart`
     * writer tasks per partition value and `maxRecordsPerFile` rows per
     * file. The salt keeps a skewed partition value from serializing into
-    * a single writer task while still bounding its file count. */
+    * a single writer task while still bounding its file count. The salt
+    * derives from a per-row id, NOT a hash of the row — hashing full
+    * rows would push every payload byte (document bodies, at corpus
+    * scale) through the hash just to pick one of `filesPerPart` writers. */
   def writePartitioned(df: DataFrame, path: String, partCol: String,
-      filesPerPart: Int = 4, maxRecordsPerFile: Long = 1000000L): Unit =
-    df.withColumn("__salt", pmod(xxhash64(df.columns.map(col): _*), lit(filesPerPart)))
-      .repartition(col(partCol), col("__salt"))
-      .drop("__salt")
+      filesPerPart: Int = 4, maxRecordsPerFile: Long = 1000000L): Unit = {
+    val salt = "__graft_salt"
+    df.withColumn(salt, pmod(monotonically_increasing_id(), lit(filesPerPart.toLong)))
+      .repartition(col(partCol), col(salt))
+      .drop(salt)
       .write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partCol)
       .parquet(path)
+  }
 
   /** Read side of the same layout: partition pruning on `partCol` is free
     * (directory-level), so a per-language job touches only its slice. */

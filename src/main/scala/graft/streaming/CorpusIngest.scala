@@ -41,12 +41,15 @@ object CorpusIngest {
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String): Long = {
     val fingerprinted = batch
       .withColumn("fp", md5(col("text").cast("binary")))
-    // within-batch dedup: keeper = min doc_id per fp (slim shuffle on fp)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    // within-batch dedup: EXACTLY ONE keeper row per fp. row_number (not
+    // a min-filter) so even verbatim duplicate records — same doc_id,
+    // same text, delivered twice in one batch — collapse to one row.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("doc_id")
     val keepers = fingerprinted
-      .withColumn("keeper", min(col("doc_id")).over(w))
-      .filter(col("doc_id") === col("keeper"))
-      .drop("keeper")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
     val fresh =
       if (storeExists(spark, store))
         keepers.join(spark.read.parquet(store).select("fp"), Seq("fp"), "left_anti")

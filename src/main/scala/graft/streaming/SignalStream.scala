@@ -105,10 +105,17 @@ object SignalStream {
     * engine's raw frame (value string, seq long), then P1/P2 parse.
     * Factored out of `fromKafka` so the whole boundary is drivable by a
     * broker-shaped frame without a broker (KafkaShapeSpec): everything
-    * downstream of the connector's `load()` is exercised. */
+    * downstream of the connector's `load()` is exercised.
+    *
+    * `seq` is the downstream DETERMINISTIC TIEBREAKER (the 10-largest
+    * cap orders on (tsMs, seq)), so it must be unique per record — the
+    * bare offset is not (offsets collide across the 3 subscribed topics
+    * and across partitions, which would make the cap arrival-order
+    * dependent). xxhash64(topic, partition, offset) is deterministic
+    * and collision-free for practical purposes. */
   def fromKafkaRaw(kafka: DataFrame): DataFrame =
     parse(kafka.select(col("value").cast("string").as("value"),
-      col("offset").as("seq")))
+      xxhash64(col("topic"), col("partition"), col("offset")).as("seq")))
 
   /** Kafka source (S1/S2) — the production entry. Subscribes to all three
     * signal topics at once (the union U1 collapses into the source). */

@@ -34,7 +34,9 @@ class MinHashRecallSpec extends SparkSpec {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(truth.nonEmpty, "corpus must contain near-dup pairs for this spec to bite")
 
-    val found = MinHashOps.minhashLshPairs(spark, sf())
+    // the UNLIMITED verified stage — the presentation top-50 of
+    // minhashLshPairs must not be able to mask a candidate miss
+    val found = MinHashOps.minhashLshPairsAll(spark, sf())
       .filter(col("jaccard") >= 0.8)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 

@@ -19,8 +19,10 @@ class CorpusIngestSpec extends SparkSpec {
     import spark.implicits._
     val store = Files.createTempDirectory("canon").toString + "/store"
 
-    val b1 = Seq((1L, "alpha beta", "en", "s"), (2L, "alpha beta", "en", "s"),
-      (3L, "gamma delta", "en", "s"))
+    // note doc 1 delivered TWICE verbatim (same doc_id): at-least-once
+    // can duplicate a record inside one micro-batch too
+    val b1 = Seq((1L, "alpha beta", "en", "s"), (1L, "alpha beta", "en", "s"),
+      (2L, "alpha beta", "en", "s"), (3L, "gamma delta", "en", "s"))
       .toDF("doc_id", "text", "lang", "source")
     assert(CorpusIngest.mergeBatch(spark, b1, store) == 2, "2 distinct texts admitted")
 

@@ -55,7 +55,14 @@ class KafkaShapeSpec extends SparkSpec {
     assert(r.getAs[String]("symbol") == "BTCUSDT")
     assert(r.getAs[Long]("priceC") == 10025L, "price enriched to integer cents")
     assert(r.getAs[Long]("qtyC") == 150L)
-    assert(r.getAs[Long]("seq") == 7L, "Kafka offset becomes the seq tiebreaker")
+    // seq = xxhash64(topic, partition, offset): deterministic and unique
+    // across topics/partitions (a bare offset would collide — two topics
+    // both have an offset 7, breaking the downstream cap tiebreak)
+    val expectedSeq = spark.sql(
+      "SELECT xxhash64('trading.signals.1m', CAST(0 AS INT), CAST(7 AS BIGINT))")
+      .head().getLong(0)
+    assert(r.getAs[Long]("seq") == expectedSeq,
+      "seq must derive deterministically from (topic, partition, offset)")
     assert(r.getAs[Long]("tsMs") == 1700000000000L)
     assert(parsed.columns.contains("processed_at"), "P2 enrich applied")
   }
