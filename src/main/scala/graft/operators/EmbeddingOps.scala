@@ -31,10 +31,18 @@ object EmbeddingOps {
 
   def dot(a: Column, b: Column): Column = foldSum(zip_with(a, b, (x, y) => x * y))
 
+  /** Normalized-vector view (vec_id, v, dot_self), CACHED: every
+    * similarity query uses it for BOTH its query side and its candidate
+    * side, and the interpreted fold-dot is the dominant per-row cost —
+    * uncached it would run once per side. Spark's cache manager matches
+    * canonicalized plans, so the four ANN/near-dup queries share ONE
+    * materialization per dir — exactly the normalized-embedding artifact
+    * a production vector pipeline writes once and reuses. */
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("dot_self", dot(col("v"), col("v")))
       .filter(col("dot_self") > 0.0)
+      .cache()
 
   /** Brute-force cosine top-5 for query vectors vec_id < 5. The tiny
     * query side is broadcast; candidates stream through in one scan —
@@ -163,8 +171,10 @@ object EmbeddingOps {
     * dot product over candidates that already agree on every plane sign.
     * Top-100 by (sim desc, d1, d2) keeps the output deterministic. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // bucket assignment cached: both join sides are this same frame
     val e = withNorm(Tables.embeddingsPar(spark, dir))
       .withColumn("bucket", lshBucket(col("v")))
+      .cache()
     val a = e.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"),
       col("dot_self").as("n1"))
     val b = e.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"),

@@ -68,11 +68,17 @@ object MinHashOps {
     * measures recall on this stage so the limit can't mask (or fake)
     * a candidate-generation miss. */
   def minhashLshPairsAll(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documentsPar(spark, dir)
+    // (doc_id, lang, grams) is CACHED: it feeds candidate generation AND
+    // both verify sides — uncached, the scan + single-pass shingle
+    // derivation (the query's dominant CPU) would run three times. This
+    // is the shingle table a production sweep materializes once.
+    val docsGrams = Tables.documentsPar(spark, dir)
       .withColumn("toks", TextOps.tokens)
       .select(col("doc_id"), col("lang"),
         GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
       .filter(size(col("grams")) > 0)
+      .cache()
+    val docs = docsGrams
       .withColumn("sig", GraftFunctions.graftMinhash(spark, "grams"))
       .withColumn("bands", bandHashes(col("sig")))
     // Explode a LITERAL index array and pick the band by element_at —
@@ -94,8 +100,8 @@ object MinHashOps {
       .select(col("l").as("d1"), col("r").as("d2"))
       .distinct()
     // exact-verify candidates only (candidate count is LSH-bounded)
-    val g1 = docs.select(col("doc_id").as("d1"), col("grams").as("grams1"))
-    val g2 = docs.select(col("doc_id").as("d2"), col("grams").as("grams2"))
+    val g1 = docsGrams.select(col("doc_id").as("d1"), col("grams").as("grams1"))
+    val g2 = docsGrams.select(col("doc_id").as("d2"), col("grams").as("grams2"))
     cand.join(g1, "d1").join(g2, "d2")
       .withColumn("common", size(array_intersect(col("grams1"), col("grams2"))).cast("long"))
       .withColumn("n1", size(col("grams1")).cast("long"))

@@ -266,9 +266,14 @@ object TextOps {
     * table is keyed by token), so hot tokens skew partition sizes but
     * never blow up row counts; AQE skew-split handles the rest. */
   def rarity(spark: SparkSession, dir: String): DataFrame = {
+    // slim (doc_id, token) occurrence table, CACHED: it feeds both the
+    // frequency aggregation and the scoring join — without the cache the
+    // scan + tokenization run twice (the artifact a production pipeline
+    // materializes once)
     val tok = Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
       .select(col("doc_id"), explode(col("toks")).as("token"))
+      .cache()
     val freq = tok.groupBy("token").agg(count(lit(1)).as("freq"))
     tok.join(freq, "token")
       .groupBy("doc_id")

@@ -63,12 +63,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
   }
 
-  test("cosine top-k broadcasts the query side; candidates stream once") {
+  test("cosine top-k broadcasts the query side; candidates come from the " +
+    "shared cached normalized view") {
     val p = plan(EmbeddingOps.cosineTopK(spark, sf()))
     assert(p.contains("Broadcast"), "query side must broadcast")
-    // the candidate scan appears exactly twice (once for queries, once
-    // for candidates) — no repeated recomputation of the big side
-    assert(countIn(p, "Scan parquet") <= 2)
+    // both sides read the cached (vec_id, v, dot_self) artifact — the
+    // interpreted fold-dot normalization must not recompute per side
+    assert(p.contains("InMemoryTableScan"),
+      s"normalized view must be the cached artifact:\n$p")
   }
 
   test("embedding near-dup joins on the LSH bucket key — no cross join") {
