@@ -151,6 +151,24 @@ orders_out AS (
       list_transform(range(1, len($tokensExpr) - 1),
         i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END)"""
 
+  /** twin of TextOps.ngramJaccardPairsAll (no presentation cut) — shared
+    * by dedup_ngram_jaccard and the dedup_clusters edge derivation */
+  private val jaccardPairsSql: String =
+    s"""WITH docs AS (
+  SELECT doc_id, lang, $gramsExpr AS grams FROM documents),
+d2 AS (
+  SELECT doc_id, lang, CAST(len(grams) AS BIGINT) AS n_grams, grams
+  FROM docs WHERE len(grams) > 0),
+e AS (SELECT doc_id, lang, n_grams, unnest(grams) AS gram FROM d2),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_grams AS n1, b.n_grams AS n2,
+    CAST(count(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT d1, d2, n1, n2, common,
+  CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
+FROM p"""
+
   /** twin of TextOps.quality — shared by doc_quality and doc_unpivot */
   private val qualitySql: String =
     s"""WITH q AS (
@@ -609,20 +627,19 @@ SELECT vec_id, amax,
 FROM qt ORDER BY vec_id""",
 
     "dedup_ngram_jaccard" ->
-      s"""WITH docs AS (
-  SELECT doc_id, lang, $gramsExpr AS grams FROM documents),
-d2 AS (
-  SELECT doc_id, lang, CAST(len(grams) AS BIGINT) AS n_grams, grams
-  FROM docs WHERE len(grams) > 0),
-e AS (SELECT doc_id, lang, n_grams, unnest(grams) AS gram FROM d2),
-p AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_grams AS n1, b.n_grams AS n2,
-    CAST(count(*) AS BIGINT) AS common
-  FROM e a JOIN e b ON a.gram = b.gram AND a.lang = b.lang AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4)
-SELECT d1, d2, n1, n2, common,
-  CAST(common AS DOUBLE) / (n1 + n2 - common) AS jaccard
-FROM p ORDER BY jaccard DESC, d1, d2 LIMIT 100""",
+      s"""SELECT * FROM ($jaccardPairsSql)
+ORDER BY jaccard DESC, d1, d2 LIMIT 100""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+edges AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 5e-1),
+sym AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges),
+reach(id, r) AS (
+  SELECT d1, d1 FROM sym
+  UNION
+  SELECT s.d2, r.r FROM reach r JOIN sym s ON s.d1 = r.id)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1 ORDER BY 1""",
 
     "emb_cosine_topk" ->
       s"""WITH e AS (

@@ -308,7 +308,14 @@ object TextOps {
     * self-join — candidate pairs only materialize where a shingle
     * collides. Top-100 by similarity (deterministic tie-break) keeps the
     * output stable at any SF. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsAll(spark, dir)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(100)
+
+  /** The scored pair set WITHOUT the presentation top-k — the edge
+    * source for dedupClusters and the recall baseline. */
+  def ngramJaccardPairsAll(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
       .select(col("doc_id"), col("lang"),
@@ -337,7 +344,40 @@ object TextOps {
       .withColumn("jaccard",
         col("common").cast("double") / (col("n1") + col("n2") - col("common")))
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
-      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-      .limit(100)
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the jaccard≥0.5
+    * pair graph, labels = min doc_id per component — the step that turns
+    * pairwise similarity into "keep one document per cluster". Iterative
+    * min-label propagation on DataFrames: each round joins labels to the
+    * symmetric edge list and takes the per-node min (one shuffle per
+    * round). Rounds are FIXED (6) so the plan is static and replayable;
+    * near-dup components are shallow (dups of a common source), so the
+    * propagation converges well inside that — the spec asserts a 7th
+    * round changes nothing. At larger diameters the standard large-star/
+    * small-star alternation drops convergence to O(log n) rounds with
+    * the same per-round shape. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccardPairsAll(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2").cache()
+    // the symmetric edge list is read every round — materialize it once
+    val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("d1").as("id")).distinct()
+      .withColumn("root", col("id"))
+    for (_ <- 1 to 6) {
+      val viaNbr = sym.join(labels, sym("d2") === labels("id"))
+        .select(sym("d1").as("id"), col("root"))
+      // localCheckpoint per round: without it the lineage doubles every
+      // iteration and round k replays rounds 1..k-1 (measured 20 s vs
+      // ~2 s at sf0.1) — the mandatory pattern for iterative DataFrame
+      // algorithms
+      labels = labels.union(viaNbr).groupBy("id").agg(min("root").as("root"))
+        .localCheckpoint(true)
+    }
+    labels
+      .select(col("id").as("doc_id"), col("root").as("cluster_id"))
+      .orderBy("doc_id")
   }
 }
