@@ -757,6 +757,25 @@ FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
   CAST(octet_length(encode(text)) // 256 AS BIGINT) + 1 AS n_frames,
   CAST(octet_length(encode(text)) % 7 AS BIGINT) AS feature0,
   md5(text) AS fingerprint
+FROM documents ORDER BY doc_id""",
+
+    "mm_frame_sample" ->
+      """WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_bytes FROM documents),
+f AS (
+  SELECT doc_id, text,
+    unnest(generate_series(0, (n_bytes - 1) // 64, 2)) AS frame_idx
+  FROM d)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(length(substr(text, CAST(1 + 64 * frame_idx AS INT), 64)) AS BIGINT) AS frame_bytes,
+  md5(substr(text, CAST(1 + 64 * frame_idx AS INT), 64)) AS frame_md5
+FROM f ORDER BY doc_id, frame_idx""",
+
+    "mm_resize" ->
+      """SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  CAST(length(substr(text, 1, 128)) AS BIGINT) AS resized_bytes,
+  md5(substr(text, 1, 128)) AS resized_md5
 FROM documents ORDER BY doc_id"""
   )
 }

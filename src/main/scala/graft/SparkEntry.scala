@@ -101,7 +101,9 @@ object SparkEntry {
     "emb_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),
     "emb_quantize" -> ((s, d) => EmbeddingOps.quantize(s, d)),
     // --- multimodal plumbing ---
-    "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMetaQuery(s, d))
+    "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMetaQuery(s, d)),
+    "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d)),
+    "mm_resize" -> ((s, d) => MultimodalOps.resizeQuery(s, d))
   )
 
   /** DuckDB twins — the driver's correctness gate. */

@@ -67,4 +67,55 @@ object MultimodalOps {
       .withColumn("fingerprint", md5(col("text").cast("binary")))
       .select("doc_id", "n_bytes", "n_frames", "feature0", "fingerprint")
       .orderBy("doc_id")
+
+  case class Frame(docId: Long, frameIdx: Long, frameBytes: Long, frameMd5: String)
+
+  val FrameBytes = 64
+
+  /** FRAME-SAMPLING (brief: "frame-sample" for video-like payloads):
+    * every `every`-th 64-byte frame of each payload becomes its own
+    * row — the 1→N flatMap a video pipeline runs before per-frame
+    * featurization. Dataset face: mapPartitions (codec init amortized,
+    * rows streamed); the oracle face below is its column-expression twin. */
+  def sampleFrames(spark: SparkSession, dir: String,
+      every: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(_.flatMap { row =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      row.payload.grouped(FrameBytes).zipWithIndex
+        .filter(_._2 % every == 0)
+        .map { case (chunk, i) =>
+          Frame(row.meta.docId, i.toLong, chunk.length.toLong,
+            md.digest(chunk).map("%02x".format(_)).mkString)
+        }
+    })
+  }
+
+  /** Oracle-checked frame-sample twin: pure column expressions over the
+    * text payload (ASCII corpus ⇒ 1 char = 1 byte), one Generate —
+    * shuffle-free like every per-row multimodal op. */
+  def frameSampleQuery(spark: SparkSession, dir: String, every: Int = 2): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_bytes", length(col("text")).cast("long"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), expr(s"(n_bytes - 1) div $FrameBytes"), lit(every.toLong))))
+      .withColumn("frame_text",
+        expr(s"substr(text, CAST(1 + $FrameBytes * frame_idx AS INT), $FrameBytes)"))
+      .withColumn("frame_bytes", length(col("frame_text")).cast("long"))
+      .withColumn("frame_md5", md5(col("frame_text").cast("binary")))
+      .select("doc_id", "frame_idx", "frame_bytes", "frame_md5")
+      .orderBy("doc_id", "frame_idx")
+
+  /** RESIZE (brief: thumbnail/resize step): deterministic byte-crop to
+    * `target` bytes — the stub stand-in for a real image resize; the
+    * plumbing (per-row transform of the payload, new payload + metadata
+    * out) is the real part. */
+  def resizeQuery(spark: SparkSession, dir: String, target: Int = 128): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_bytes", length(col("text")).cast("long"))
+      .withColumn("resized", expr(s"substr(text, 1, $target)"))
+      .withColumn("resized_bytes", length(col("resized")).cast("long"))
+      .withColumn("resized_md5", md5(col("resized").cast("binary")))
+      .select("doc_id", "n_bytes", "resized_bytes", "resized_md5")
+      .orderBy("doc_id")
 }

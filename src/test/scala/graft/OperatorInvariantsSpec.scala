@@ -195,4 +195,14 @@ class OperatorInvariantsSpec extends SparkSpec {
         r.getLong(3), r.getString(4))).toSet
     assert(viaPartitions == viaColumns)
   }
+
+  test("multimodal: frame-sampling mapPartitions face agrees with the columnar twin") {
+    val viaPartitions = MultimodalOps.sampleFrames(spark, d)
+      .collect().map(f => (f.docId, f.frameIdx, f.frameBytes, f.frameMd5)).toSet
+    val viaColumns = MultimodalOps.frameSampleQuery(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(viaPartitions == viaColumns)
+    // sampling bites: some doc must contribute a frame beyond index 0
+    assert(viaPartitions.exists(_._2 > 0), "no doc long enough to sample a 2nd frame")
+  }
 }
