@@ -159,7 +159,13 @@ orders_out AS (
 d2 AS (
   SELECT doc_id, lang, CAST(len(grams) AS BIGINT) AS n_grams, grams
   FROM docs WHERE len(grams) > 0),
-e AS (SELECT doc_id, lang, n_grams, unnest(grams) AS gram FROM d2),
+e0 AS (SELECT doc_id, lang, n_grams, unnest(grams) AS gram FROM d2),
+e AS (
+  -- df-cap twin: the Spark postings list is sliced to its first 1000
+  -- docs per (lang, gram), ordered by doc_id — pairs only form among
+  -- those (load-bearing at scale; a no-op below the cap)
+  SELECT doc_id, lang, n_grams, gram FROM e0
+  QUALIFY row_number() OVER (PARTITION BY lang, gram ORDER BY doc_id) <= 1000),
 p AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_grams AS n1, b.n_grams AS n2,
     CAST(count(*) AS BIGINT) AS common

@@ -30,12 +30,16 @@ object MultimodalOps {
 
   /** Deterministic fake: "frames" = 256-byte chunks, feature = byte-sum
     * proxy. Stands in for `???` real decoding (brief-sanctioned stub). */
+  /** lowercase-hex md5 — ONE definition shared by every Dataset face so
+    * the columnar-twin parity can never drift on encoding */
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
   object StubDecoder extends Decoder {
     def decode(row: MediaRow): MediaFeatures = {
       val n = row.payload.length.toLong
-      MediaFeatures(row.meta.docId, n, n / 256 + 1, n % 7,
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(row.payload).map("%02x".format(_)).mkString)
+      MediaFeatures(row.meta.docId, n, n / 256 + 1, n % 7, md5Hex(row.payload))
     }
   }
 
@@ -81,12 +85,10 @@ object MultimodalOps {
       every: Int = 2): Dataset[Frame] = {
     import spark.implicits._
     mediaTable(spark, dir).mapPartitions(_.flatMap { row =>
-      val md = java.security.MessageDigest.getInstance("MD5")
       row.payload.grouped(FrameBytes).zipWithIndex
         .filter(_._2 % every == 0)
         .map { case (chunk, i) =>
-          Frame(row.meta.docId, i.toLong, chunk.length.toLong,
-            md.digest(chunk).map("%02x".format(_)).mkString)
+          Frame(row.meta.docId, i.toLong, chunk.length.toLong, md5Hex(chunk))
         }
     })
   }
@@ -97,6 +99,10 @@ object MultimodalOps {
   def frameSampleQuery(spark: SparkSession, dir: String, every: Int = 2): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("n_bytes", length(col("text")).cast("long"))
+      // empty payloads emit NO frames (Spark's `div` truncates toward
+      // zero, so (0-1) div 64 = 0 would fabricate a frame; the Dataset
+      // face and DuckDB's flooring `//` both emit nothing)
+      .filter(col("n_bytes") > 0)
       .withColumn("frame_idx",
         explode(sequence(lit(0L), expr(s"(n_bytes - 1) div $FrameBytes"), lit(every.toLong))))
       .withColumn("frame_text",

@@ -351,22 +351,30 @@ object TextOps {
     * pairwise similarity into "keep one document per cluster". Iterative
     * min-label propagation on DataFrames: each round joins labels to the
     * symmetric edge list and takes the per-node min (one shuffle per
-    * round). Rounds are FIXED (6) so the plan is static and replayable;
-    * near-dup components are shallow (dups of a common source), so the
-    * propagation converges well inside that — the spec asserts a 7th
-    * round changes nothing. At larger diameters the standard large-star/
-    * small-star alternation drops convergence to O(log n) rounds with
-    * the same per-round shape. */
+    * round). Convergence is DETECTED, not assumed: labels only ever
+    * decrease, so sum(root) strictly decreases until the fixpoint — one
+    * cheap aggregate on the per-round checkpoint decides termination,
+    * and exhausting the round budget raises instead of silently emitting
+    * wrong labels. Near-dup components are shallow (dups of a common
+    * source); at larger diameters the standard large-star/small-star
+    * alternation drops convergence to O(log n) rounds with the same
+    * per-round shape. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val edges = ngramJaccardPairsAll(spark, dir)
       .filter(col("jaccard") >= 0.5)
-      .select("d1", "d2").cache()
+      .select("d1", "d2")
     // the symmetric edge list is read every round — materialize it once
     val sym = edges.union(edges.select(col("d2").as("d1"), col("d1").as("d2")))
       .localCheckpoint(true)
     var labels = sym.select(col("d1").as("id")).distinct()
       .withColumn("root", col("id"))
-    for (_ <- 1 to 6) {
+      .localCheckpoint(true)
+    def labelSum(): Long =
+      labels.agg(sum(col("root"))).head().getLong(0)
+    var prevSum = labelSum()
+    var converged = false
+    val maxRounds = 12
+    for (round <- 1 to maxRounds if !converged) {
       val viaNbr = sym.join(labels, sym("d2") === labels("id"))
         .select(sym("d1").as("id"), col("root"))
       // localCheckpoint per round: without it the lineage doubles every
@@ -375,6 +383,13 @@ object TextOps {
       // algorithms
       labels = labels.union(viaNbr).groupBy("id").agg(min("root").as("root"))
         .localCheckpoint(true)
+      val s = labelSum()
+      converged = s == prevSum
+      prevSum = s
+      if (round == maxRounds && !converged)
+        throw new IllegalStateException(
+          s"dedupClusters did not converge in $maxRounds rounds — component " +
+            "radius exceeds the budget; switch to large-star/small-star")
     }
     labels
       .select(col("id").as("doc_id"), col("root").as("cluster_id"))

@@ -67,10 +67,11 @@ class PlanShapeSpec extends SparkSpec {
     "shared cached normalized view") {
     val p = plan(EmbeddingOps.cosineTopK(spark, sf()))
     assert(p.contains("Broadcast"), "query side must broadcast")
-    // both sides read the cached (vec_id, v, dot_self) artifact — the
-    // interpreted fold-dot normalization must not recompute per side
-    assert(p.contains("InMemoryTableScan"),
-      s"normalized view must be the cached artifact:\n$p")
+    // BOTH sides must read the cached (vec_id, v, dot_self) artifact —
+    // if either side's plan stops matching the cached plan, the
+    // interpreted fold-dot normalization recomputes per row on that side
+    assert(countIn(p, "InMemoryTableScan") >= 2,
+      s"both join sides must hit the cached normalized view:\n$p")
   }
 
   test("embedding near-dup joins on the LSH bucket key — no cross join") {
