@@ -379,6 +379,23 @@ SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(SUM(value_c) AS BIGINT) / 1e2 AS sum_value
 FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    "dq_report" ->
+      """WITH wide AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS quantity_in_1_50,
+    CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1e-1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_in_0_0p1,
+    CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_domain,
+    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderkey_not_null
+  FROM lineitem)
+SELECT rule, n_rows, violations, violations = 0 AS pass FROM (
+  SELECT 'discount_in_0_0p1' AS rule, n_rows, discount_in_0_0p1 AS violations FROM wide
+  UNION ALL SELECT 'orderkey_not_null', n_rows, orderkey_not_null FROM wide
+  UNION ALL SELECT 'price_positive', n_rows, price_positive FROM wide
+  UNION ALL SELECT 'quantity_in_1_50', n_rows, quantity_in_1_50 FROM wide
+  UNION ALL SELECT 'returnflag_domain', n_rows, returnflag_domain FROM wide)
+ORDER BY rule""",
+
     "grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
   CAST(count(*) AS BIGINT) AS n,

@@ -76,6 +76,8 @@ object SparkEntry {
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
     "approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
+    "hll_daily_merge" -> ((s, d) => Relational.hllDailyMerge(s, d)),
+    "dq_report" -> ((s, d) => Relational.dqReport(s, d)),
     // --- LLM-data-pipeline tier: text analysis ---
     "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
     "doc_top_tokens" -> ((s, d) => TextOps.topTokensSalted(s, d)),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -314,6 +314,48 @@ object Relational {
         (expr("approx_percentile(cents, 0.9, 10000)") / 100.0).as("p90_price"),
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
+
+  /** MERGEABLE sketch rollup — the incremental-aggregation pattern a
+    * 100 TB history table forces: per-day HLL sketches (DataSketches,
+    * stored once per day in production) UNION into any larger window
+    * without rescanning the raw data. The query materializes the daily
+    * sketches and merges them; the spec checks the merged estimate
+    * against the exact distinct count. No oracle — sketch bytes are
+    * engine-specific (same rule as approx_distinct). */
+  def hllDailyMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      .groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct_users"))
+  }
+
+  /** DATA-QUALITY expectations report — the validation gate a training
+    * pipeline runs before accepting a new data drop: each rule is a
+    * violation predicate, all rules evaluate in ONE scan (conditional
+    * sums), and the report is one row per rule. Counts are BIGINT so
+    * the oracle is bit-exact. */
+  def dqReport(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rules: Seq[(String, Column)] = Seq(
+      "quantity_in_1_50" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+      "price_positive" -> (col("l_extendedprice") <= 0),
+      "discount_in_0_0p1" -> (col("l_discount") < 0 || col("l_discount") > 0.1),
+      "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+      "orderkey_not_null" -> col("l_orderkey").isNull)
+    val wide = li.agg(
+      count(lit(1)).as("n_rows"),
+      rules.map { case (name, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(name)
+      }: _*)
+    wide.unpivot(Array(col("n_rows")),
+        rules.map { case (n, _) => col(n) }.toArray, "rule", "violations")
+      .withColumn("pass", (col("violations") === 0L).cast("boolean"))
+      .select("rule", "n_rows", "violations", "pass")
+      .orderBy("rule")
+  }
 
   /** As-of join — the canonical stream-correlation operator Spark lacks
     * natively (DuckDB has ASOF JOIN; our oracle uses it). Implemented

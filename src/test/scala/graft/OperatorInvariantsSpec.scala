@@ -85,6 +85,16 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("merged daily HLL sketches track the exact all-time distinct count") {
+    val r = Relational.hllDailyMerge(spark, d).head()
+    val merged = r.getLong(1)
+    val exact = Tables.events(spark, d)
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    assert(r.getLong(0) > 1, "need >1 daily sketch for the merge to mean anything")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"merged sketch estimate $merged too far from exact $exact")
+  }
+
   test("sessions are gap-consistent: no intra-session gap >= 30min, " +
     "consecutive sessions separated by >= 30min") {
     val s = Relational.sessionize(spark, d).collect()
