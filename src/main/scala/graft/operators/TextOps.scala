@@ -201,7 +201,11 @@ object TextOps {
     * carries a per-chunk md5 so chunk-level exact dedup can chain on it
     * with the same slim-shuffle shape as dedupExact. */
   def chunk(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsPar(spark, dir)
+    chunkFrame(Tables.documentsPar(spark, dir))
+
+  /** chunking over any frame with (doc_id, text) — the testable core */
+  def chunkFrame(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
