@@ -115,7 +115,7 @@ object EmbeddingOps {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
     // struct sort on (-score, cid): score desc, ties -> lowest centroid id
-    val ranked = sort_array(array(cents.map { case (cid, cv, cdot) =>
+    val ranked = sort_array(array(cents.toIndexedSeq.map { case (cid, cv, cdot) =>
       val d = dot(col("v"), typedLit(cv))
       struct((-(d - lit(0.5) * lit(cdot))).as("ns"), lit(cid).as("cid"))
     }: _*))
