@@ -1,0 +1,37 @@
+package graft
+
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL entry point: register every test-data table as a temp view plus
+  * graft's custom functions, so a SQL-first user drives the whole
+  * engine through `spark.sql` — the interface a reference user switches
+  * to with zero DataFrame code.
+  *
+  * Views are zero-copy plan aliases (no materialization); predicate
+  * pushdown, pruning, and every Catalyst optimization apply exactly as
+  * through the DataFrame API. Production would register the same names
+  * in a real metastore catalog with `saveAsTable`/external locations —
+  * the query surface is identical.
+  */
+object GraftCatalog {
+
+  val tableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Register all tables of `dir` as temp views + the custom functions.
+    * Idempotent; re-registering repoints the views at a new dir. */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    tableNames.foreach { name =>
+      val df =
+        if (name == "events") Tables.events(spark, dir)
+        else Tables.table(spark, dir, name)
+      df.createOrReplaceTempView(name)
+    }
+    GraftFunctions.register(spark)
+  }
+
+  /** Run SQL against the registered views. */
+  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+}
