@@ -1,7 +1,7 @@
 package graft
 
 import graft.plans.GraftFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /** SQL entry point: register every test-data table as a temp view plus
   * graft's custom functions, so a SQL-first user drives the whole
@@ -24,14 +24,17 @@ object GraftCatalog {
     * Idempotent; re-registering repoints the views at a new dir. */
   def registerAll(spark: SparkSession, dir: String): Unit = {
     tableNames.foreach { name =>
-      val df =
-        if (name == "events") Tables.events(spark, dir)
-        else Tables.table(spark, dir, name)
+      val df = name match {
+        case "events" => Tables.events(spark, dir) // nanos-ts handling
+        // single-file CPU-bound tables get the documented repartition so
+        // SQL users' interpreted expressions (graft_trigrams etc.) run
+        // parallel, not on one input split
+        case "documents" => Tables.documentsPar(spark, dir)
+        case "embeddings" => Tables.embeddingsPar(spark, dir)
+        case _ => Tables.table(spark, dir, name)
+      }
       df.createOrReplaceTempView(name)
     }
     GraftFunctions.register(spark)
   }
-
-  /** Run SQL against the registered views. */
-  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
 }

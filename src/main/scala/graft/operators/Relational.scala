@@ -352,7 +352,7 @@ object Relational {
       }: _*)
     wide.unpivot(Array(col("n_rows")),
         rules.map { case (n, _) => col(n) }.toArray, "rule", "violations")
-      .withColumn("pass", (col("violations") === 0L).cast("boolean"))
+      .withColumn("pass", col("violations") === 0L)
       .select("rule", "n_rows", "violations", "pass")
       .orderBy("rule")
   }

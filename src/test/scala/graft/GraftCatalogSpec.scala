@@ -6,7 +6,7 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("registered views answer SQL with pushdown intact") {
     GraftCatalog.registerAll(spark, sf())
-    val df = GraftCatalog.sql(spark,
+    val df = spark.sql(
       """SELECT r_name, count(1) AS n
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
@@ -23,7 +23,7 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("custom functions are callable from SQL") {
     GraftCatalog.registerAll(spark, sf())
-    val n = GraftCatalog.sql(spark,
+    val n = spark.sql(
       """SELECT doc_id, size(graft_trigrams(split(text, ' '))) AS n_shingles
          FROM documents WHERE doc_id < 10""").collect()
     assert(n.length == 10)
@@ -32,7 +32,7 @@ class GraftCatalogSpec extends SparkSpec {
 
   test("events view carries the nanos-timestamp handling") {
     GraftCatalog.registerAll(spark, sf())
-    val r = GraftCatalog.sql(spark,
+    val r = spark.sql(
       "SELECT count(1) AS n FROM events WHERE ts IS NOT NULL").head()
     assert(r.getLong(0) > 0, "events must be readable through the view")
   }
