@@ -54,6 +54,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    Artifacts.unpersistAll()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

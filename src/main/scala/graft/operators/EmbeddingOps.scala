@@ -39,10 +39,10 @@ object EmbeddingOps {
     * materialization per dir — exactly the normalized-embedding artifact
     * a production vector pipeline writes once and reuses. */
   private def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), vecD(col("embedding")).as("v"))
-      .withColumn("dot_self", dot(col("v"), col("v")))
-      .filter(col("dot_self") > 0.0)
-      .cache()
+    graft.Artifacts.shared(
+      df.select(col("vec_id"), vecD(col("embedding")).as("v"))
+        .withColumn("dot_self", dot(col("v"), col("v")))
+        .filter(col("dot_self") > 0.0))
 
   /** Brute-force cosine top-5 for query vectors vec_id < 5. The tiny
     * query side is broadcast; candidates stream through in one scan —
@@ -172,9 +172,9 @@ object EmbeddingOps {
     * Top-100 by (sim desc, d1, d2) keeps the output deterministic. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     // bucket assignment cached: both join sides are this same frame
-    val e = withNorm(Tables.embeddingsPar(spark, dir))
-      .withColumn("bucket", lshBucket(col("v")))
-      .cache()
+    val e = graft.Artifacts.shared(
+      withNorm(Tables.embeddingsPar(spark, dir))
+        .withColumn("bucket", lshBucket(col("v"))))
     val a = e.select(col("bucket"), col("vec_id").as("d1"), col("v").as("v1"),
       col("dot_self").as("n1"))
     val b = e.select(col("bucket"), col("vec_id").as("d2"), col("v").as("v2"),

@@ -72,12 +72,11 @@ object MinHashOps {
     // both verify sides — uncached, the scan + single-pass shingle
     // derivation (the query's dominant CPU) would run three times. This
     // is the shingle table a production sweep materializes once.
-    val docsGrams = Tables.documentsPar(spark, dir)
+    val docsGrams = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
       .withColumn("toks", TextOps.tokens)
       .select(col("doc_id"), col("lang"),
         GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
-      .filter(size(col("grams")) > 0)
-      .cache()
+      .filter(size(col("grams")) > 0))
     val docs = docsGrams
       .withColumn("sig", GraftFunctions.graftMinhash(spark, "grams"))
       .withColumn("bands", bandHashes(col("sig")))

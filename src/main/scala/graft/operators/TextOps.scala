@@ -237,14 +237,13 @@ object TextOps {
     // the interpreted trigram derivation — the dominant CPU cost (the
     // production shape materializes this postings table once as an
     // artifact; text bodies never enter it)
-    val exploded = Tables.documentsPar(spark, dir)
+    val exploded = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
       .select(col("doc_id"), GraftFunctions.graftTrigrams(spark, "toks").as("grams"),
         (sampleBucket === 0).as("is_eval"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .select(col("doc_id"), col("is_eval"), col("n_grams"),
-        explode(col("grams")).as("gram"))
-      .cache()
+        explode(col("grams")).as("gram")))
     val evalGrams = exploded.filter(col("is_eval"))
       .select(col("gram")).distinct()
     val train = exploded.filter(!col("is_eval"))
@@ -274,10 +273,9 @@ object TextOps {
     // frequency aggregation and the scoring join — without the cache the
     // scan + tokenization run twice (the artifact a production pipeline
     // materializes once)
-    val tok = Tables.documentsPar(spark, dir)
+    val tok = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
-      .select(col("doc_id"), explode(col("toks")).as("token"))
-      .cache()
+      .select(col("doc_id"), explode(col("toks")).as("token")))
     val freq = tok.groupBy("token").agg(count(lit(1)).as("freq"))
     tok.join(freq, "token")
       .groupBy("doc_id")

@@ -93,10 +93,20 @@ object JdbcSource {
           bStmt.setLong(7, r.occurredAtMs)
           bStmt.executeUpdate()
           inserted += 1
+          // successful record: the savepoint is no longer needed — release
+          // it so a long partition doesn't accumulate one per row
+          conn.releaseSavepoint(sp)
         } catch {
           // duplicate idempotency key: the ON CONFLICT DO NOTHING twin —
-          // roll back this record only, keep the batch transaction alive
-          case _: java.sql.SQLIntegrityConstraintViolationException =>
+          // roll back this record only, keep the batch transaction alive.
+          // Matched by SQLState, not exception subclass: Derby raises
+          // SQLIntegrityConstraintViolationException but PostgreSQL's
+          // driver raises a plain SQLException subclass with state 23505,
+          // so the class-based catch would abort the whole partition txn
+          // on the production target. SQLState class 23 = integrity
+          // constraint violation in both (ANSI).
+          case e: java.sql.SQLException
+              if Option(e.getSQLState).exists(_.startsWith("23")) =>
             conn.rollback(sp)
         }
       }

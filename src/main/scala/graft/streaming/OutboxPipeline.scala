@@ -116,14 +116,19 @@ object OutboxPipeline {
       maxRestarts: Int = 3, backoffMs: Long = 5000L): Int = {
     var restarts = 0
     while (true) {
-      val q = start()
+      // start() runs INSIDE the try: a failure while (re)constructing the
+      // query from the checkpoint — the exact crash-restart scenario this
+      // policy exists for — must consume a restart and back off too, not
+      // escape the loop.
+      var q: StreamingQuery = null
       try {
+        q = start()
         q.processAllAvailable()
         q.stop()
         return restarts
       } catch {
         case e: Throwable =>
-          try q.stop() catch { case _: Throwable => () }
+          if (q != null) { try q.stop() catch { case _: Throwable => () } }
           if (restarts >= maxRestarts) throw e
           restarts += 1
           Thread.sleep(backoffMs)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class DedupClustersSpec extends SparkSpec {
 
   test("cluster labels: root is a member, edges never cross clusters, " +
-    "and a 7th round changes nothing") {
+    "and an explicit extra propagation round is a no-op") {
     val clusters = TextOps.dedupClusters(spark, sf())
     val labels = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.nonEmpty, "corpus must contain >=1 near-dup cluster")
@@ -27,6 +27,17 @@ class DedupClustersSpec extends SparkSpec {
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
     edges.foreach { case (a, b) =>
       assert(labels(a) == labels(b), s"edge ($a,$b) crosses clusters — not converged")
+    }
+    // explicit extra round: one more min-label propagation over the
+    // symmetric edge list must change nothing (the literal fixpoint the
+    // operator's convergence detection claims)
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    val nbrMin = sym.groupBy(_._1).map { case (id, es) =>
+      id -> es.map(e => labels(e._2)).min
+    }
+    labels.foreach { case (id, root) =>
+      val next = math.min(root, nbrMin.getOrElse(id, root))
+      assert(next == root, s"extra round would relabel $id: $root -> $next")
     }
   }
 }
