@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through verbatim instead of routing
+// it through sbt's logger: the driver contract parses Bench's one JSON
+// line from stdout, and the default LoggedOutput "[info] " prefix broke
+// that parse in rounds 1-2 (BENCH_r0x.json "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -664,6 +664,21 @@ reach(id, r) AS (
 SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY 1 ORDER BY 1""",
 
+    // dedupClustersLS computes the SAME labels by a different algorithm
+    // (large-star/small-star instead of propagation) — one ground truth
+    // serves both, so a divergence between the two Spark paths surfaces
+    // as an oracle failure on exactly one of them.
+    "dedup_clusters_ls" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+edges AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 5e-1),
+sym AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges),
+reach(id, r) AS (
+  SELECT d1, d1 FROM sym
+  UNION
+  SELECT s.d2, r.r FROM reach r JOIN sym s ON s.d1 = r.id)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY 1 ORDER BY 1""",
+
     "emb_cosine_topk" ->
       s"""WITH e AS (
   SELECT vec_id, embedding, $dotSelfSql AS dot_self

@@ -94,6 +94,7 @@ object SparkEntry {
     "doc_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
+    "dedup_clusters_ls" -> ((s, d) => TextOps.dedupClustersLS(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashOps.minhashLshPairs(s, d)),
     "doc_simhash" -> ((s, d) => MinHashOps.simhash(s, d)),
     // --- similarity search ---

@@ -397,4 +397,18 @@ object TextOps {
       .select(col("id").as("doc_id"), col("root").as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  /** The same clusters via LARGE-STAR/SMALL-STAR alternation
+    * (ConnectedComponents) — the O(log n)-round scale path for deep
+    * components, where plain propagation above would need one shuffle
+    * round per hop of component radius. Identical output (min doc_id
+    * per component), identical oracle. */
+  def dedupClustersLS(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccardPairsAll(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2")
+    ConnectedComponents.labels(edges)
+      .select(col("id").as("doc_id"), col("root").as("cluster_id"))
+      .orderBy("doc_id")
+  }
 }
