@@ -151,6 +151,24 @@ orders_out AS (
       list_transform(range(1, len($tokensExpr) - 1),
         i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END)"""
 
+  /** twin of TextOps.contamination AND contaminationBloom (bit-identical
+    * results by construction — the bloom is only a pre-shuffle cut) */
+  private val contaminationSql: String =
+    s"""WITH docs AS (
+  SELECT doc_id, $gramsExpr AS grams,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 = 0 AS is_eval
+  FROM documents),
+d2 AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n_grams, is_eval FROM docs),
+ev AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM d2 WHERE is_eval)),
+tr AS (SELECT doc_id, n_grams, unnest(grams) AS gram FROM d2 WHERE NOT is_eval),
+hits AS (
+  SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_hits
+  FROM tr JOIN ev USING (gram) GROUP BY 1, 2)
+SELECT doc_id, n_grams, n_hits,
+  CAST(n_hits AS DOUBLE) / n_grams AS contamination
+FROM hits WHERE CAST(n_hits AS DOUBLE) / n_grams >= 25e-2
+ORDER BY contamination DESC, doc_id"""
+
   /** twin of TextOps.ngramJaccardPairsAll (no presentation cut) — shared
     * by dedup_ngram_jaccard and the dedup_clusters edge derivation */
   private val jaccardPairsSql: String =
@@ -592,21 +610,13 @@ SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
   array_to_string(list_slice(toks, 1 + 8 * k, 8 * k + 16), ' ') AS chunk_text
 FROM c ORDER BY doc_id, chunk_id""",
 
-    "doc_contamination" ->
-      s"""WITH docs AS (
-  SELECT doc_id, $gramsExpr AS grams,
-    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 = 0 AS is_eval
-  FROM documents),
-d2 AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS n_grams, is_eval FROM docs),
-ev AS (SELECT DISTINCT gram FROM (SELECT unnest(grams) AS gram FROM d2 WHERE is_eval)),
-tr AS (SELECT doc_id, n_grams, unnest(grams) AS gram FROM d2 WHERE NOT is_eval),
-hits AS (
-  SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_hits
-  FROM tr JOIN ev USING (gram) GROUP BY 1, 2)
-SELECT doc_id, n_grams, n_hits,
-  CAST(n_hits AS DOUBLE) / n_grams AS contamination
-FROM hits WHERE CAST(n_hits AS DOUBLE) / n_grams >= 25e-2
-ORDER BY contamination DESC, doc_id""",
+    "doc_contamination" -> contaminationSql,
+
+    // contaminationBloom's bloom stage is a pure pre-shuffle reduction
+    // verified by the exact join, so the ground truth is the same query
+    // — any false positive the bloom let through (or true hit it
+    // wrongly dropped) would surface as an oracle mismatch here.
+    "doc_decontam_bloom" -> contaminationSql,
 
     "doc_rarity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokensExpr) AS token FROM documents),

@@ -86,6 +86,7 @@ object SparkEntry {
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "doc_chunk" -> ((s, d) => TextOps.chunk(s, d)),
     "doc_contamination" -> ((s, d) => TextOps.contamination(s, d)),
+    "doc_decontam_bloom" -> ((s, d) => TextOps.contaminationBloom(s, d)),
     "doc_rarity" -> ((s, d) => TextOps.rarity(s, d)),
     "doc_pivot" -> ((s, d) => TextOps.pivotSourceLang(s, d)),
     // --- dedup ---

@@ -232,29 +232,69 @@ object TextOps {
     * that shuffles. AQE broadcasts the eval-gram set outright when the
     * benchmark is small (the common case). */
   def contamination(spark: SparkSession, dir: String): DataFrame = {
-    // one derivation of the (slim) exploded posting rows, CACHED: the
-    // eval and train branches would otherwise each re-run the scan and
-    // the interpreted trigram derivation — the dominant CPU cost (the
-    // production shape materializes this postings table once as an
-    // artifact; text bodies never enter it)
-    val exploded = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
+    val exploded = contamPostings(spark, dir)
+    val evalGrams = exploded.filter(col("is_eval"))
+      .select(col("gram")).distinct()
+    val train = exploded.filter(!col("is_eval"))
+      .select(col("doc_id"), col("n_grams"), col("gram"))
+    contamScore(train.join(evalGrams, "gram"))
+  }
+
+  /** One derivation of the (slim) exploded posting rows, CACHED: the
+    * eval and train branches (of BOTH contamination variants) would
+    * otherwise each re-run the scan and the interpreted trigram
+    * derivation — the dominant CPU cost (the production shape
+    * materializes this postings table once as an artifact; text bodies
+    * never enter it). */
+  private[graft] def contamPostings(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.shared(Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
       .select(col("doc_id"), GraftFunctions.graftTrigrams(spark, "toks").as("grams"),
         (sampleBucket === 0).as("is_eval"))
       .withColumn("n_grams", size(col("grams")).cast("long"))
       .select(col("doc_id"), col("is_eval"), col("n_grams"),
         explode(col("grams")).as("gram")))
-    val evalGrams = exploded.filter(col("is_eval"))
-      .select(col("gram")).distinct()
-    val train = exploded.filter(!col("is_eval"))
-      .select(col("doc_id"), col("n_grams"), col("gram"))
-    train.join(evalGrams, "gram")
-      .groupBy("doc_id", "n_grams")
+
+  /** Shared tail of both contamination variants: per-doc hit aggregation
+    * and the ≥25% contamination cut. */
+  private def contamScore(hits: DataFrame): DataFrame =
+    hits.groupBy("doc_id", "n_grams")
       .agg(count(lit(1)).as("n_hits"))
       .withColumn("contamination", col("n_hits").cast("double") / col("n_grams"))
       .filter(col("contamination") >= 0.25)
       .select("doc_id", "n_grams", "n_hits", "contamination")
       .orderBy(col("contamination").desc, col("doc_id"))
+
+  /** Decontamination with a BLOOM-FILTER semi-join reduction — the
+    * 100 TB shape for when the eval-gram set outgrows a broadcast HASH
+    * relation but its BITS still fit everywhere: ~1.2 bytes/gram at 1%
+    * fpp (vs tens of bytes per hash-table entry), so a 10^9-gram eval
+    * split rides to every executor as ~1.2 GB of bits and the bloom
+    * drops ~99% of clean train postings BEFORE the shuffle. The exact
+    * equi-join then verifies only the surviving candidates, removing
+    * bloom false positives — the result is bit-identical to
+    * `contamination` (same oracle), only the pre-shuffle volume changes.
+    *
+    * This is the one deliberate UDF in the library: `might_contain` has
+    * no public Column-level form (Spark keeps BloomFilterAggregate /
+    * BloomFilterMightContain internal to its runtime join-pruning rule,
+    * InjectRuntimeFilter), and `DataFrameStatFunctions.bloomFilter` +
+    * a broadcast is the documented public pattern. The UDF sits on the
+    * already-slim postings (one string column), not in a per-row hot
+    * loop over text. */
+  def contaminationBloom(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = contamPostings(spark, dir)
+    val evalGrams = exploded.filter(col("is_eval"))
+      .select(col("gram")).distinct()
+    val nEval = evalGrams.count() // one cheap job over the cached artifact
+    val bloom = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bc.value.mightContainString(g))
+    val train = exploded.filter(!col("is_eval"))
+      .select(col("doc_id"), col("n_grams"), col("gram"))
+    contamScore(
+      train.filter(mightContain(col("gram"))) // bloom pre-filter (≥99% cut)
+        .join(evalGrams, "gram")) // exact verify removes false positives
   }
 
   /** Token-RARITY scoring — the perplexity-filter stand-in (CCNet-style):

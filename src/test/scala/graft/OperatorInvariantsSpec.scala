@@ -173,6 +173,30 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(recall > 0.0, "IVF found nothing the exact ranking has")
   }
 
+  test("bloom decontamination: bit-identical to the exact path, and the " +
+    "bloom actually cuts the pre-shuffle postings volume") {
+    val exact = TextOps.contamination(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bloomed = TextOps.contaminationBloom(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(bloomed.sameElements(exact),
+      "bloom pre-filter changed the verified result")
+    // selectivity: rebuild the same bloom over the same postings artifact
+    // and measure the cut directly — the point of the variant is that
+    // most clean train postings die BEFORE the shuffle
+    val exploded = TextOps.contamPostings(spark, d)
+    val evalGrams = exploded.filter(col("is_eval")).select("gram").distinct()
+    val bloom = evalGrams.stat.bloomFilter("gram",
+      math.max(evalGrams.count(), 1L), 0.01)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mc = udf((g: String) => bc.value.mightContainString(g))
+    val train = exploded.filter(!col("is_eval"))
+    val total = train.count()
+    val kept = train.filter(mc(col("gram"))).count()
+    info(f"bloom kept $kept of $total train postings (${kept * 100.0 / total}%.1f%%)")
+    assert(kept < total, "bloom filtered nothing — no pre-shuffle reduction")
+  }
+
   test("generator: deterministic and fully parseable") {
     val g1 = SignalGen.batch(spark, 500).collect().map(_.getString(0))
     val g2 = SignalGen.batch(spark, 500).collect().map(_.getString(0))
