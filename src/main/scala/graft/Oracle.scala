@@ -179,11 +179,12 @@ d2 AS (
   FROM docs WHERE len(grams) > 0),
 e0 AS (SELECT doc_id, lang, n_grams, unnest(grams) AS gram FROM d2),
 e AS (
-  -- df-cap twin: the Spark postings list is sliced to its first 1000
-  -- docs per (lang, gram), ordered by doc_id — pairs only form among
-  -- those (load-bearing at scale; a no-op below the cap)
+  -- df-cut twin: (lang, gram) groups with more than 1000 postings are
+  -- stopword-grams — Spark DROPS them entirely (two-pass df-cut,
+  -- TextOps.dfCut) before pairing; a no-op below the cap at test SFs,
+  -- load-bearing at 100 TB. The two caps MUST move together.
   SELECT doc_id, lang, n_grams, gram FROM e0
-  QUALIFY row_number() OVER (PARTITION BY lang, gram ORDER BY doc_id) <= 1000),
+  QUALIFY count(*) OVER (PARTITION BY lang, gram) <= 1000),
 p AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_grams AS n1, b.n_grams AS n2,
     CAST(count(*) AS BIGINT) AS common
@@ -730,8 +731,14 @@ ORDER BY sim DESC, d1, d2 LIMIT 100""",
 d2 AS (SELECT * FROM docs WHERE len(grams) > 0),
 sigs AS (SELECT doc_id, lang, grams, $sigElems AS sig FROM d2),
 bands AS (SELECT doc_id, lang, $bandElems AS bands FROM sigs),
-e AS (SELECT doc_id, lang, unnest(bands) AS band_hash,
+e0 AS (SELECT doc_id, lang, unnest(bands) AS band_hash,
         generate_subscripts(bands, 1) AS band_idx FROM bands),
+e AS (
+  -- df-cut twin of TextOps.dfCut on the band buckets: a bucket shared
+  -- by more than 1000 docs is dropped before pairing (no-op below the
+  -- cap at test SFs). The two caps MUST move together.
+  SELECT doc_id, lang, band_hash, band_idx FROM e0
+  QUALIFY count(*) OVER (PARTITION BY lang, band_idx, band_hash) <= 1000),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
   FROM e a JOIN e b ON a.lang = b.lang AND a.band_idx = b.band_idx

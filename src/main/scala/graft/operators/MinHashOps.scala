@@ -67,12 +67,18 @@ object MinHashOps {
     * LSH-surfaced pair that verification confirms. MinHashRecallSpec
     * measures recall on this stage so the limit can't mask (or fake)
     * a candidate-generation miss. */
-  def minhashLshPairsAll(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairsAll(spark: SparkSession, dir: String): DataFrame =
+    minhashLshPairsFrame(spark, Tables.documentsPar(spark, dir), TextOps.DfCap)
+
+  /** The pipeline over any (doc_id, lang, text) frame — the testable
+    * core (DfCutSpec drives it with a planted hot bucket + small cap). */
+  private[graft] def minhashLshPairsFrame(
+      spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
     // (doc_id, lang, grams) is CACHED: it feeds candidate generation AND
     // both verify sides — uncached, the scan + single-pass shingle
     // derivation (the query's dominant CPU) would run three times. This
     // is the shingle table a production sweep materializes once.
-    val docsGrams = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
+    val docsGrams = graft.Artifacts.shared(docsIn
       .withColumn("toks", TextOps.tokens)
       .select(col("doc_id"), col("lang"),
         GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
@@ -85,15 +91,24 @@ object MinHashOps {
     // the same stage re-enters the interpreted expression chain per
     // emitted row (measured 10×: 46 s vs 4 s at sf0.1). The literal
     // generator keeps the computed column as a plain carried attribute.
-    val exploded = docs
+    // The slim (doc_id, lang, band_idx, band_hash) frame is itself
+    // CACHED: the df-cut's count pass and the pair pass both read it,
+    // and the K-permutation minhash signature behind it is the
+    // expensive part.
+    val exploded = graft.Artifacts.shared(docs
       .select(col("doc_id"), col("lang"),
         explode(array((0 until Bands).map(lit(_)): _*)).as("band_idx"),
         col("bands"))
       .withColumn("band_hash", element_at(col("bands"), col("band_idx") + 1))
-      .drop("bands")
-    // postings per bucket → pairs, df-capped like ngramJaccardPairs
-    val cand = exploded.groupBy("lang", "band_idx", "band_hash")
-      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 1000).as("ds"))
+      .drop("bands"))
+    // postings per bucket → pairs; hot buckets (a degenerate band value
+    // shared by >dfCap docs) are DROPPED by the two-pass df-cut before
+    // the collect, bounding the aggregation buffer (VERDICT r3 defect
+    // #1) — same cut, same cap, and same oracle twin as
+    // TextOps.ngramJaccardPairsFrame.
+    val cand = TextOps.dfCut(exploded, Seq("lang", "band_idx", "band_hash"), dfCap)
+      .groupBy("lang", "band_idx", "band_hash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
       .select(GraftFunctions.graftPairsGen(spark, "ds"))
       .select(col("l").as("d1"), col("r").as("d2"))

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{MinHashOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** The two-pass df-cut behind the postings-pair pattern (VERDICT r3
+  * defect #1): groups hotter than the cap must be DROPPED before the
+  * collect_list, so no reducer ever buffers a stopword-gram's full
+  * postings list. Plants a 5000-df gram and asserts (a) the aggregation
+  * input is bounded by the cap, (b) pair output is identical to a
+  * corpus that never contained the hot gram, (c) drop — not truncate —
+  * semantics, and (d) the same cut on the MinHash band buckets. */
+class DfCutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 5000 docs sharing one gram ("alpha beta gamma", df=5000) plus 6
+    * genuine near-dups sharing a 10-token phrase (per-pair common=8
+    * kept grams). */
+  private def hotCorpus(hotPhrase: Boolean) = {
+    val hotDocs = (0L until 5000L).map { i =>
+      val head = if (hotPhrase) "alpha beta gamma" else s"a$i b$i c$i"
+      (i, "en", s"$head u$i v$i w$i")
+    }
+    val nearDups = (0 until 6).map { j =>
+      (100000L + j, "en", (0 until 10).map(k => s"p$k").mkString(" ") + s" s$j t$j")
+    }
+    (hotDocs ++ nearDups).toDF("doc_id", "lang", "text")
+  }
+
+  test("dfCut: a 5000-df group is dropped, kept groups are bounded by " +
+    "the cap and untouched") {
+    val postings = hotCorpus(hotPhrase = true)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.wordTrigrams(col("toks"))).as("gram"))
+    val kept = TextOps.dfCut(postings, Seq("lang", "gram"), 1000)
+    val sizes = kept.groupBy("lang", "gram").agg(count(lit(1)).as("df"))
+    val maxDf = sizes.agg(max("df")).head().getLong(0)
+    assert(maxDf <= 1000, s"kept group of size $maxDf exceeds the cap")
+    assert(kept.filter(col("gram") === "alpha beta gamma").count() == 0,
+      "the hot gram must be dropped entirely")
+    // every sub-cap posting row survives verbatim
+    val dropped = postings.count() - kept.count()
+    assert(dropped == 5000L, s"exactly the 5000 hot postings drop, got $dropped")
+  }
+
+  test("ngram pairs: output with a planted 5000-df gram is identical to " +
+    "the corpus without it, and matches a driver-side reference") {
+    val withHot = TextOps.ngramJaccardPairsFrame(spark, hotCorpus(true), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    val without = TextOps.ngramJaccardPairsFrame(spark, hotCorpus(false), 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(withHot == without,
+      "dropping the hot gram must make the hot corpus indistinguishable")
+
+    // independent reference: postings map over kept grams, driver-side
+    val docs = hotCorpus(true).collect()
+      .map(r => r.getLong(0) -> r.getString(2).split(" ").sliding(3)
+        .map(_.mkString(" ")).toSet)
+    val df = docs.flatMap { case (_, gs) => gs }.groupBy(identity).map {
+      case (g, o) => g -> o.length
+    }
+    val nGrams = docs.map { case (id, gs) => id -> gs.size.toLong }.toMap
+    val byKeptGram = docs
+      .flatMap { case (id, gs) => gs.filter(df(_) <= 1000).map(_ -> id) }
+      .groupBy(_._1).values.map(_.map(_._2).sorted.toSeq)
+    val commonCount = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for (ds <- byKeptGram; Seq(a, b) <- ds.combinations(2))
+      commonCount((a, b)) += 1
+    val expected = commonCount.toSeq.map { case ((a, b), common) =>
+      val (n1, n2) = (nGrams(a), nGrams(b))
+      (a, b, common, n1, n2, common.toDouble / (n1 + n2 - common))
+    }.toSet
+    assert(withHot == expected, s"got ${withHot.size} pairs, " +
+      s"expected ${expected.size} (the 15 near-dup pairs)")
+    assert(expected.size == 15 && expected.forall(_._3 == 8L))
+  }
+
+  test("drop semantics, not truncate: when every shared gram is hot, " +
+    "no pairs form at all") {
+    val nearDups = (0 until 6).map { j =>
+      (j.toLong, "en", (0 until 10).map(k => s"p$k").mkString(" ") + s" s$j t$j")
+    }.toDF("doc_id", "lang", "text")
+    // cap=5 < 6 docs: all 8 shared grams are hot → dropped → zero pairs
+    // (the old slice-truncation would still emit C(5,2) pairs)
+    assert(TextOps.ngramJaccardPairsFrame(spark, nearDups, 5).count() == 0)
+    // cap=6: nothing is hot → the full 15 pairs return
+    assert(TextOps.ngramJaccardPairsFrame(spark, nearDups, 6).count() == 15)
+  }
+
+  test("minhash LSH: a band bucket hotter than the cap is dropped; " +
+    "sub-cap buckets still pair") {
+    val hot = (0L until 12L).map { i =>
+      (i, "en", (0 until 10).map(k => s"m$k").mkString(" "))
+    }
+    val dup = Seq(
+      (100L, "en", (0 until 10).map(k => s"z$k").mkString(" ")),
+      (101L, "en", (0 until 10).map(k => s"z$k").mkString(" ")))
+    val corpus = (hot ++ dup).toDF("doc_id", "lang", "text")
+    // cap=10: the 12 identical docs share every band bucket (df=12>10,
+    // dropped); the z-pair's buckets have df=2 and survive
+    val cut = MinHashOps.minhashLshPairsFrame(spark, corpus, 10)
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cut == Set((100L, 101L, 1.0)), s"got $cut")
+    // default cap: no bucket is hot → 12-clique (66 pairs) + the z-pair
+    val full = MinHashOps.minhashLshPairsFrame(spark, corpus, TextOps.DfCap)
+    assert(full.count() == 67)
+  }
+}
