@@ -3,10 +3,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one JSON line per run (driver contract).
   *
-  * Protocol (hardened in round 2 per VERDICT.md "What's wrong" #1-2):
+  * Protocol (hardened in round 2 per VERDICT.md "What's wrong" #1-2,
+  * extended in round 4 per VERDICT r3 "What's wrong" #2):
   *  - every query runs REPS times (default 3, env SPARK_GRAFT_REPS) and
   *    reports the MEDIAN — a single GC pause / first-touch page-in no
   *    longer fabricates a 20× outlier (round 1's cdc_outbox_route);
+  *  - the warmup pass over the whole suite is itself TIMED and reported
+  *    as `cold_value`/`cold_queries` in the same JSON line: each query's
+  *    very first execution in the JVM, including codegen compile, JIT,
+  *    first-touch page-in and shared-artifact builds (so artifact-heavy
+  *    queries like minhash/contamination show their build cost there,
+  *    and round-over-round comparisons no longer confound warmup
+  *    protocol with plan changes). The warm medians that follow measure
+  *    steady state, the production regime where artifacts are
+  *    materialized once;
   *  - a query that throws is recorded in an "errors" map (name → message)
   *    and the process exits nonzero — failures can no longer hide as
   *    near-zero timings.
@@ -22,18 +32,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup pass over the WHOLE suite: each distinct plan pays
-    // its codegen compile + JIT + first-touch page-in exactly once, and
-    // shared cached artifacts materialize before any clock starts. Round
+    // Timed cold pass = the warmup: each distinct plan pays its codegen
+    // compile + JIT + first-touch page-in exactly once, and shared
+    // cached artifacts materialize here — measured, not hidden. Round
     // 1-2 driver runs showed the first handful of queries in map order
-    // carrying 5-18x their steady-state time — a run-order artifact, not
-    // a plan property; warm timing measures the queries, not the JVM.
-    // (Disable with SPARK_GRAFT_WARMUP=0 to measure cold-start instead.)
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () } // errors re-surface in timed reps
-      }
+    // carrying 5-18x their steady-state time — a run-order artifact the
+    // warm medians below exclude. Cold numbers are per-JVM-first-run:
+    // later queries in map order benefit from generic JIT warmth, as any
+    // sequential production run would. (SPARK_GRAFT_WARMUP=0 skips the
+    // pass; warm reps then start cold and cold_* fields report -1.)
+    val cold: Map[String, Double] =
+      if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+        SparkEntry.queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            name -> (System.nanoTime() - t0) / 1e9
+          } catch { // errors re-surface in timed reps
+            case _: Throwable => name -> -1.0
+          }
+        }
+      else Map.empty
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -57,10 +76,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val coldQs = SparkEntry.queries.keys
+      .map(k => s"\"" + k + "\":" + cold.getOrElse(k, -1.0))
+      .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
+    val coldTotal = if (cold.isEmpty) -1.0 else cold.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_value":$coldTotal,"cold_queries":$coldQs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}""")
     Artifacts.unpersistAll()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
