@@ -12,16 +12,46 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (SURVEY §7.5(6)): the reference multiplies the qty basis by
   * `Random.nextDouble(0.9, 1.1)` (DecisionMaker.kt:123) — quarantined to a
-  * fixed 1.0 factor in test mode so hashes are reproducible; live mode can
-  * re-enable via `rand(seed)`.
+  * fixed 1.0 factor in test mode so hashes are reproducible; `Mode` below
+  * is the live switch that re-enables it.
   */
 object Decide {
+
+  /** Execution-mode switch for the reference's nondeterministic faces
+    * (VERDICT r3 missing #3). Three regimes:
+    *  - [[Mode.Test]] (the default everywhere, and what every oracle
+    *    query runs in): all faces quarantined deterministic — qty factor
+    *    1.0, decision_id = md5(business key), decided_at = window close.
+    *  - [[Mode.liveSeeded]]: the reference's randomized qty factor
+    *    (DecisionMaker.kt:123, `Random.nextDouble(0.9, 1.1)`) via
+    *    `rand(seed)` — a run is reproducible given the seed and
+    *    partitioning, and id/timestamp stay business-key-derived so a
+    *    seeded run's replays remain idempotent.
+    *  - [[Mode.Live]]: full production nondeterminism — `rand()`,
+    *    `uuid()` (TradingDecision.kt:11) and wall-clock
+    *    `current_timestamp()` (kt:20). Replays are NOT idempotent in
+    *    this regime — exactly why the order path keys on
+    *    client_order_id, never decision_id (OrderOps scaladoc). */
+  case class Mode(live: Boolean, seed: Option[Long] = None)
+  object Mode {
+    val Test: Mode = Mode(live = false, seed = Some(0L))
+    def liveSeeded(k: Long): Mode = Mode(live = true, seed = Some(k))
+    val Live: Mode = Mode(live = true, seed = None)
+  }
+
+  /** The qty factor face: 1.0 quarantined, `rand ∈ [0.9, 1.1)` live —
+    * the uniform-range twin of DecisionMaker.kt:123. */
+  private[graft] def qtyFactor(m: Mode): Column =
+    if (!m.live) lit(1.0)
+    else m.seed.map(rand(_)).getOrElse(rand()) * lit(0.2) + lit(0.9)
 
   /** D2 rule cascade + D3 confidence + D5 suggested price/qty + reason.
     * The slim record — no nested signals list; the streaming pipeline and
     * the order sink consume this shape. */
-  def decisions(events: DataFrame): DataFrame =
-    fromAgg(WindowAgg.windowAgg(events))
+  def decisions(events: DataFrame): DataFrame = decisions(events, Mode.Test)
+
+  def decisions(events: DataFrame, m: Mode): DataFrame =
+    fromAgg(WindowAgg.windowAgg(events), m)
       .select("w_start", "symbol", "action", "confidence",
         "suggested_price", "suggested_qty", "reason", "signal_count", "balance")
 
@@ -36,10 +66,20 @@ object Decide {
     *  - `decided_at_ms`: the reference's `timestamp = Instant.now()`
     *    quarantined to the window close instant. */
   def decisionsNested(events: DataFrame): DataFrame =
-    fromAgg(WindowAgg.windowAgg(events, withSignals = true))
+    decisionsNested(events, Mode.Test)
+
+  def decisionsNested(events: DataFrame, m: Mode): DataFrame =
+    fromAgg(WindowAgg.windowAgg(events, withSignals = true), m)
       .withColumn("decision_id",
-        md5(concat(lit("DEC-"), col("w_start"), lit("-"), col("symbol")).cast("binary")))
-      .withColumn("decided_at_ms", col("w_start") + lit(SignalOps.WindowMs))
+        // fully-live regime: the reference's `id = UUID.randomUUID()`
+        // (TradingDecision.kt:11); seeded/test: the replay-stable
+        // business-key id
+        if (m.live && m.seed.isEmpty) expr("uuid()")
+        else md5(concat(lit("DEC-"), col("w_start"), lit("-"), col("symbol")).cast("binary")))
+      .withColumn("decided_at_ms",
+        // fully-live regime: wall clock (TradingDecision.kt:20)
+        if (m.live && m.seed.isEmpty) unix_millis(current_timestamp())
+        else col("w_start") + lit(SignalOps.WindowMs))
       .select("w_start", "symbol", "decision_id", "action", "confidence",
         "suggested_price", "suggested_qty", "reason", "signal_count",
         "balance", "signals", "decided_at_ms")
@@ -69,7 +109,15 @@ object Decide {
     * by the batch path above and the streaming pipeline
     * (graft.streaming.SignalStream), one logical definition for both
     * execution modes. */
-  def fromAgg(w: DataFrame): DataFrame = {
+  def fromAgg(w: DataFrame): DataFrame = fromAgg(w, Mode.Test)
+
+  def fromAgg(w: DataFrame, m: Mode): DataFrame =
+    fromAggFactor(w, qtyFactor(m))
+
+  /** The mode-independent body over an explicit qty factor column —
+    * test mode IS the live path with the factor pinned to 1.0
+    * (LiveModeSpec asserts that identity bit-exactly). */
+  private[graft] def fromAggFactor(w: DataFrame, factor: Column): DataFrame = {
     val action =
       when(col("balance") > 5, "STRONG_BUY")
         .when(col("balance") > 2, "BUY")
@@ -92,10 +140,12 @@ object Decide {
       .withColumn("price_adj", priceAdj)
       .withColumn("confidence", when(col("action") === "HOLD", 0.5).otherwise(conf))
       .withColumn("suggested_price", col("avg_price") * col("price_adj"))
-      // D4/D5: floor-truncate qty to 4 dp (DecisionMaker.kt:124); 0.0 on HOLD
+      // D4/D5: qty factor (1.0 quarantined / rand[0.9,1.1) live,
+      // DecisionMaker.kt:123), then floor-truncate to 4 dp (kt:124);
+      // 0.0 on HOLD
       .withColumn("suggested_qty",
         when(col("action") === "HOLD", 0.0)
-          .otherwise(floor(col("qty_basis") * 10000.0) / 10000.0))
+          .otherwise(floor(col("qty_basis") * factor * 10000.0) / 10000.0))
       .withColumn("reason",
         when(col("action").isin("STRONG_BUY", "STRONG_SELL"),
           when(col("alignment") > 0.8, "ALIGNED_SIGNALS").otherwise("MOMENTUM_SHIFT"))
