@@ -218,13 +218,36 @@ FROM q2 ORDER BY doc_id"""
 
   private val dotSelfSql = dotSql("embedding", "embedding")
 
-  /** twin of EmbeddingOps.lshBucket — six unrolled hyperplane dots */
-  private def bucketSql(emb: String): String = (0 until 6).map { j =>
-    val dotJ = s"list_reduce(list_transform(range(0, 64), " +
-      s"i -> (((1103515245 * (CAST($j AS BIGINT) * 64 + i) + 12345) % 65536) / 65536e0 - 5e-1)" +
-      s" * CAST($emb[i + 1] AS DOUBLE)), (x, y) -> x + y)"
-    s"(CASE WHEN $dotJ >= 0e0 THEN ${1L << j} ELSE 0 END)"
+  /** twin of EmbeddingOps.lshBucket with the N-DERIVED bit width
+    * (EmbeddingOps.defaultBits): 16 unrolled plane terms, each gated by
+    * `j < bits`, where `bits` comes from the nb CTE below — the same
+    * ⌈log2(N/8)⌉ the Spark side computes, so the two stay in lockstep
+    * at every SF. The plane weights are the Spark side's OWN
+    * splitmix64-grid integers (EmbeddingOps.planeWeightInt) embedded as
+    * literals: k/65536 - 0.5 is exactly representable, so both engines
+    * land on the identical double. */
+  private def planeWeightsSql(j: Int): String =
+    (0 until 64).map(i =>
+      s"${graft.operators.EmbeddingOps.planeWeightInt(j, i)} / 65536e0 - 5e-1")
+      .mkString("[", ", ", "]")
+
+  private def bucketSql(emb: String): String = (0 until 16).map { j =>
+    val dotJ = s"list_reduce(list_transform(range(1, 65), " +
+      s"i -> list_extract(${planeWeightsSql(j)}, i)" +
+      s" * CAST($emb[i] AS DOUBLE)), (x, y) -> x + y)"
+    s"(CASE WHEN $j < bits AND $dotJ >= 0e0 THEN ${1L << j} ELSE 0 END)"
   }.mkString("CAST(", " + ", " AS BIGINT)")
+
+  /** shared CTE prologue of the two LSH queries: normalized set →
+    * N-derived bit width → bucketed set */
+  private val lshCtes: String =
+    s"""e0 AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self
+  FROM embeddings WHERE $dotSelfSql > 0e0),
+nb AS (SELECT GREATEST(1, LEAST(16,
+    CAST(ceil(log2(CAST(count(*) AS DOUBLE) / 8)) AS INT))) AS bits FROM e0),
+e AS (SELECT vec_id, embedding, dot_self, ${bucketSql("embedding")} AS bucket
+  FROM e0, nb)"""
 
   val sql: Map[String, String] = Map(
 
@@ -704,10 +727,7 @@ SELECT q_id, vec_id,
 FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""",
 
     "emb_cosine_neardup" ->
-      s"""WITH e AS (
-  SELECT vec_id, embedding, $dotSelfSql AS dot_self,
-    ${bucketSql("embedding")} AS bucket
-  FROM embeddings WHERE $dotSelfSql > 0e0)
+      s"""WITH $lshCtes
 SELECT a.vec_id AS d1, b.vec_id AS d2,
   ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) AS sim
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -767,10 +787,7 @@ FROM documents ORDER BY doc_id"""
     },
 
     "emb_ann_lsh" ->
-      s"""WITH e AS (
-  SELECT vec_id, embedding, $dotSelfSql AS dot_self,
-    ${bucketSql("embedding")} AS bucket
-  FROM embeddings WHERE $dotSelfSql > 0e0),
+      s"""WITH $lshCtes,
 q AS (SELECT vec_id AS q_id, embedding AS qemb, dot_self AS q_dot, bucket FROM e WHERE vec_id < 5),
 sims AS (
   SELECT q.q_id, e.bucket, e.vec_id,
