@@ -37,6 +37,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[MinHashSignature].getName, "graft_minhash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSignature(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pairs_gen"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PairsGenerator].getName, "graft_pairs_gen"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PairsGenerator(exprs.head)))
   }
 }
 
