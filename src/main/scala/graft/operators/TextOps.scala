@@ -393,9 +393,17 @@ object TextOps {
       .limit(100)
 
   /** The scored pair set WITHOUT the presentation top-k — the edge
-    * source for dedupClusters and the recall baseline. */
+    * source for dedupClusters and the recall baseline. CACHED as a
+    * shared artifact: three queries consume it (the top-100 pair
+    * report and both cluster algorithms), and with the two-pass df-cut
+    * the uncached pipeline would run the count pass + anti-join +
+    * pair aggregation once per consumer. The pair set is bounded by
+    * construction (≤ dfCap²/2 pairs per kept group), the same scored-
+    * edge artifact a production dedup sweep materializes before
+    * clustering. */
   def ngramJaccardPairsAll(spark: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairsFrame(spark, Tables.documentsPar(spark, dir), DfCap)
+    graft.Artifacts.shared(
+      ngramJaccardPairsFrame(spark, Tables.documentsPar(spark, dir), DfCap))
 
   /** The pair pipeline over any (doc_id, lang, text) frame — the
     * testable core (DfCutSpec feeds planted-hot-gram corpora through it
