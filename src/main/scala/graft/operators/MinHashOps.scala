@@ -74,15 +74,14 @@ object MinHashOps {
     * core (DfCutSpec drives it with a planted hot bucket + small cap). */
   private[graft] def minhashLshPairsFrame(
       spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
-    // (doc_id, lang, grams) is CACHED: it feeds candidate generation AND
-    // both verify sides — uncached, the scan + single-pass shingle
-    // derivation (the query's dominant CPU) would run three times. This
-    // is the shingle table a production sweep materializes once.
-    val docsGrams = graft.Artifacts.shared(docsIn
-      .withColumn("toks", TextOps.tokens)
-      .select(col("doc_id"), col("lang"),
-        GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
-      .filter(size(col("grams")) > 0))
+    // (doc_id, lang, grams) comes from the SHARED shingle artifact
+    // (TextOps.gramsTable — one cache serves jaccard, clusters,
+    // contamination and this pipeline): it feeds candidate generation
+    // AND both verify sides. The size filter sits ABOVE the cache so it
+    // evaluates against the materialized grams column, not re-deriving
+    // the shingle expression inside the scan.
+    val docsGrams = TextOps.gramsTable(spark, docsIn)
+      .filter(size(col("grams")) > 0)
     val docs = docsGrams
       .withColumn("sig", GraftFunctions.graftMinhash(spark, "grams"))
       .withColumn("bands", bandHashes(col("sig")))

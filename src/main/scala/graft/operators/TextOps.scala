@@ -240,20 +240,31 @@ object TextOps {
     contamScore(train.join(evalGrams, "gram"))
   }
 
-  /** One derivation of the (slim) exploded posting rows, CACHED: the
-    * eval and train branches (of BOTH contamination variants) would
-    * otherwise each re-run the scan and the interpreted trigram
-    * derivation — the dominant CPU cost (the production shape
-    * materializes this postings table once as an artifact; text bodies
-    * never enter it). */
-  private[graft] def contamPostings(spark: SparkSession, dir: String): DataFrame =
-    graft.Artifacts.shared(Tables.documentsPar(spark, dir)
+  /** THE corpus shingle artifact (doc_id, lang, grams), CACHED — the
+    * one materialization of the interpreted trigram derivation (the
+    * dominant CPU cost of every gram-consuming query) shared by n-gram
+    * Jaccard, MinHash/LSH, both cluster algorithms, and both
+    * contamination variants. The cache boundary sits directly ABOVE the
+    * derivation on purpose: downstream explodes/filters then hit the
+    * materialized grams column instead of being constraint-pushed into
+    * the parquet scan, where Spark's inferred `size(trigrams(...)) > 0`
+    * predicate would evaluate the CodegenFallback expression a second
+    * time per row during the build (observed in the executed plan —
+    * PlanProbe prints the skeleton). */
+  private[graft] def gramsTable(spark: SparkSession, docsIn: DataFrame): DataFrame =
+    graft.Artifacts.shared(docsIn
       .withColumn("toks", tokens)
-      .select(col("doc_id"), GraftFunctions.graftTrigrams(spark, "toks").as("grams"),
-        (sampleBucket === 0).as("is_eval"))
+      .select(col("doc_id"), col("lang"),
+        GraftFunctions.graftTrigrams(spark, "toks").as("grams")))
+
+  /** The (slim) exploded posting rows of both contamination variants,
+    * derived from the shared shingle artifact (explode + a md5 bucket
+    * bit are cheap against the cache; text bodies never enter it). */
+  private[graft] def contamPostings(spark: SparkSession, dir: String): DataFrame =
+    gramsTable(spark, Tables.documentsPar(spark, dir))
       .withColumn("n_grams", size(col("grams")).cast("long"))
-      .select(col("doc_id"), col("is_eval"), col("n_grams"),
-        explode(col("grams")).as("gram")))
+      .select(col("doc_id"), (sampleBucket === 0).as("is_eval"),
+        col("n_grams"), explode(col("grams")).as("gram"))
 
   /** Shared tail of both contamination variants: per-doc hit aggregation
     * and the ≥25% contamination cut. */
@@ -410,21 +421,15 @@ object TextOps {
     * with a small cap). */
   private[graft] def ngramJaccardPairsFrame(
       spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
-    val docs = docsIn
-      .withColumn("toks", tokens)
-      .select(col("doc_id"), col("lang"),
-        GraftFunctions.graftTrigrams(spark, "toks").as("grams"))
+    // no size>0 filter: explode already drops empty-gram docs. The
+    // postings derive from the SHARED shingle artifact (gramsTable):
+    // the df-count pass and the pair pass each re-explode the cached
+    // grams column — cheap against the cache, vs re-running the
+    // interpreted shingle derivation per pass.
+    val e = gramsTable(spark, docsIn)
       .withColumn("n_grams", size(col("grams")).cast("long"))
-    // no size>0 filter: explode already drops empty-gram docs, and an
-    // explicit filter would be pushed below the projection, re-deriving
-    // the (interpreted) shingle expression per row.
-    // The slim exploded postings are CACHED: they feed the df-count pass
-    // AND the pair pass (and all three dedup_* queries share one plan →
-    // one cache entry) — uncached, the scan + interpreted shingle
-    // derivation (the dominant CPU) would run once per pass. This is the
-    // postings artifact a production sweep materializes once.
-    val e = graft.Artifacts.shared(docs.select(col("doc_id"), col("lang"),
-      col("n_grams"), explode(col("grams")).as("gram")))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        explode(col("grams")).as("gram"))
     // Pairs WITHOUT a self-join: group the postings list per shingle and
     // emit its pairs directly — the shingle derivation runs once (a
     // self-join would evaluate it per side), and one exchange on
