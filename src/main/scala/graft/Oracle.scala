@@ -249,7 +249,7 @@ nb AS (SELECT GREATEST(1, LEAST(16,
 e AS (SELECT vec_id, embedding, dot_self, ${bucketSql("embedding")} AS bucket
   FROM e0, nb)"""
 
-  val sql: Map[String, String] = Map(
+  private val sqlBase: Map[String, String] = Map(
 
     "sig_parse_enrich" ->
       s"""WITH $signalsCte
@@ -850,4 +850,41 @@ FROM f ORDER BY doc_id, frame_idx""",
   md5(substr(text, 1, 128)) AS resized_md5
 FROM documents ORDER BY doc_id"""
   )
+
+  /** non-distinct trigram list — twin of TextOps.wordTrigramsAll */
+  private val gramsAllExpr: String =
+    s"""CASE WHEN len($tokensExpr) < 3 THEN [] ELSE
+      list_transform(range(1, len($tokensExpr) - 1),
+        i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END"""
+
+  /** Composed queries REUSE the verified base SQL as subqueries, so the
+    * curation decision's twin is built from the same text as the four
+    * signal twins it joins — one definition per signal, no drift. */
+  val sql: Map[String, String] = sqlBase ++ Map(
+
+    "doc_repetition" ->
+      s"""WITH g AS (
+  SELECT doc_id, unnest($gramsAllExpr) AS gram FROM documents),
+c AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_grams,
+    CAST(count(*) AS BIGINT) AS distinct_grams,
+    CAST(max(cnt) AS BIGINT) AS top_gram_cnt
+  FROM c GROUP BY 1)
+SELECT doc_id, total_grams, distinct_grams, top_gram_cnt,
+  1e0 - CAST(distinct_grams AS DOUBLE) / total_grams AS dup_ratio,
+  CAST(top_gram_cnt AS DOUBLE) / total_grams AS top_gram_frac
+FROM a ORDER BY doc_id""",
+
+    "doc_curate" ->
+      s"""WITH q AS (SELECT doc_id, quality FROM (${sqlBase("doc_quality")})),
+l AS (SELECT doc_id, match_label FROM (${sqlBase("doc_lang_id")})),
+dd AS (SELECT doc_id, is_dup FROM (${sqlBase("dedup_exact")})),
+ct AS (SELECT doc_id, TRUE AS contaminated FROM (${sqlBase("doc_contamination")}))
+SELECT q.doc_id, quality, match_label, is_dup,
+  COALESCE(contaminated, FALSE) AS contaminated,
+  quality >= 5e-1 AND match_label AND NOT is_dup
+    AND NOT COALESCE(contaminated, FALSE) AS keep
+FROM q JOIN l USING (doc_id) JOIN dd USING (doc_id)
+LEFT JOIN ct USING (doc_id) ORDER BY doc_id""")
 }

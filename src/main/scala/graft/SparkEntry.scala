@@ -89,6 +89,8 @@ object SparkEntry {
     "doc_decontam_bloom" -> ((s, d) => TextOps.contaminationBloom(s, d)),
     "doc_rarity" -> ((s, d) => TextOps.rarity(s, d)),
     "doc_pivot" -> ((s, d) => TextOps.pivotSourceLang(s, d)),
+    "doc_repetition" -> ((s, d) => TextOps.repetition(s, d)),
+    "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_canonical" -> ((s, d) => TextOps.dedupCanonical(s, d)),

@@ -186,6 +186,66 @@ object TextOps {
       .limit(50)
   }
 
+  /** Non-distinct word-trigram list — repetition signals need the
+    * multiplicity that wordTrigrams' set semantics throw away. */
+  def wordTrigramsAll(t: Column): Column =
+    when(size(t) < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  /** Within-document REPETITION signals — the Gopher-style quality
+    * filters a pre-training pipeline cuts on: duplicate-trigram ratio
+    * (1 - distinct/total) and the most-frequent trigram's share of all
+    * trigram occurrences. Docs shorter than 3 tokens have no trigrams
+    * and drop out. Two aggregations on compact keys — (doc_id, gram)
+    * then doc_id — all counts integer (order-independent, bit-exact);
+    * the two ratios derive from them in single divisions. The hot-key
+    * risk of a groupBy(gram) does NOT exist here: grouping is by
+    * (doc_id, gram), so a corpus-frequent gram spreads over its
+    * documents. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), explode(wordTrigramsAll(col("toks"))).as("gram"))
+    g.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("total_grams"),
+        count(lit(1)).as("distinct_grams"),
+        max("cnt").as("top_gram_cnt"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("distinct_grams").cast("double") / col("total_grams"))
+      .withColumn("top_gram_frac",
+        col("top_gram_cnt").cast("double") / col("total_grams"))
+      .select("doc_id", "total_grams", "distinct_grams", "top_gram_cnt",
+        "dup_ratio", "top_gram_frac")
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus CURATION — the composed keep/drop decision that
+    * actually builds the training set: quality score ≥ 0.5, language-ID
+    * agreement, exact-dup keeper, and not benchmark-contaminated. Each
+    * signal is the already-verified operator; the composition is three
+    * equi-joins on doc_id plus one left join for the (small)
+    * contaminated set — every input is keyed by doc_id so AQE plans
+    * co-partitioned joins, and the threshold compares are safe
+    * cross-engine because each signal is bit-identical to its oracle
+    * twin by construction. */
+  def curate(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir).select(col("doc_id"), col("quality"))
+    val l = langId(spark, dir).select(col("doc_id"), col("match_label"))
+    val dd = dedupExact(spark, dir).select(col("doc_id"), col("is_dup"))
+    val contam = contamination(spark, dir)
+      .select(col("doc_id"), lit(true).as("contaminated"))
+    q.join(l, "doc_id").join(dd, "doc_id")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("keep",
+        col("quality") >= 0.5 && col("match_label")
+          && !col("is_dup") && !col("contaminated"))
+      .select("doc_id", "quality", "match_label", "is_dup", "contaminated", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Seeded hash bucket of a doc_id (0-9) — the deterministic sampling
     * key shared by sampleStratified and the contamination eval split. */
   private def sampleBucket: Column =

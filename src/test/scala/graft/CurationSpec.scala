@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Repetition signals and the composed curation decision. */
+class CurationSpec extends SparkSpec {
+
+  test("repetition: crafted doc yields exact counts; ratios stay in range") {
+    import spark.implicits._
+    // "a b a b a b": trigrams (a b a)(b a b)(a b a)(b a b) → total 4,
+    // distinct 2, top count 2 → dup_ratio 0.5, top_gram_frac 0.5
+    val one = Seq((1L, "en", "a b a b a b")).toDF("doc_id", "lang", "text")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(TextOps.wordTrigramsAll(col("toks"))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(sum("cnt").as("total"), count(lit(1)).as("dist"),
+        max("cnt").as("top"))
+      .head()
+    assert((one.getLong(1), one.getLong(2), one.getLong(3)) == (4L, 2L, 2L))
+
+    val r = TextOps.repetition(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (total, dist, top) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      val (dup, frac) = (row.getDouble(4), row.getDouble(5))
+      assert(dist >= 1 && dist <= total && top >= 1 && top <= total)
+      assert(dup >= 0.0 && dup < 1.0 && frac > 0.0 && frac <= 1.0)
+      assert(math.abs(dup - (1.0 - dist.toDouble / total)) == 0.0)
+    }
+  }
+
+  test("curate: keep is exactly the conjunction of its four signals") {
+    val c = TextOps.curate(spark, sf()).collect()
+    assert(c.nonEmpty)
+    c.foreach { row =>
+      val expect = row.getDouble(1) >= 0.5 && row.getBoolean(2) &&
+        !row.getBoolean(3) && !row.getBoolean(4)
+      assert(row.getBoolean(5) == expect, s"keep drift at doc ${row.getLong(0)}")
+    }
+    // the contaminated flag marks exactly the contamination query's docs
+    val flagged = c.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val contam = TextOps.contamination(spark, sf())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == contam)
+    // at least one doc is kept and at least one dropped (decision bites)
+    assert(c.exists(_.getBoolean(5)) && c.exists(!_.getBoolean(5)))
+  }
+}

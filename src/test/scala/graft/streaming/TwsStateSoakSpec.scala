@@ -15,7 +15,10 @@ import java.nio.file.Files
   * recorded in BASELINE.md. */
 class TwsStateSoakSpec extends SparkSpec {
 
-  private val N = 10000 // symbols per window
+  // symbols per window; env-scalable for the out-of-suite big soak
+  // (SPARK_GRAFT_SOAK_KEYS=333334 drives ~1M distinct keys; measured
+  // numbers recorded in BASELINE.md)
+  private val N = sys.env.getOrElse("SPARK_GRAFT_SOAK_KEYS", "10000").toInt
   private val W = TwsSignals.WindowMs
 
   private def windowRows(w: Long, n: Int): Seq[SigInput] =
@@ -74,8 +77,9 @@ class TwsStateSoakSpec extends SparkSpec {
       // keys (x3 rows, with slack) — NOT the 30k keys ever seen
       assert(lastTotal <= 1000L,
         s"state not bounded by the live window: $lastTotal rows resident")
-      // RocksDB on-disk/pinned footprint stays in the tens of MB
-      assert(sst + pinned < 256L * 1024 * 1024,
+      // RocksDB on-disk/pinned footprint stays proportional to keys,
+      // not unbounded (tens of MB at the default 10k/window)
+      assert(sst + pinned < math.max(256L * 1024 * 1024, 4096L * N),
         s"RocksDB footprint ${sst + pinned} bytes")
     } finally {
       prev match {
