@@ -823,6 +823,66 @@ SELECT q_id, cell, vec_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
 FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
 
+    // Twin of EmbeddingOps.annIvfRefined: one Lloyd step with the
+    // refinement mean computed INTEGER-EXACT (round(x·2^20) as BIGINT,
+    // order-independent integer sums, one fixed-order division) so both
+    // engines land on bit-identical refined centroids; empty cells keep
+    // their init centroid. c_dot re-derives via the same left fold the
+    // Spark side performs driver-side.
+    "emb_ann_ivf2" ->
+      s"""WITH e AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self
+  FROM embeddings WHERE $dotSelfSql > 0e0),
+c0 AS (SELECT vec_id AS c_id, embedding AS cemb, dot_self AS c_dot FROM e WHERE vec_id < 16),
+scored0 AS (
+  SELECT e.vec_id, c.c_id,
+    ${dotSql("e.embedding", "c.cemb")} - 5e-1 * c.c_dot AS score
+  FROM e CROSS JOIN c0 c),
+assign0 AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS crn
+  FROM scored0),
+cell0 AS (SELECT vec_id, c_id AS cell FROM assign0 WHERE crn = 1),
+dims AS (
+  SELECT cell,
+    generate_subscripts(e.embedding, 1) AS dim,
+    CAST(round(CAST(unnest(e.embedding) AS DOUBLE) * 1048576e0) AS BIGINT) AS q
+  FROM cell0 JOIN e USING (vec_id)),
+cm AS (
+  SELECT cell, dim, CAST(sum(q) AS BIGINT) AS sq, CAST(count(*) AS BIGINT) AS n
+  FROM dims GROUP BY 1, 2),
+c1m AS (
+  SELECT cell, list(CAST(sq AS DOUBLE) / (n * 1048576e0) ORDER BY dim) AS cemb
+  FROM cm GROUP BY 1),
+c1 AS (
+  SELECT c0.c_id,
+    COALESCE(c1m.cemb, list_transform(c0.cemb, x -> CAST(x AS DOUBLE))) AS cemb
+  FROM c0 LEFT JOIN c1m ON c1m.cell = c0.c_id),
+c1d AS (
+  SELECT c_id, cemb,
+    list_reduce(list_transform(range(1, 65), i -> cemb[i] * cemb[i]), (x, y) -> x + y) AS c_dot
+  FROM c1),
+scored1 AS (
+  SELECT e.vec_id, c.c_id,
+    ${dotSql("e.embedding", "c.cemb")} - 5e-1 * c.c_dot AS score
+  FROM e CROSS JOIN c1d c),
+assign1 AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS crn
+  FROM scored1),
+cell AS (SELECT vec_id, c_id AS cell FROM assign1 WHERE crn = 1),
+qprobe AS (SELECT vec_id AS q_id, c_id AS probe FROM assign1 WHERE vec_id < 5 AND crn <= 2),
+sims AS (
+  SELECT q.q_id, ce.cell, ce.vec_id,
+    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) AS sim
+  FROM qprobe q
+  JOIN cell ce ON ce.cell = q.probe AND ce.vec_id <> q.q_id
+  JOIN e a ON a.vec_id = q.q_id
+  JOIN e b ON b.vec_id = ce.vec_id)
+SELECT q_id, cell, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
+FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
     "mm_media_meta" ->
       """SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

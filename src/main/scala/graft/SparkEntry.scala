@@ -105,6 +105,7 @@ object SparkEntry {
     "emb_cosine_neardup" -> ((s, d) => EmbeddingOps.cosineNearDup(s, d)),
     "emb_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
     "emb_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),
+    "emb_ann_ivf2" -> ((s, d) => EmbeddingOps.annIvfRefined(s, d)),
     "emb_quantize" -> ((s, d) => EmbeddingOps.quantize(s, d)),
     // --- multimodal plumbing ---
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMetaQuery(s, d)),

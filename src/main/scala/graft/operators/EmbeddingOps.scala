@@ -147,15 +147,28 @@ object EmbeddingOps {
     * custom Expression at production scale, like graft_minhash.) */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddingsPar(spark, dir))
-    val cents: Array[(Long, Seq[Double], Double)] = e.filter(col("vec_id") < 16)
+    ivfTail(e, initCentroids(e))
+  }
+
+  /** kmeans-lite init: the first 16 vectors as (cid, centroid, ‖c‖²). */
+  private def initCentroids(e: DataFrame): Seq[(Long, Seq[Double], Double)] =
+    e.filter(col("vec_id") < 16)
       .select(col("vec_id"), col("v"), col("dot_self")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-      .sortBy(_._1)
-    // struct sort on (-score, cid): score desc, ties -> lowest centroid id
-    val ranked = sort_array(array(cents.toIndexedSeq.map { case (cid, cv, cdot) =>
+      .sortBy(_._1).toIndexedSeq
+
+  /** struct sort on (-score, cid): score desc, ties -> lowest centroid
+    * id; score = dot(v, c) - ‖c‖²/2 ≡ argmin L2. */
+  private def ivfRank(cents: Seq[(Long, Seq[Double], Double)]): Column =
+    sort_array(array(cents.map { case (cid, cv, cdot) =>
       val d = dot(col("v"), typedLit(cv))
       struct((-(d - lit(0.5) * lit(cdot))).as("ns"), lit(cid).as("cid"))
     }: _*))
+
+  /** assignment → nprobe=2 probe → exact-cosine rank, shared by the
+    * init-only and Lloyd-refined variants. */
+  private def ivfTail(e: DataFrame, cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
+    val ranked = ivfRank(cents)
     val assigned = e.withColumn("cell", element_at(ranked, 1)("cid"))
       .withColumn("cell2", element_at(ranked, 2)("cid"))
     val q = assigned.filter(col("vec_id") < 5)
@@ -171,6 +184,48 @@ object EmbeddingOps {
       .filter(col("rn") <= 3)
       .select("q_id", "cell", "vec_id", "rn", "sim")
       .orderBy("q_id", "rn")
+  }
+
+  /** IVF with ONE Lloyd refinement iteration — the real index-build
+    * pattern (init → assign → re-center → re-assign), emb_ann_ivf2.
+    *
+    * The refinement mean is computed INTEGER-EXACT so the DuckDB twin
+    * lands on bit-identical centroids: each element is quantized to the
+    * 2^20 grid (round(x·2^20) as BIGINT), summed per (cell, dim) —
+    * integer sums are order-independent, immune to the partial-sum
+    * reordering that makes a naive distributed avg() of doubles
+    * nondeterministic — and divided once, in a fixed token order, into
+    * a double. Scale shape: the per-dim explode is N×64 slim rows with
+    * map-side partial sums into ≤ 16×64 groups; the 1024-row result is
+    * bounded driver state (same class as the init-centroid collect).
+    * Empty cells keep their init centroid. */
+  def annIvfRefined(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddingsPar(spark, dir))
+    val cents0 = initCentroids(e)
+    val assigned0 = e.withColumn("cell", element_at(ivfRank(cents0), 1)("cid"))
+    val sums = assigned0
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x") * lit(1048576.0)).cast("long"))
+      .groupBy("cell", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val cents1 = cents0.map { case (cid, cv, _) =>
+      val nv = sums.get(cid) match {
+        case Some(rows) =>
+          val arr = new Array[Double](cv.length)
+          rows.foreach { case (_, dim, sq, n) =>
+            arr(dim) = sq.toDouble / (n * 1048576.0)
+          }
+          arr.toIndexedSeq
+        case None => cv // empty cell: keep the init centroid
+      }
+      // same left fold the oracle's list_reduce performs (0.0+t1 == t1)
+      val cdot = nv.foldLeft(0.0)((a, x) => a + x * x)
+      (cid, nv, cdot)
+    }
+    ivfTail(e, cents1)
   }
 
   /** INT8 scalar QUANTIZATION of embeddings — the "compress the vector

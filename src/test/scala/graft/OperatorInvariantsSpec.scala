@@ -171,6 +171,18 @@ class OperatorInvariantsSpec extends SparkSpec {
     val recall = (exact & got).size.toDouble / exact.size
     info(f"IVF recall@3 vs exact: $recall%.2f")
     assert(recall > 0.0, "IVF found nothing the exact ranking has")
+
+    // Lloyd-refined variant: same structural invariants; recall must not
+    // collapse relative to the init-only index (re-centering can only
+    // tighten cells on this data — measured value logged)
+    val ivf2 = EmbeddingOps.annIvfRefined(spark, d).collect()
+    assert(ivf2.nonEmpty)
+    assert(ivf2.forall(r => r.getLong(0) != r.getLong(2)))
+    val got2 = ivf2.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall2 = (exact & got2).size.toDouble / exact.size
+    info(f"IVF+Lloyd recall@3 vs exact: $recall2%.2f")
+    assert(recall2 >= recall - 0.34,
+      f"one Lloyd step collapsed recall: $recall2%.2f vs $recall%.2f")
   }
 
   test("bloom decontamination: bit-identical to the exact path, and the " +
