@@ -936,6 +936,19 @@ SELECT doc_id, total_grams, distinct_grams, top_gram_cnt,
   CAST(top_gram_cnt AS DOUBLE) / total_grams AS top_gram_frac
 FROM a ORDER BY doc_id""",
 
+    "dedup_normalized" ->
+      s"""WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      ' +', ' ', 'g')) AS norm
+  FROM documents),
+s AS (SELECT doc_id, md5(norm) AS norm_fp,
+    CAST(length(norm) AS BIGINT) AS n_chars_norm FROM n)
+SELECT doc_id, norm_fp, n_chars_norm,
+  CAST(min(doc_id) OVER (PARTITION BY norm_fp) AS BIGINT) AS keeper_id,
+  doc_id <> min(doc_id) OVER (PARTITION BY norm_fp) AS is_dup
+FROM s ORDER BY doc_id""",
+
     "doc_curate" ->
       s"""WITH q AS (SELECT doc_id, quality FROM (${sqlBase("doc_quality")})),
 l AS (SELECT doc_id, match_label FROM (${sqlBase("doc_lang_id")})),

@@ -93,6 +93,7 @@ object SparkEntry {
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
+    "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),
     "dedup_canonical" -> ((s, d) => TextOps.dedupCanonical(s, d)),
     "doc_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),

@@ -156,6 +156,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** NORMALIZED dedup — the case/punctuation-insensitive pass a corpus
+    * pipeline runs beside exact dedup: lowercase, strip non-alnum,
+    * collapse runs of spaces, trim; keeper = min doc_id per normalized
+    * fingerprint. Same slim-shuffle shape as dedupExact: only
+    * (doc_id, 16-byte fp) rides the exchange, the normalization itself
+    * is per-row codegen'd regex work in the scan stage. (The DuckDB
+    * twin needs the 'g' flag — its regexp_replace is first-match-only
+    * by default, Spark's replaces all.) */
+  def dedupNormalized(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val slim = Tables.documents(spark, dir)
+      .withColumn("norm", norm)
+      .select(col("doc_id"), md5(col("norm").cast("binary")).as("norm_fp"),
+        length(col("norm")).cast("long").as("n_chars_norm"))
+    val w = Window.partitionBy("norm_fp")
+    slim.withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("is_dup", (col("doc_id") =!= col("keeper_id")).cast("boolean"))
+      .select("doc_id", "norm_fp", "n_chars_norm", "keeper_id", "is_dup")
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified sampling: hash-bucket each document on a
     * seeded md5 of its id and keep bucket 0 — a reproducible ~10% sample
     * per language with NO shuffle and no RNG state (the only sampling

@@ -30,6 +30,25 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("normalized dedup: case/punct variants collapse to one fingerprint; " +
+    "keeper invariants hold") {
+    import spark.implicits._
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    val got = Seq("Hello,  World!", "hello world", "HELLO-WORLD?", "different")
+      .toDF("text").select(norm.as("n")).collect().map(_.getString(0))
+    assert(got(0) == "hello world" && got(1) == "hello world",
+      "case + punctuation + space-run variants must normalize equal")
+    assert(got(2) == "helloworld", "stripped separator joins the words")
+    assert(got(3) == "different")
+    val r = TextOps.dedupNormalized(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(3) <= row.getLong(0), "keeper is the min doc_id")
+      assert(row.getBoolean(4) == (row.getLong(0) != row.getLong(3)))
+    }
+  }
+
   test("curate: keep is exactly the conjunction of its four signals") {
     val c = TextOps.curate(spark, sf()).collect()
     assert(c.nonEmpty)
