@@ -245,21 +245,49 @@ object TextOps {
 
   /** End-to-end corpus CURATION — the composed keep/drop decision that
     * actually builds the training set: quality score ≥ 0.5, language-ID
-    * agreement, exact-dup keeper, and not benchmark-contaminated. Each
-    * signal is the already-verified operator; the composition is three
-    * equi-joins on doc_id plus one left join for the (small)
-    * contaminated set — every input is keyed by doc_id so AQE plans
-    * co-partitioned joins, and the threshold compares are safe
-    * cross-engine because each signal is bit-identical to its oracle
-    * twin by construction. */
+    * agreement, exact-dup keeper, and not benchmark-contaminated.
+    *
+    * Plan shape (the one you'd want at 100 TB): the per-row signals
+    * (quality AND lang-ID, which share one tokenization) compute in a
+    * SINGLE scan of `documents`; exact-dup adds one slim window shuffle
+    * on the md5 fingerprint of the same rows (no second scan); only
+    * contamination — inherently a second derivation over the shared
+    * shingle artifact — joins in from outside, as a left join against
+    * its (small) flagged set. Naively joining the four public operators
+    * would scan the corpus four times and tokenize twice. Formulas are
+    * expression-identical to quality()/langId()/dedupExact(), so the
+    * oracle twin can keep REUSING those verified SQL texts. */
   def curate(spark: SparkSession, dir: String): DataFrame = {
-    val q = quality(spark, dir).select(col("doc_id"), col("quality"))
-    val l = langId(spark, dir).select(col("doc_id"), col("match_label"))
-    val dd = dedupExact(spark, dir).select(col("doc_id"), col("is_dup"))
+    val toksed = Tables.documentsPar(spark, dir).withColumn("toks", tokens)
+    // quality (formula of quality()) and lang-ID (argmax of langId())
+    // over the one materialized toks column
+    val scored = langMarkers.foldLeft(toksed) { case (df, (lang, markers)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("toks"), t => t.isin(markers.map(lit(_)): _*))).cast("long"))
+    }
+    val best = greatest(langMarkers.map { case (l, _) => col(s"s_$l") }: _*)
+    val predicted = langMarkers.foldRight(lit("und"): Column) {
+      case ((lang, _), acc) => when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+    }
+    val sig = scored
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin("the", "a"))).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens") / 100.0) * 0.5
+          + (lit(1.0) - col("stop_ratio")) * 0.3 + col("ttr") * 0.2)
+      .withColumn("match_label", (predicted === col("lang")).cast("boolean"))
+      .select(col("doc_id"), col("quality"), col("match_label"),
+        md5(col("text").cast("binary")).as("fp"))
+    val w = Window.partitionBy("fp")
+    val withDup = sig
+      .withColumn("is_dup", (col("doc_id") =!= min(col("doc_id")).over(w)).cast("boolean"))
     val contam = contamination(spark, dir)
       .select(col("doc_id"), lit(true).as("contaminated"))
-    q.join(l, "doc_id").join(dd, "doc_id")
-      .join(contam, Seq("doc_id"), "left")
+    withDup.join(contam, Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .withColumn("keep",
         col("quality") >= 0.5 && col("match_label")
