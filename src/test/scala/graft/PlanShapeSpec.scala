@@ -109,6 +109,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(countIn(p, "HashAggregate") >= 2, s"missing eval-side distinct:\n$p")
   }
 
+  test("normalized dedup: one scan, one hash exchange (the slim window)") {
+    val p = plan(TextOps.dedupNormalized(spark, sf()))
+    assert(countIn(p, "Scan parquet") == 1, "normalization must not re-scan")
+    assert(countIn(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly the fingerprint window exchange:\n$p")
+  }
+
+  test("repetition: every grouping is keyed by doc_id — a corpus-hot gram " +
+    "cannot concentrate on one reducer") {
+    val p = plan(TextOps.repetition(spark, sf()))
+    val parts = "hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.contains("doc_id")),
+      s"found a grouping without doc_id in its key: $parts")
+  }
+
   test("pivot with explicit values needs no extra distinct scan") {
     val p = plan(TextOps.pivotSourceLang(spark, sf()))
     // one scan of documents (an implicit pivot runs a whole extra job to
