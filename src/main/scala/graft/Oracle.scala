@@ -151,6 +151,18 @@ orders_out AS (
       list_transform(range(1, len($tokensExpr) - 1),
         i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END)"""
 
+  /** 16-bit simhash expression — twin of MinHashOps.simhashCol, shared
+    * by doc_simhash and dedup_simhash_pairs (declared before sqlBase:
+    * object vals initialize in declaration order) */
+  private val simhashBitsSql: String = {
+    val thash = "(CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))"
+    (0 until 16).map { b =>
+      val pow = 1L << b
+      s"(CASE WHEN CAST(list_sum(list_transform($tokensExpr, " +
+        s"t -> (($thash // $pow) % 2) * 2 - 1)) AS BIGINT) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** twin of TextOps.contamination AND contaminationBloom (bit-identical
     * results by construction — the bloom is only a pre-shuffle cut) */
   private val contaminationSql: String =
@@ -775,15 +787,35 @@ JOIN d2 g2 ON g2.doc_id = d2
 ORDER BY jaccard DESC, d1, d2 LIMIT 50"""
     },
 
-    "doc_simhash" -> {
-      val thash = "(CAST('0x' || substr(md5(t), 1, 7) AS BIGINT))"
-      val bits = (0 until 16).map { b =>
-        val pow = 1L << b
-        s"(CASE WHEN CAST(list_sum(list_transform($tokensExpr, " +
-          s"t -> (($thash // $pow) % 2) * 2 - 1)) AS BIGINT) > 0 THEN ${1L << b} ELSE 0 END)"
+    "doc_simhash" ->
+      s"""SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash16
+FROM documents ORDER BY doc_id""",
+
+    // Twin of MinHashOps.simhashPairs: 17 probe keys per doc (identity
+    // + every one-bit flip) cover all pairs within Hamming distance 2
+    // (a xor b = flip_a xor flip_b); hot probe buckets df-cut like every
+    // postings source; exact popcount verify via the same div/mod bit
+    // walk both engines share.
+    "dedup_simhash_pairs" -> {
+      val flips = (Seq(0L) ++ (0 until 16).map(b => 1L << b)).mkString("[", ", ", "]")
+      val pop = (0 until 16).map { b =>
+        s"((CAST(xor(sh1, sh2) AS BIGINT) // ${1L << b}) % 2)"
       }.mkString(" + ")
-      s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash16
-FROM documents ORDER BY doc_id"""
+      s"""WITH s AS (
+  SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sh FROM documents),
+p AS (SELECT doc_id, sh, unnest($flips) AS flip FROM s),
+pr AS (SELECT doc_id, CAST(xor(sh, flip) AS BIGINT) AS probe FROM p),
+e AS (
+  SELECT doc_id, probe FROM pr
+  QUALIFY count(*) OVER (PARTITION BY probe) <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM e a JOIN e b ON a.probe = b.probe AND a.doc_id < b.doc_id),
+v AS (
+  SELECT d1, d2, s1.sh AS sh1, s2.sh AS sh2
+  FROM cand JOIN s s1 ON s1.doc_id = d1 JOIN s s2 ON s2.doc_id = d2)
+SELECT d1, d2, sh1, sh2, CAST($pop AS BIGINT) AS hamming
+FROM v WHERE $pop <= 2 ORDER BY hamming, d1, d2 LIMIT 100"""
     },
 
     "emb_ann_lsh" ->

@@ -101,6 +101,7 @@ object SparkEntry {
     "dedup_clusters_ls" -> ((s, d) => TextOps.dedupClustersLS(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashOps.minhashLshPairs(s, d)),
     "doc_simhash" -> ((s, d) => MinHashOps.simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => MinHashOps.simhashPairs(s, d)),
     // --- similarity search ---
     "emb_cosine_topk" -> ((s, d) => EmbeddingOps.cosineTopK(s, d)),
     "emb_cosine_neardup" -> ((s, d) => EmbeddingOps.cosineNearDup(s, d)),

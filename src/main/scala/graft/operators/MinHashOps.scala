@@ -151,4 +151,63 @@ object MinHashOps {
       .withColumn("simhash16", simhashCol(col("thashes")))
       .select("doc_id", "simhash16")
       .orderBy("doc_id")
+
+  /** SimHash NEAR-DUP PAIRS — the Hamming-adjacent sweep the simhash
+    * scaladoc promises: every doc emits 17 probe keys (its simhash and
+    * all 16 one-bit flips), and two docs share a probe iff
+    * `a xor b = flip_a xor flip_b` — i.e. exactly the pairs within
+    * Hamming distance 2, found by equi-join on the compact probe key
+    * with NO doc×doc comparison. Hot probe buckets (a degenerate
+    * simhash value shared by >dfCap docs) drop via the same two-pass
+    * df-cut as every postings source; the exact popcount verify then
+    * keeps pairs at distance ≤ 2. Integer-only throughout — the oracle
+    * repeats it token-identically.
+    *
+    * Scale note (same lesson the LSH bit width taught): a 16-bit
+    * fingerprint keeps this presentation query consistent with
+    * doc_simhash, but total pair volume grows ~N²/2^16 — at sf0.1 the
+    * full set is already 1.6M pairs — so production widens the
+    * fingerprint with the corpus (64-bit simhash keeps expected
+    * collisions flat to ~10^9 docs); the df-cut bounds any single
+    * degenerate bucket either way, and the top-100 cut keeps the
+    * output stable at any SF. */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsFrame(spark, Tables.documentsPar(spark, dir), TextOps.DfCap)
+      .orderBy(col("hamming"), col("d1"), col("d2"))
+      .limit(100)
+
+  private[graft] def simhashPairsFrame(
+      spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
+    // (doc_id, simhash16) cached: probes AND both verify sides read it,
+    // and the 16-bit-vote fold over every token is the dominant cost
+    val sh = graft.Artifacts.shared(docsIn
+      .withColumn("toks", TextOps.tokens)
+      .withColumn("thashes", tokenHashes(col("toks")))
+      .select(col("doc_id"), simhashCol(col("thashes")).as("sh")))
+    val flips = array((Seq(0L) ++ (0 until 16).map(b => 1L << b)).map(lit(_)): _*)
+    val probes = sh
+      .select(col("doc_id"), col("sh"), explode(flips).as("flip"))
+      .select(col("doc_id"), col("sh").bitwiseXOR(col("flip")).as("probe"))
+    val cand = TextOps.dfCut(probes, Seq("probe"), dfCap)
+      .groupBy("probe")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+      .select(col("l").as("d1"), col("r").as("d2"))
+      .distinct()
+    val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))
+    val s2 = sh.select(col("doc_id").as("d2"), col("sh").as("sh2"))
+    // popcount via the same div/mod bit walk as simhashCol (no shift
+    // ops, so the oracle repeats it verbatim); xor < 2^16 so the
+    // double-divide + floor-cast is exact
+    val x = col("sh1").bitwiseXOR(col("sh2"))
+    val hamming = (0 until 16).map { b =>
+      (x / lit(1L << b)).cast("long") % 2L
+    }.reduce(_ + _)
+    cand.join(s1, "d1").join(s2, "d2")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= 2)
+      .select("d1", "d2", "sh1", "sh2", "hamming")
+      .orderBy("d1", "d2")
+  }
 }

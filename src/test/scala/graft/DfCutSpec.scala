@@ -92,6 +92,25 @@ class DfCutSpec extends SparkSpec {
     assert(TextOps.ngramJaccardPairsFrame(spark, nearDups, 6).count() == 15)
   }
 
+  test("simhash pairs: identical docs pair at hamming 0; a probe bucket " +
+    "hotter than the cap is dropped") {
+    val hot = (0L until 12L).map { i =>
+      (i, "en", (0 until 10).map(k => s"m$k").mkString(" "))
+    }
+    val dup = Seq(
+      (100L, "en", (0 until 10).map(k => s"z$k").mkString(" ")),
+      (101L, "en", (0 until 10).map(k => s"z$k").mkString(" ")))
+    val corpus = (hot ++ dup).toDF("doc_id", "lang", "text")
+    // default cap: the 12-clique (66 pairs) + the z-pair, all hamming 0
+    val full = MinHashOps.simhashPairsFrame(spark, corpus, TextOps.DfCap)
+    assert(full.filter(col("hamming") === 0).count() >= 67)
+    // cap=10: the 12 identical docs' probe buckets all have df=12 > 10
+    // → dropped; the z-pair (df=2 buckets) survives
+    val cut = MinHashOps.simhashPairsFrame(spark, corpus, 10)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cut == Set((100L, 101L)), s"got $cut")
+  }
+
   test("minhash LSH: a band bucket hotter than the cap is dropped; " +
     "sub-cap buckets still pair") {
     val hot = (0L until 12L).map { i =>
