@@ -332,6 +332,35 @@ SELECT order_id AS aggregate_id,
   w_start AS occurred_at_ms
 FROM orders_out WHERE payload IS NOT NULL ORDER BY aggregate_id""",
 
+    // Latest-wins upsert merge of the events change batch into the
+    // (even-keyed) customer snapshot — twin of CdcRoute.snapshotMerge.
+    // epoch_ms(CAST .. AS TIMESTAMP) = Spark's unix_millis after the
+    // shared ns→µs truncation (see signalsCte).
+    "cdc_snapshot_merge" ->
+      """WITH base AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+ev AS (
+  SELECT user_id, event_type, value,
+    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id
+  FROM events),
+ranked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn,
+    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+  FROM ev),
+latest AS (
+  SELECT user_id, event_type AS last_event_type, value AS last_value,
+    ts_ms AS last_ts_ms, n_events
+  FROM ranked WHERE rn = 1)
+SELECT coalesce(c_custkey, user_id) AS merge_key, c_name, c_acctbal,
+  last_event_type, last_value, last_ts_ms,
+  CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+  CASE WHEN c_custkey IS NULL THEN 'inserted'
+       WHEN user_id IS NULL THEN 'unchanged'
+       ELSE 'updated' END AS row_status
+FROM base FULL OUTER JOIN latest ON c_custkey = user_id
+ORDER BY merge_key""",
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -665,6 +694,24 @@ SELECT doc_id,
   CAST(SUM(freq) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_freq
 FROM tok JOIN freq USING (token)
 GROUP BY doc_id ORDER BY doc_id""",
+
+    // tf/df ordering ≡ tf·N/df ordering, and a single BIGINT÷BIGINT
+    // division is exactly rounded — identical doubles, identical ranks
+    // (no log(), whose rounding is libm-dependent).
+    "doc_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokensExpr) AS token FROM documents),
+tfq AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+scored AS (
+  SELECT doc_id, token, tf, df, CAST(tf AS DOUBLE) / df AS score
+  FROM tfq JOIN dfq USING (token)),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INT) AS term_rank
+  FROM scored)
+SELECT doc_id, token, tf, df, score, term_rank
+FROM ranked WHERE term_rank <= 3
+ORDER BY doc_id, term_rank""",
 
     "doc_pivot" ->
       """SELECT source,

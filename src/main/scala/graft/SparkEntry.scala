@@ -53,6 +53,7 @@ object SparkEntry {
       OrderOps.orders(s, Tables.events(s, d)).orderBy("w_start", "symbol")),
     "cdc_outbox_route" -> ((s, d) =>
       CdcRoute.outboxEvents(s, Tables.events(s, d)).orderBy("aggregate_id")),
+    "cdc_snapshot_merge" -> ((s, d) => CdcRoute.snapshotMerge(s, d)),
     // --- relational suite (SURVEY §2.11 — free with Spark, still verified) ---
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
@@ -88,6 +89,7 @@ object SparkEntry {
     "doc_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "doc_decontam_bloom" -> ((s, d) => TextOps.contaminationBloom(s, d)),
     "doc_rarity" -> ((s, d) => TextOps.rarity(s, d)),
+    "doc_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
     "doc_pivot" -> ((s, d) => TextOps.pivotSourceLang(s, d)),
     "doc_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),

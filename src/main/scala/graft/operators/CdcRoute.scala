@@ -82,4 +82,48 @@ object CdcRoute {
         col("topic"),
         element_at(col("hmap"), "occurred_at").cast("long").as("occurred_at_ms"))
   }
+
+  /** CDC SNAPSHOT MERGE — the consumer-side half of the outbox pattern:
+    * apply a change batch to a current-state snapshot with latest-wins
+    * semantics, the batch face of the `foreachBatch` + MERGE upsert
+    * every CDC sink runs (reference consumers rebuild exactly this
+    * state from the routed topic; README.md:96-104). The change stream
+    * here is `events` keyed by user_id (each event upserts that user's
+    * last-action state), the snapshot is `customer` — restricted to
+    * even keys so all three merge outcomes (update, insert, untouched
+    * row) genuinely occur in the output.
+    *
+    * Scale shape: the change batch reduces to ONE row per key before
+    * the merge join — row_number + count share a single hash exchange
+    * on user_id (one Window sort), so the join input is |keys|, not
+    * |events|. The merge itself is a full-outer sort-merge join
+    * co-partitioned on the key: at 100 TB both sides shuffle on the
+    * same key once (with a bucketed/partitioned snapshot table even
+    * that exchange drops — BucketingSpec shows the layout), and AQE
+    * splits any hot key. No driver-side state, no collect. */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 2 === 0)
+    val keyW = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val latest = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        keyW.orderBy(col("ts_ms").desc, col("event_id").desc)))
+      .withColumn("n_events", count(lit(1)).over(keyW).cast("long"))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+        col("value").as("last_value"), col("ts_ms").as("last_ts_ms"),
+        col("n_events"))
+    base.join(latest, base("c_custkey") === latest("user_id"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("merge_key"),
+        col("c_name"), col("c_acctbal"),
+        col("last_event_type"), col("last_value"), col("last_ts_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("c_custkey").isNull, lit("inserted"))
+          .when(col("user_id").isNull, lit("unchanged"))
+          .otherwise(lit("updated")).as("row_status"))
+      .orderBy("merge_key")
+  }
 }

@@ -458,6 +458,39 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF characteristic terms — the top-3 most document-specific
+    * tokens per document, the signal behind topical corpus slicing and
+    * keyword-based retrieval. The score is tf/df: since the corpus doc
+    * count N is one constant factor, ordering by tf/df is ordering by
+    * tf·N/df, and a single IEEE division of two exact BIGINTs is
+    * exactly rounded — so both engines compute bit-identical scores and
+    * identical rankings (no log(), whose rounding is libm-dependent).
+    * Ties break on the token string.
+    *
+    * Scale shape: tf aggregates on (doc_id, token) with map-side
+    * combine; df derives from tf (already one row per (doc, token)),
+    * shuffling only the slim distinct-token frame; the scoring join is
+    * token-keyed fan-out ≤1 per tf row with a broadcast-sized
+    * vocabulary side in the common case (AQE decides); the final
+    * top-3-per-doc is one window over doc_id. Reuses rarity's cached
+    * (doc_id, token) occurrence artifact — the CacheManager matches the
+    * identical plan, so the corpus is tokenized once across both
+    * queries. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), explode(col("toks")).as("token")))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("term_rank", row_number().over(w).cast("int"))
+      .filter(col("term_rank") <= 3)
+      .select("doc_id", "token", "tf", "df", "score", "term_rank")
+      .orderBy("doc_id", "term_rank")
+  }
+
   /** PIVOT: corpus composition matrix source × lang — the "what am I
     * training on" report. The pivot value list is explicit (the lang set
     * is closed), which skips the extra distinct-scan Spark needs for an
