@@ -834,6 +834,54 @@ JOIN d2 g2 ON g2.doc_id = d2
 ORDER BY jaccard DESC, d1, d2 LIMIT 50"""
     },
 
+    // Twin of MinHashOps.incrementalNearDup: the same signature/band
+    // derivation as dedup_minhash_lsh, but candidates come from a
+    // corpus×batch band-bucket join (batch = md5 sample bucket < 3, the
+    // doc_sample_stratified bucket expression) instead of within-bucket
+    // pair generation. The df-cut applies to the CORPUS side only —
+    // mirror of the Spark plan, where the batch side is the small
+    // broadcastable frame. The two caps MUST move together.
+    "dedup_incremental" -> {
+      import graft.operators.MinHashOps.{P, K, Bands, RowsPerBand, hashParams}
+      val gid = "(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % " + P + ")"
+      val sigElems = (0 until K).map { i =>
+        val (a, b) = hashParams(i)
+        s"list_min(list_transform(grams, g -> ($a * $gid + $b) % $P))"
+      }.mkString("[", ", ", "]")
+      val bandElems = (0 until Bands).map { b =>
+        (0 until RowsPerBand).foldLeft("0") { (acc, r) =>
+          s"(($acc * 1009 + sig[${b * RowsPerBand + r + 1}]) % $P)"
+        }
+      }.mkString("[", ", ", "]")
+      s"""WITH docs AS (
+  SELECT doc_id, lang, $gramsExpr AS grams,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 < 3 AS is_new
+  FROM documents),
+d2 AS (SELECT * FROM docs WHERE len(grams) > 0),
+sigs AS (SELECT doc_id, lang, is_new, grams, $sigElems AS sig FROM d2),
+bands AS (SELECT doc_id, lang, is_new, $bandElems AS bands FROM sigs),
+e0 AS (SELECT doc_id, lang, is_new, unnest(bands) AS band_hash,
+        generate_subscripts(bands, 1) AS band_idx FROM bands),
+ec AS (
+  SELECT doc_id, lang, band_hash, band_idx FROM e0 WHERE NOT is_new
+  QUALIFY count(*) OVER (PARTITION BY lang, band_idx, band_hash) <= 1000),
+eb AS (SELECT doc_id, lang, band_hash, band_idx FROM e0 WHERE is_new),
+cand AS (
+  SELECT DISTINCT c.doc_id AS d1, b.doc_id AS d2
+  FROM ec c JOIN eb b ON c.lang = b.lang AND c.band_idx = b.band_idx
+    AND c.band_hash = b.band_hash)
+SELECT d1, d2,
+  CAST(len(list_intersect(g1.grams, g2.grams)) AS BIGINT) AS common,
+  CAST(len(g1.grams) AS BIGINT) AS n1,
+  CAST(len(g2.grams) AS BIGINT) AS n2,
+  CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE)
+    / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))) AS jaccard
+FROM cand
+JOIN d2 g1 ON g1.doc_id = d1
+JOIN d2 g2 ON g2.doc_id = d2
+ORDER BY jaccard DESC, d1, d2 LIMIT 50"""
+    },
+
     "doc_simhash" ->
       s"""SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash16
 FROM documents ORDER BY doc_id""",

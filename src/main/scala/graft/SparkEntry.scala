@@ -102,6 +102,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "dedup_clusters_ls" -> ((s, d) => TextOps.dedupClustersLS(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashOps.minhashLshPairs(s, d)),
+    "dedup_incremental" -> ((s, d) => MinHashOps.incrementalNearDup(s, d)),
     "doc_simhash" -> ((s, d) => MinHashOps.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => MinHashOps.simhashPairs(s, d)),
     // --- similarity search ---

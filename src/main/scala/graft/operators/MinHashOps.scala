@@ -70,36 +70,59 @@ object MinHashOps {
   def minhashLshPairsAll(spark: SparkSession, dir: String): DataFrame =
     minhashLshPairsFrame(spark, Tables.documentsPar(spark, dir), TextOps.DfCap)
 
-  /** The pipeline over any (doc_id, lang, text) frame — the testable
-    * core (DfCutSpec drives it with a planted hot bucket + small cap). */
-  private[graft] def minhashLshPairsFrame(
-      spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
-    // (doc_id, lang, grams) comes from the SHARED shingle artifact
-    // (TextOps.gramsTable — one cache serves jaccard, clusters,
-    // contamination and this pipeline): it feeds candidate generation
-    // AND both verify sides. The size filter sits ABOVE the cache so it
-    // evaluates against the materialized grams column, not re-deriving
-    // the shingle expression inside the scan.
+  /** The shared (grams, band-postings) stage of every MinHash consumer:
+    * (doc_id, lang, grams) from the SHARED shingle artifact
+    * (TextOps.gramsTable — one cache serves jaccard, clusters,
+    * contamination and this pipeline; it feeds candidate generation AND
+    * both verify sides; the size filter sits ABOVE the cache so it
+    * evaluates against the materialized grams column, not re-deriving
+    * the shingle expression inside the scan), plus the exploded
+    * (doc_id, lang, band_idx, band_hash) posting rows.
+    *
+    * The postings explode a LITERAL index array and pick the band by
+    * element_at — NOT posexplode(bands): a generator over an array
+    * column computed in the same stage re-enters the interpreted
+    * expression chain per emitted row (measured 10×: 46 s vs 4 s at
+    * sf0.1). The literal generator keeps the computed column as a plain
+    * carried attribute. The slim postings frame is itself CACHED: the
+    * df-cut's count pass and every pair/join pass read it, and the
+    * K-permutation minhash signature behind it is the expensive part. */
+  private def bandPostings(
+      spark: SparkSession, docsIn: DataFrame): (DataFrame, DataFrame) = {
     val docsGrams = TextOps.gramsTable(spark, docsIn)
       .filter(size(col("grams")) > 0)
     val docs = docsGrams
       .withColumn("sig", GraftFunctions.graftMinhash(spark, "grams"))
       .withColumn("bands", bandHashes(col("sig")))
-    // Explode a LITERAL index array and pick the band by element_at —
-    // NOT posexplode(bands): a generator over an array column computed in
-    // the same stage re-enters the interpreted expression chain per
-    // emitted row (measured 10×: 46 s vs 4 s at sf0.1). The literal
-    // generator keeps the computed column as a plain carried attribute.
-    // The slim (doc_id, lang, band_idx, band_hash) frame is itself
-    // CACHED: the df-cut's count pass and the pair pass both read it,
-    // and the K-permutation minhash signature behind it is the
-    // expensive part.
     val exploded = graft.Artifacts.shared(docs
       .select(col("doc_id"), col("lang"),
         explode(array((0 until Bands).map(lit(_)): _*)).as("band_idx"),
         col("bands"))
       .withColumn("band_hash", element_at(col("bands"), col("band_idx") + 1))
       .drop("bands"))
+    (docsGrams, exploded)
+  }
+
+  /** Exact-Jaccard verification of a candidate (d1, d2) frame against
+    * the grams table — shared tail of the symmetric and incremental
+    * sweeps (candidate counts are LSH-bounded before this join). */
+  private def verifyJaccard(cand: DataFrame, docsGrams: DataFrame): DataFrame = {
+    val g1 = docsGrams.select(col("doc_id").as("d1"), col("grams").as("grams1"))
+    val g2 = docsGrams.select(col("doc_id").as("d2"), col("grams").as("grams2"))
+    cand.join(g1, "d1").join(g2, "d2")
+      .withColumn("common", size(array_intersect(col("grams1"), col("grams2"))).cast("long"))
+      .withColumn("n1", size(col("grams1")).cast("long"))
+      .withColumn("n2", size(col("grams2")).cast("long"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
+      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+  }
+
+  /** The pipeline over any (doc_id, lang, text) frame — the testable
+    * core (DfCutSpec drives it with a planted hot bucket + small cap). */
+  private[graft] def minhashLshPairsFrame(
+      spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
+    val (docsGrams, exploded) = bandPostings(spark, docsIn)
     // postings per bucket → pairs; hot buckets (a degenerate band value
     // shared by >dfCap docs) are DROPPED by the two-pass df-cut before
     // the collect, bounding the aggregation buffer (VERDICT r3 defect
@@ -112,17 +135,57 @@ object MinHashOps {
       .select(GraftFunctions.graftPairsGen(spark, "ds"))
       .select(col("l").as("d1"), col("r").as("d2"))
       .distinct()
-    // exact-verify candidates only (candidate count is LSH-bounded)
-    val g1 = docsGrams.select(col("doc_id").as("d1"), col("grams").as("grams1"))
-    val g2 = docsGrams.select(col("doc_id").as("d2"), col("grams").as("grams2"))
-    cand.join(g1, "d1").join(g2, "d2")
-      .withColumn("common", size(array_intersect(col("grams1"), col("grams2"))).cast("long"))
-      .withColumn("n1", size(col("grams1")).cast("long"))
-      .withColumn("n2", size(col("grams2")).cast("long"))
-      .withColumn("jaccard",
-        col("common").cast("double") / (col("n1") + col("n2") - col("common")))
-      .select("d1", "d2", "common", "n1", "n2", "jaccard")
+    verifyJaccard(cand, docsGrams)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+  }
+
+  /** INCREMENTAL near-dup screening — the continuous-ingestion flow: a
+    * NEW batch of documents is checked against the EXISTING corpus
+    * without ever re-pairing the corpus against itself. At 100 TB this
+    * asymmetry is the whole point: the corpus side's band postings are
+    * the artifact a production pipeline keeps materialized (here the
+    * shared postings cache), and each arriving batch only pays
+    * |batch| × K signature work plus one equi-join on the band-bucket
+    * key — candidate pairs exist only where a batch band collides with
+    * a corpus band, and the batch side is broadcastable whenever the
+    * batch is small (AQE decides; no collect_list at all on this path,
+    * so the only buffered state is the corpus df-cut's count pass).
+    * The df-cut drops corpus-hot buckets (boilerplate bands) before the
+    * join — same cap, same drop semantics, same oracle lockstep as the
+    * symmetric sweep.
+    *
+    * The query face slices the shared corpus deterministically (md5
+    * sample bucket < 3 → a 30% "new batch") so the DuckDB oracle can
+    * repeat the split; production passes a real batch predicate — or a
+    * separate frame unioned in — through `incrementalNearDupFrame`.
+    * Output pairs are (d1 = corpus doc, d2 = batch doc); batch-internal
+    * duplicates are the NEXT round's corpus problem (the symmetric
+    * sweep covers them) and are deliberately not re-found here. */
+  def incrementalNearDup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNearDupFrame(spark, Tables.documentsPar(spark, dir),
+      TextOps.sampleBucket < 3, TextOps.DfCap)
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(50)
+
+  /** The incremental pipeline over any (doc_id, lang, text) frame with
+    * an explicit batch-membership predicate (must be expressible over
+    * the postings columns, i.e. doc_id/lang). */
+  private[graft] def incrementalNearDupFrame(
+      spark: SparkSession, docsIn: DataFrame, isNew: Column,
+      dfCap: Int): DataFrame = {
+    val (docsGrams, exploded) = bandPostings(spark, docsIn)
+    val tagged = exploded.withColumn("is_new", isNew)
+    val corpus = TextOps.dfCut(
+      tagged.filter(!col("is_new")), Seq("lang", "band_idx", "band_hash"), dfCap)
+    val batch = tagged.filter(col("is_new"))
+    val cand = corpus
+      .select(col("doc_id").as("d1"), col("lang"), col("band_idx"), col("band_hash"))
+      .join(batch.select(
+          col("doc_id").as("d2"), col("lang"), col("band_idx"), col("band_hash")),
+        Seq("lang", "band_idx", "band_hash"))
+      .select("d1", "d2")
+      .distinct()
+    verifyJaccard(cand, docsGrams)
   }
 
   /** 16-bit SimHash of the token multiset (token hash = 28-bit md5

@@ -298,7 +298,7 @@ object TextOps {
 
   /** Seeded hash bucket of a doc_id (0-9) — the deterministic sampling
     * key shared by sampleStratified and the contamination eval split. */
-  private def sampleBucket: Column =
+  private[graft] def sampleBucket: Column =
     conv(substring(md5(concat(col("doc_id").cast("string"), lit("#g1"))
       .cast("binary")), 1, 7), 16, 10).cast("long") % 10
 

@@ -81,6 +81,16 @@ class PlanShapeSpec extends SparkSpec {
       "near-dup candidates must come from the bucket equi-join")
   }
 
+  test("incremental near-dup: candidates from the band-bucket equi-join, " +
+    "no cross join, no collect_list on the candidate path") {
+    val p = plan(MinHashOps.incrementalNearDup(spark, sf()))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "corpus×batch candidates must ride the band-bucket equi-join")
+    assert(!p.contains("collect_list"),
+      "the incremental path buffers no postings lists — candidates are a join")
+  }
+
   test("interval join is an equi-join on (user, bucket), not a theta join") {
     val p = plan(Relational.intervalJoin(spark, sf()))
     assert(!p.contains("CartesianProduct"))
