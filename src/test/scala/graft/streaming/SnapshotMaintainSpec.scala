@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Streaming snapshot maintenance: latest-wins state under duplicates,
+  * replay, out-of-order delivery, and checkpointed restart. */
+class SnapshotMaintainSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ev(uid: Long, et: String, v: Double, ts: Long, eid: Long) =
+    (uid, et, v, ts, eid)
+
+  private def df(rows: Seq[(Long, String, Double, Long, Long)]) =
+    rows.toDF("user_id", "event_type", "value", "ts_ms", "event_id")
+
+  test("latest-wins state: duplicates collapse, replay is a no-op, " +
+    "late events never regress state") {
+    val store = Files.createTempDirectory("snap").toString + "/store"
+
+    // batch 1: two keys; key 1's event delivered twice verbatim
+    val b1 = df(Seq(
+      ev(1, "click", 1.0, 100, 10), ev(1, "click", 1.0, 100, 10),
+      ev(1, "view", 2.0, 200, 11), ev(2, "signup", 5.0, 150, 12)))
+    assert(SnapshotMaintain.mergeBatch(spark, b1, store) == 2, "2 keys created")
+    val s1 = spark.read.parquet(store)
+    assert(s1.count() == 2)
+    val k1 = s1.filter("user_id = 1").head()
+    assert(k1.getAs[String]("last_event_type") == "view" &&
+      k1.getAs[Long]("last_ts_ms") == 200 && k1.getAs[Long]("n_events") == 2,
+      s"key 1 state wrong: $k1")
+
+    // replay batch 1 verbatim: nothing changes (state OR counters)
+    assert(SnapshotMaintain.mergeBatch(spark, b1, store) == 0, "replay changed state")
+    val s2 = spark.read.parquet(store)
+    assert(s2.filter("user_id = 1").head().getAs[Long]("n_events") == 2)
+
+    // late event (older ts) must not regress state but is a fresh batch
+    val late = df(Seq(ev(1, "error", 9.0, 50, 5)))
+    SnapshotMaintain.mergeBatch(spark, late, store)
+    val k1b = spark.read.parquet(store).filter("user_id = 1").head()
+    assert(k1b.getAs[String]("last_event_type") == "view" &&
+      k1b.getAs[Long]("last_ts_ms") == 200,
+      s"late event regressed state: $k1b")
+
+    // genuinely newer event advances state
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df(Seq(ev(1, "purchase", 7.0, 300, 20))), store) == 1)
+    val k1c = spark.read.parquet(store).filter("user_id = 1").head()
+    assert(k1c.getAs[String]("last_event_type") == "purchase" &&
+      k1c.getAs[Long]("last_ts_ms") == 300)
+  }
+
+  test("out-of-order batch split converges to the same state as one batch") {
+    val base = Files.createTempDirectory("snap2").toString
+    val all = Seq(
+      ev(1, "a", 1.0, 100, 1), ev(1, "b", 2.0, 300, 3), ev(1, "c", 3.0, 200, 2),
+      ev(2, "x", 4.0, 500, 5), ev(2, "y", 5.0, 400, 4))
+    // one-shot reference state
+    val oneShot = s"$base/one"
+    SnapshotMaintain.mergeBatch(spark, df(all), oneShot)
+    // reversed two-batch delivery (newest first, then older)
+    val split = s"$base/split"
+    SnapshotMaintain.mergeBatch(spark, df(all.drop(2)), split)
+    SnapshotMaintain.mergeBatch(spark, df(all.take(2)), split)
+    val a = spark.read.parquet(oneShot)
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms", "last_event_id")
+    val b = spark.read.parquet(split)
+      .select("user_id", "last_event_type", "last_value", "last_ts_ms", "last_event_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "state depends on delivery order")
+  }
+
+  test("streaming maintain: two file batches + checkpointed restart") {
+    val base = Files.createTempDirectory("snap3").toString
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+    def j(uid: Long, et: String, v: Double, ts: Long, eid: Long): String =
+      s"""{"user_id":$uid,"event_type":"$et","value":$v,"ts_ms":$ts,"event_id":$eid}"""
+    def write(name: String, rows: Seq[String]): Unit = {
+      Files.createDirectories(Paths.get(src))
+      Files.write(Paths.get(src, name), rows.mkString("\n").getBytes("UTF-8"))
+    }
+
+    write("b1.json", Seq(j(1, "click", 1.0, 100, 1), j(2, "view", 2.0, 200, 2)))
+    val q1 = SnapshotMaintain.maintain(spark, src, store, ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(store).count() == 2)
+
+    // second file lands; RESTART from the checkpoint (crash-restart path)
+    write("b2.json", Seq(j(1, "purchase", 9.0, 900, 9), j(3, "signup", 3.0, 300, 3)))
+    val q2 = SnapshotMaintain.maintain(spark, src, store, ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+
+    val s = spark.read.parquet(store)
+    assert(s.count() == 3, s"expected 3 keys, got ${s.count()}")
+    val k1 = s.filter("user_id = 1").head()
+    assert(k1.getAs[String]("last_event_type") == "purchase" &&
+      k1.getAs[Long]("last_ts_ms") == 900 && k1.getAs[Long]("n_events") == 2,
+      s"restart lost or double-applied an update: $k1")
+  }
+}
