@@ -1076,8 +1076,32 @@ SELECT doc_id, norm_fp, n_chars_norm,
   doc_id <> min(doc_id) OVER (PARTITION BY norm_fp) AS is_dup
 FROM s ORDER BY doc_id""",
 
-    "doc_curate" ->
-      s"""WITH q AS (SELECT doc_id, quality FROM (${sqlBase("doc_quality")})),
+    "doc_curate" -> curateSql,
+
+    // Curation-gated cosine top-k — twin of EmbeddingOps.curatedTopK:
+    // emb_cosine_topk's exact SQL with the candidate (and query) set
+    // restricted to doc_curate's keepers on the shared doc identity.
+    "emb_curated_topk" ->
+      s"""WITH kept AS (SELECT doc_id FROM ($curateSql) WHERE keep),
+e AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self
+  FROM embeddings WHERE $dotSelfSql > 0e0
+    AND vec_id IN (SELECT doc_id FROM kept)),
+q AS (SELECT vec_id AS q_id, embedding AS qemb, dot_self AS q_dot
+  FROM e ORDER BY vec_id LIMIT 5),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+    ${dotSql("q.qemb", "e.embedding")} / (sqrt(q.q_dot) * sqrt(e.dot_self)) AS sim
+  FROM e, q WHERE e.vec_id <> q.q_id)
+SELECT q_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
+FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""")
+
+  /** The composed corpus-curation decision (quality + lang match +
+    * exact-dup + contamination) — its own oracle row AND the keep-set
+    * gate of emb_curated_topk. */
+  private lazy val curateSql: String =
+    s"""WITH q AS (SELECT doc_id, quality FROM (${sqlBase("doc_quality")})),
 l AS (SELECT doc_id, match_label FROM (${sqlBase("doc_lang_id")})),
 dd AS (SELECT doc_id, is_dup FROM (${sqlBase("dedup_exact")})),
 ct AS (SELECT doc_id, TRUE AS contaminated FROM (${sqlBase("doc_contamination")}))
@@ -1086,5 +1110,5 @@ SELECT q.doc_id, quality, match_label, is_dup,
   quality >= 5e-1 AND match_label AND NOT is_dup
     AND NOT COALESCE(contaminated, FALSE) AS keep
 FROM q JOIN l USING (doc_id) JOIN dd USING (doc_id)
-LEFT JOIN ct USING (doc_id) ORDER BY doc_id""")
+LEFT JOIN ct USING (doc_id) ORDER BY doc_id"""
 }

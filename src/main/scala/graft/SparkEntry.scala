@@ -107,6 +107,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => MinHashOps.simhashPairs(s, d)),
     // --- similarity search ---
     "emb_cosine_topk" -> ((s, d) => EmbeddingOps.cosineTopK(s, d)),
+    "emb_curated_topk" -> ((s, d) => EmbeddingOps.curatedTopK(s, d)),
     "emb_cosine_neardup" -> ((s, d) => EmbeddingOps.cosineNearDup(s, d)),
     "emb_ann_lsh" -> ((s, d) => EmbeddingOps.annLsh(s, d)),
     "emb_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),

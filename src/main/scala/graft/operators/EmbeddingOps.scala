@@ -61,6 +61,38 @@ object EmbeddingOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Curation-gated similarity search — the composed "search only the
+    * CLEAN corpus" flow: the candidate set is restricted to documents
+    * the corpus-curation decision keeps (quality ≥ 0.5, language match,
+    * not a duplicate, not benchmark-contaminated) before the cosine
+    * top-k runs. Demonstrates that the text-curation tier and the
+    * vector tier compose on the shared doc identity: the keep-set is a
+    * slim id frame semi-joined into the cached normalized-embedding
+    * artifact (no embedding ever moves for a dropped doc), the query
+    * side is broadcast, and the big side still streams through in one
+    * scan exactly like cosineTopK. At 100 TB the keep-set is the
+    * curation sweep's materialized output; the semi-join prunes the
+    * index build, not just the query. */
+  def curatedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val kept = TextOps.curate(spark, dir).filter(col("keep"))
+      .select(col("doc_id").as("vec_id"))
+    val e = withNorm(Tables.embeddingsPar(spark, dir))
+      .join(kept, Seq("vec_id"), "left_semi")
+    // query side = the 5 lowest KEPT ids (fixed ids could all be culled
+    // at some SF); orderBy+limit plans as TakeOrderedAndProject — a
+    // per-partition top-5 + driver merge, no global sort
+    val q = e.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("dot_self").as("q_dot"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v"))
+        / (sqrt(col("q_dot")) * sqrt(col("dot_self"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select("q_id", "vec_id", "rn", "sim")
+      .orderBy("q_id", "rn")
+  }
+
   /** Deterministic hyperplane weight grid: splitmix64-mixed integers in
     * [0, 2^16), mapped to [-0.5, 0.5) as k/65536 - 0.5 — exactly
     * representable doubles, so the oracle repeats the same integer k as
