@@ -74,8 +74,12 @@ object EmbeddingOps {
     * curation sweep's materialized output; the semi-join prunes the
     * index build, not just the query. */
   def curatedTopK(spark: SparkSession, dir: String): DataFrame = {
-    val kept = TextOps.curate(spark, dir).filter(col("keep"))
-      .select(col("doc_id").as("vec_id"))
+    // the keep-set IS the curation sweep's materialized output (slim id
+    // frame) — cached like every other cross-query artifact, so search
+    // pays the semi-join, not a curation re-run
+    val kept = graft.Artifacts.shared(
+      TextOps.curate(spark, dir).filter(col("keep"))
+        .select(col("doc_id").as("vec_id")))
     val e = withNorm(Tables.embeddingsPar(spark, dir))
       .join(kept, Seq("vec_id"), "left_semi")
     // query side = the 5 lowest KEPT ids (fixed ids could all be culled
