@@ -81,6 +81,29 @@ class PlanShapeSpec extends SparkSpec {
       "near-dup candidates must come from the bucket equi-join")
   }
 
+  test("snapshot merge: one exchange per merge side (both window " +
+    "functions share the change side's), full-outer sort-merge join") {
+    val p = plan(CdcRoute.snapshotMerge(spark, sf()))
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"merge must be a co-partitioned full-outer join:\n$p")
+    assert(countIn(p, "Exchange hashpartitioning") == 2,
+      s"expected exactly 2 hash exchanges (snapshot side + change side; " +
+        s"row_number and count share one):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("tfidf: rank limit pushed below the window exchange, vocabulary " +
+    "side broadcast, both aggregations read the cached occurrence artifact") {
+    val p = plan(TextOps.tfidf(spark, sf()))
+    assert(p.contains("WindowGroupLimit"),
+      s"top-3-per-doc must prune before the window exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the slim df table should broadcast into the tf side:\n$p")
+    assert(countIn(p, "InMemoryTableScan") >= 2,
+      s"tf and df must both derive from the cached (doc_id, token) artifact:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("incremental near-dup: candidates from the band-bucket equi-join, " +
     "no cross join, no collect_list on the candidate path") {
     val p = plan(MinHashOps.incrementalNearDup(spark, sf()))
