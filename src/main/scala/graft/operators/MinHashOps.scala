@@ -104,11 +104,14 @@ object MinHashOps {
   }
 
   /** Exact-Jaccard verification of a candidate (d1, d2) frame against
-    * the grams table — shared tail of the symmetric and incremental
-    * sweeps (candidate counts are LSH-bounded before this join). */
-  private def verifyJaccard(cand: DataFrame, docsGrams: DataFrame): DataFrame = {
-    val g1 = docsGrams.select(col("doc_id").as("d1"), col("grams").as("grams1"))
-    val g2 = docsGrams.select(col("doc_id").as("d2"), col("grams").as("grams2"))
+    * the grams table(s) — shared tail of the symmetric, incremental and
+    * artifact-backed sweeps (candidate counts are LSH-bounded before
+    * this join). d1 resolves against `gramsLeft`, d2 against
+    * `gramsRight` (the same frame for symmetric callers). */
+  private def verifyJaccard(cand: DataFrame, gramsLeft: DataFrame,
+      gramsRight: DataFrame): DataFrame = {
+    val g1 = gramsLeft.select(col("doc_id").as("d1"), col("grams").as("grams1"))
+    val g2 = gramsRight.select(col("doc_id").as("d2"), col("grams").as("grams2"))
     cand.join(g1, "d1").join(g2, "d2")
       .withColumn("common", size(array_intersect(col("grams1"), col("grams2"))).cast("long"))
       .withColumn("n1", size(col("grams1")).cast("long"))
@@ -135,7 +138,7 @@ object MinHashOps {
       .select(GraftFunctions.graftPairsGen(spark, "ds"))
       .select(col("l").as("d1"), col("r").as("d2"))
       .distinct()
-    verifyJaccard(cand, docsGrams)
+    verifyJaccard(cand, docsGrams, docsGrams)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
   }
 
@@ -185,7 +188,45 @@ object MinHashOps {
         Seq("lang", "band_idx", "band_hash"))
       .select("d1", "d2")
       .distinct()
-    verifyJaccard(cand, docsGrams)
+    verifyJaccard(cand, docsGrams, docsGrams)
+  }
+
+  /** Persist the corpus-side near-dup artifact — shingle sets + band
+    * postings — as parquet: the CROSS-SESSION form of the shared
+    * in-memory caches. A production pipeline materializes this once per
+    * corpus snapshot (the expensive interpreted shingle + K-permutation
+    * signature work happens exactly once), and every arriving batch
+    * reads it instead of re-deriving the corpus. The postings table is
+    * the natural bucketing candidate (band_hash) for a co-located
+    * candidate join; at this surface it ships as plain parquet and the
+    * join shuffles on the band key once. */
+  def writeNearDupArtifact(spark: SparkSession, docsIn: DataFrame,
+      path: String): Unit = {
+    val (docsGrams, exploded) = bandPostings(spark, docsIn)
+    docsGrams.write.mode("overwrite").parquet(s"$path/grams")
+    exploded.write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Incremental near-dup screening of a NEW batch frame against a
+    * PERSISTED corpus artifact (writeNearDupArtifact): same candidate
+    * and verify shape as `incrementalNearDupFrame`, but the corpus side
+    * comes off disk — only the batch pays signature work. Output parity
+    * with the in-memory path is pinned by ArtifactDedupSpec. */
+  def incrementalNearDupVsArtifact(spark: SparkSession, artifactPath: String,
+      batchDocs: DataFrame, dfCap: Int): DataFrame = {
+    val corpusPostings = spark.read.parquet(s"$artifactPath/postings")
+    val corpusGrams = spark.read.parquet(s"$artifactPath/grams")
+    val (batchGrams, batchPostings) = bandPostings(spark, batchDocs)
+    val corpusCut = TextOps.dfCut(
+      corpusPostings, Seq("lang", "band_idx", "band_hash"), dfCap)
+    val cand = corpusCut
+      .select(col("doc_id").as("d1"), col("lang"), col("band_idx"), col("band_hash"))
+      .join(batchPostings.select(
+          col("doc_id").as("d2"), col("lang"), col("band_idx"), col("band_hash")),
+        Seq("lang", "band_idx", "band_hash"))
+      .select("d1", "d2")
+      .distinct()
+    verifyJaccard(cand, corpusGrams, batchGrams)
   }
 
   /** 16-bit SimHash of the token multiset (token hash = 28-bit md5
