@@ -36,4 +36,33 @@ class SkewJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     }
   }
+
+  test("salted join: result identical to the plain join, hot key spread " +
+    "across salts, deterministic under re-execution") {
+    import spark.implicits._
+    val salts = 8
+    // fact: 5k rows, 80% on key 0, payload distinguishes every row
+    val fact = spark.range(5000)
+      .withColumn("k", when(col("id") % 5 =!= 0, 0L).otherwise(col("id") % 23))
+      .withColumn("payload", concat(lit("p"), col("id")))
+    val dim = spark.range(23).withColumn("k", col("id"))
+      .withColumn("v", col("id") * 7).drop("id")
+    val plain = fact.join(dim, Seq("k")).select("k", "payload", "v")
+    val salted = graft.operators.SkewOps.saltedJoin(fact, dim, Seq("k"), salts)
+      .select("k", "payload", "v")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted join changed the result multiset")
+    assert(salted.count() == plain.count())
+    // the hot key's rows must actually scatter: re-derive the salt the
+    // operator assigns and count distinct values on key 0
+    val hotSalts = fact.filter(col("k") === 0L)
+      .withColumn("s", pmod(xxhash64(fact.columns.map(col): _*), lit(salts.toLong)))
+      .select("s").distinct().count()
+    assert(hotSalts == salts.toLong,
+      s"hot key used $hotSalts of $salts salts — no spread")
+    // determinism: a second run pairs rows to identical salts
+    val again = graft.operators.SkewOps.saltedJoin(fact, dim, Seq("k"), salts)
+      .select("k", "payload", "v")
+    assert(again.exceptAll(salted).isEmpty, "salt not replay-stable")
+  }
 }
