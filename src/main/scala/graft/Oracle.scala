@@ -695,6 +695,34 @@ SELECT doc_id,
 FROM tok JOIN freq USING (token)
 GROUP BY doc_id ORDER BY doc_id""",
 
+    // Sequence packing twin: running token sum per shard, doc interval
+    // → training-row postings via integer interval decomposition.
+    // Window SUM default frame (RANGE ... CURRENT ROW) agrees between
+    // engines because doc_id is unique within a shard.
+    "doc_pack" -> {
+      val L = graft.operators.TextOps.PackLen
+      s"""WITH d AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 AS shard,
+    CAST(len($tokensExpr) AS BIGINT) AS n_toks
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_toks,
+    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS tok_end
+  FROM d WHERE n_toks > 0),
+c2 AS (SELECT *, tok_end - n_toks AS tok_start FROM c),
+r AS (
+  SELECT doc_id, shard, tok_start, tok_end,
+    unnest(range(tok_start // $L, (tok_end - 1) // $L + 1)) AS seq_idx
+  FROM c2)
+SELECT shard, seq_idx,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(min(doc_id) AS BIGINT) AS first_doc_id,
+  CAST(max(doc_id) AS BIGINT) AS last_doc_id,
+  CAST(SUM(least(tok_end, (seq_idx + 1) * $L) - greatest(tok_start, seq_idx * $L)) AS BIGINT) AS n_tokens
+FROM r GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
     // tf/df ordering ≡ tf·N/df ordering, and a single BIGINT÷BIGINT
     // division is exactly rounded — identical doubles, identical ranks
     // (no log(), whose rounding is libm-dependent).

@@ -86,6 +86,7 @@ object SparkEntry {
     "doc_quality" -> ((s, d) => TextOps.quality(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "doc_chunk" -> ((s, d) => TextOps.chunk(s, d)),
+    "doc_pack" -> ((s, d) => TextOps.pack(s, d)),
     "doc_contamination" -> ((s, d) => TextOps.contamination(s, d)),
     "doc_decontam_bloom" -> ((s, d) => TextOps.contaminationBloom(s, d)),
     "doc_rarity" -> ((s, d) => TextOps.rarity(s, d)),

@@ -330,6 +330,48 @@ object TextOps {
       .select("doc_id", "chunk_id", "tok_start", "chunk_tokens", "chunk_md5", "chunk_text")
       .orderBy("doc_id", "chunk_id")
 
+  /** Fixed training-sequence length for `pack`. */
+  val PackLen = 32L
+
+  /** SEQUENCE PACKING — the "concatenate the shard's token stream, slice
+    * into fixed windows" step that turns variable-length documents into
+    * uniform training rows (the standard pretraining batch layout;
+    * complements `chunk`, which windows WITHIN a document). Each doc
+    * occupies token interval [tok_start, tok_end) of its shard's stream
+    * (one running sum), every training row r covers [r·L, (r+1)·L), and
+    * a doc emits one posting per row it overlaps — an interval-to-bucket
+    * decomposition (same trick as intervalJoin), all integer, so the
+    * oracle repeats it bit-exactly.
+    *
+    * Scale: packing is inherently order-sensitive, so the parallel unit
+    * is the SHARD (deterministic hash bucket, the corpus sampling key):
+    * the running sum sorts per shard, and production scales shard count
+    * with the corpus (10^5 shards at 100 TB keeps each window sort a
+    * task-sized job); rows never cross shards. The query face uses the
+    * 10 sampleBucket shards. */
+  def pack(spark: SparkSession, dir: String): DataFrame = {
+    val L = PackLen
+    val d = Tables.documentsPar(spark, dir)
+      .withColumn("shard", sampleBucket)
+      .withColumn("n_toks", size(tokens).cast("long"))
+      .filter(col("n_toks") > 0)
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val c = d
+      .withColumn("tok_end", sum(col("n_toks")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_toks"))
+    c.withColumn("seq_idx",
+        explode(sequence(expr(s"tok_start div $L"), expr(s"(tok_end - 1) div $L"))))
+      .groupBy("shard", "seq_idx")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc_id"),
+        max(col("doc_id")).as("last_doc_id"),
+        sum(least(col("tok_end"), (col("seq_idx") + 1) * L)
+          - greatest(col("tok_start"), col("seq_idx") * L)).as("n_tokens"))
+      .select("shard", "seq_idx", "n_docs", "first_doc_id", "last_doc_id", "n_tokens")
+      .orderBy("shard", "seq_idx")
+  }
+
   /** Benchmark CONTAMINATION detection — the decontamination pass every
     * training pipeline runs before an eval release: which training docs
     * share word-trigrams with the held-out eval split (here: the

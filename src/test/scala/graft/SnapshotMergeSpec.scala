@@ -54,6 +54,31 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(got.count() == expected.count(), "a keyed change batch row vanished")
   }
 
+  test("pack: every training row is exactly full except each shard's " +
+    "last; row tokens sum to the shard's stream; rows are contiguous") {
+    val L = TextOps.PackLen
+    val p = TextOps.pack(spark, sf()).cache()
+    val lastPerShard = p.groupBy("shard").agg(max("seq_idx").as("last_idx"))
+    val short = p.join(lastPerShard, "shard")
+      .filter(col("seq_idx") =!= col("last_idx") && col("n_tokens") =!= L)
+    assert(short.isEmpty, "a non-final training row is not exactly full")
+    assert(p.filter(col("n_tokens") > L || col("n_tokens") <= 0).isEmpty)
+    // conservation: per shard, sum of row tokens = total tokens of its docs
+    val fromRows = p.groupBy("shard").agg(sum("n_tokens").as("t"))
+    val fromDocs = Tables.documents(spark, sf())
+      .withColumn("shard", TextOps.sampleBucket)
+      .withColumn("n", size(TextOps.tokens).cast("long"))
+      .groupBy("shard").agg(sum("n").as("t2"))
+    assert(fromRows.join(fromDocs, "shard").filter(col("t") =!= col("t2")).isEmpty,
+      "token stream not conserved through packing")
+    // contiguity: seq_idx per shard is dense 0..last
+    val dense = p.groupBy("shard").agg(
+      count(lit(1)).as("n"), min("seq_idx").as("lo"), max("seq_idx").as("hi"))
+    assert(dense.filter(col("lo") =!= 0L || col("hi") =!= col("n") - 1).isEmpty,
+      "training rows are not contiguous per shard")
+    p.unpersist()
+  }
+
   test("tfidf: at most 3 terms per doc, ranks dense from 1, score law " +
     "score = tf/df, rank ordering matches (score desc, token)") {
     val t = TextOps.tfidf(spark, sf()).cache()
