@@ -651,6 +651,18 @@ FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 = 0
 ORDER BY doc_id""",
 
+    "doc_sample_grouped" ->
+      """WITH h AS (
+  SELECT doc_id, lang, source,
+    md5(CAST(doc_id AS VARCHAR) || '#g2') AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, source, h,
+    CAST(row_number() OVER (PARTITION BY lang, source ORDER BY h, doc_id) AS INT) AS rk
+  FROM h)
+SELECT doc_id, lang, source, h, rk FROM r WHERE rk <= 5
+ORDER BY lang, source, rk""",
+
     "dedup_exact" ->
       """SELECT doc_id,
   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper_id,

@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),
     "dedup_canonical" -> ((s, d) => TextOps.dedupCanonical(s, d)),
     "doc_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
+    "doc_sample_grouped" -> ((s, d) => TextOps.sampleGrouped(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "dedup_clusters_ls" -> ((s, d) => TextOps.dedupClustersLS(s, d)),

@@ -330,6 +330,25 @@ object TextOps {
       .select("doc_id", "chunk_id", "tok_start", "chunk_tokens", "chunk_md5", "chunk_text")
       .orderBy("doc_id", "chunk_id")
 
+  /** BALANCED per-group sampling — exactly k documents per (lang,
+    * source) cell, chosen by seeded-hash order: the corpus-balancing
+    * step that stops a dominant source from swamping a training mix
+    * (complement of `sampleStratified`, which takes a proportional
+    * slice). Deterministic (hash order, doc_id tie-break), replay
+    * stable, and one window per cell — the rank cut pushes below the
+    * exchange (WindowGroupLimit), so each map task pre-prunes to k
+    * before any shuffle. */
+  def sampleGrouped(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit("#g2")).cast("binary"))
+    val w = Window.partitionBy("lang", "source").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 5)
+      .select("doc_id", "lang", "source", "h", "rk")
+      .orderBy("lang", "source", "rk")
+  }
+
   /** Fixed training-sequence length for `pack`. */
   val PackLen = 32L
 
