@@ -72,6 +72,35 @@ class SnapshotMaintainSpec extends SparkSpec {
       "state depends on delivery order")
   }
 
+  test("randomized trials: any batch split + order + duplication " +
+    "converges to the one-shot state (seeded generators)") {
+    val rnd = new scala.util.Random(42)
+    val base = Files.createTempDirectory("snapprop").toString
+    for (trial <- 0 until 4) {
+      val events = (0 until 20 + rnd.nextInt(15)).map { i =>
+        ev(rnd.nextInt(5).toLong, s"t${rnd.nextInt(4)}",
+          rnd.nextInt(100) / 10.0, 100L + rnd.nextInt(50), 1000L + i)
+      }
+      val oneShot = s"$base/one$trial"
+      SnapshotMaintain.mergeBatch(spark, df(events), oneShot)
+      // shuffled delivery in 1-4 batches, one random batch replayed
+      val shuffled = rnd.shuffle(events)
+      val nBatches = 1 + rnd.nextInt(3)
+      val batches = shuffled.grouped(
+        math.max(1, shuffled.size / nBatches)).toSeq
+      val split = s"$base/split$trial"
+      batches.foreach(b => SnapshotMaintain.mergeBatch(spark, df(b), split))
+      SnapshotMaintain.mergeBatch(spark,
+        df(batches(rnd.nextInt(batches.size))), split) // replay one
+      val cols = Seq("user_id", "last_event_type", "last_value",
+        "last_ts_ms", "last_event_id")
+      val a = spark.read.parquet(oneShot).select(cols.head, cols.tail: _*)
+      val b = spark.read.parquet(split).select(cols.head, cols.tail: _*)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"trial $trial: state depends on delivery (events=$events, batches=$batches)")
+    }
+  }
+
   test("streaming maintain: two file batches + checkpointed restart") {
     val base = Files.createTempDirectory("snap3").toString
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
