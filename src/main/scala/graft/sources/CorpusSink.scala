@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** The write path of the curated-corpus pipeline: partitioned parquet
@@ -56,4 +56,40 @@ object CorpusSink {
     df.repartitionByRange(nFiles, col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Z-ORDER (Morton) layout for scan skipping on TWO dimensions: each
+    * key linear-bins into `bits` bits between its min and max, the bins
+    * interleave into one Morton key, and range-partition + sort on that
+    * key tiles the file set across BOTH dimensions — every file covers
+    * ~1/√nFiles of each key's range instead of all of one and a sliver
+    * of the other, so predicates on EITHER dimension skip most files
+    * from parquet footer stats alone (the multi-dimension counterpart
+    * of writeRangeLayout; what Delta's OPTIMIZE ZORDER does).
+    *
+    * The min/max pre-pass is one 4-scalar aggregate (bounded driver
+    * state, like annIvf's centroids); production replaces linear bins
+    * with sampled quantile boundaries for skewed keys — the interleave
+    * and layout are unchanged. The Morton key is a pure expression
+    * passed straight to repartitionByRange/sortWithinPartitions, so the
+    * written schema carries no extra column. */
+  def writeZOrder(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int, bits: Int = 10): Unit = {
+    val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    def bin(c: String, lo: Double, hi: Double): Column = {
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      least(lit((1 << bits) - 1), greatest(lit(0),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * (1 << bits))
+          .cast("int")))
+    }
+    val b1 = bin(c1, r.getDouble(0), r.getDouble(1))
+    val b2 = bin(c2, r.getDouble(2), r.getDouble(3))
+    val morton = (0 until bits).map { i =>
+      shiftleft(shiftright(b1, i).bitwiseAND(lit(1)), 2 * i + 1).cast("long") +
+        shiftleft(shiftright(b2, i).bitwiseAND(lit(1)), 2 * i).cast("long")
+    }.reduce(_ + _)
+    df.repartitionByRange(nFiles, morton)
+      .sortWithinPartitions(morton)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

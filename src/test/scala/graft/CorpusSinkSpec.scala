@@ -63,6 +63,45 @@ class CorpusSinkSpec extends SparkSpec {
     assert(q.count() == e.filter(col("ts_ms") <= mid).count())
   }
 
+  test("z-order layout: per-file spans tighten on BOTH dimensions vs a " +
+    "single-key range layout; nothing lost") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("zorder").toString
+    val e = Tables.events(spark, sf("sf0.01"))
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select("event_id", "user_id", "ts_ms", "value")
+    def fileSpans(path: String, c: String): Seq[Double] =
+      Files.list(Paths.get(path)).iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq.map { f =>
+          val r = spark.read.parquet(f)
+            .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+          r.getDouble(1) - r.getDouble(0)
+        }
+    val g = e.agg(
+      (max("user_id") - min("user_id")).cast("double"),
+      (max("value") - min("value")).cast("double")).head()
+    val (guid, gval) = (g.getDouble(0), g.getDouble(1))
+
+    // baseline: range layout on user_id only — value spans stay global
+    CorpusSink.writeRangeLayout(e, s"$base/range", "user_id", nFiles = 16)
+    // z-order on (user_id, value) — both spans must tighten
+    CorpusSink.writeZOrder(e, s"$base/z", "user_id", "value", nFiles = 16)
+
+    val zU = fileSpans(s"$base/z", "user_id").sum / 16 / guid
+    val zV = fileSpans(s"$base/z", "value").sum / 16 / gval
+    val rV = fileSpans(s"$base/range", "value").sum / 16 / gval
+    assert(zU < 0.5, s"z-order user_id spans not tight: $zU of global")
+    assert(zV < 0.5, s"z-order value spans not tight: $zV of global")
+    // vs the single-key baseline the second dimension must tighten
+    // MATERIALLY (the baseline's spans sit near the sampled-subset max,
+    // ~0.67 here on the heavy-tailed value column)
+    assert(zV < rV * 0.6,
+      s"z-order value spans ($zV) not materially tighter than single-key layout ($rV)")
+    // nothing lost, nothing duplicated
+    assert(spark.read.parquet(s"$base/z").count() == e.count())
+    assert(spark.read.parquet(s"$base/z").exceptAll(e).isEmpty)
+  }
+
   test("read side prunes partitions at the directory level") {
     val out = Files.createTempDirectory("corpus2").toString + "/docs"
     CorpusSink.writePartitioned(Tables.documents(spark, sf()), out, "lang")
