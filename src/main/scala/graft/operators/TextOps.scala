@@ -423,10 +423,16 @@ object TextOps {
     * time per row during the build (observed in the executed plan —
     * PlanProbe prints the skeleton). */
   private[graft] def gramsTable(spark: SparkSession, docsIn: DataFrame): DataFrame =
-    graft.Artifacts.shared(docsIn
+    graft.Artifacts.shared(gramsFrame(docsIn))
+
+  /** The same derivation UNCACHED — for per-micro-batch callers where a
+    * per-batch cache registration would accumulate over the stream's
+    * lifetime (NearDupIngest). */
+  private[graft] def gramsFrame(docsIn: DataFrame): DataFrame =
+    docsIn
       .withColumn("toks", tokens)
       .select(col("doc_id"), col("lang"),
-        GraftFunctions.graftTrigrams(spark, "toks").as("grams")))
+        GraftFunctions.graftTrigrams(docsIn.sparkSession, "toks").as("grams"))
 
   /** The (slim) exploded posting rows of both contamination variants,
     * derived from the shared shingle artifact (explode + a md5 bucket
