@@ -500,6 +500,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
   RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id""",
 
+    // Funnel twin: identical running-min windows (ROWS frame explicit —
+    // Spark's ordered-window default is RANGE, DuckDB's too, but ties
+    // on (ts_ms, event_id) are impossible so ROWS is spelled on both).
+    "events_funnel" ->
+      """WITH e AS (
+  SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id
+  FROM events),
+e2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ms END) OVER w AS seen_view
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+e3 AS (
+  SELECT *, CASE WHEN event_type = 'click' AND seen_view IS NOT NULL
+    THEN ts_ms END AS qclick_ts FROM e2),
+e4 AS (
+  SELECT *, min(qclick_ts) OVER w AS seen_qclick
+  FROM e3 WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+e5 AS (
+  SELECT *, CASE WHEN event_type = 'purchase' AND seen_qclick IS NOT NULL
+    THEN ts_ms END AS conv_ts FROM e4)
+SELECT user_id,
+  CAST(min(CASE WHEN event_type = 'view' THEN ts_ms END) AS BIGINT) AS first_view_ms,
+  CAST(min(qclick_ts) AS BIGINT) AS first_click_ms,
+  CAST(min(conv_ts) AS BIGINT) AS first_purchase_ms,
+  CAST(count(*) AS BIGINT) AS n_events,
+  min(conv_ts) IS NOT NULL AS converted
+FROM e5 GROUP BY user_id ORDER BY user_id""",
+
+    "events_retention" ->
+      """WITH e AS (
+  SELECT DISTINCT user_id,
+    epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 AS day
+  FROM events),
+c AS (SELECT user_id, CAST(min(day) AS BIGINT) AS cohort_day FROM e GROUP BY 1)
+SELECT cohort_day, day - cohort_day AS k, CAST(count(*) AS BIGINT) AS n_users
+FROM e JOIN c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "setops_customers" ->
       """WITH c95 AS (
   SELECT o_custkey FROM orders

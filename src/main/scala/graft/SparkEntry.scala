@@ -66,6 +66,8 @@ object SparkEntry {
     "distinct_agg" -> ((s, d) => Relational.distinctAgg(s, d)),
     "events_tumbling" -> ((s, d) => Relational.eventsTumbling(s, d)),
     "events_hopping" -> ((s, d) => Relational.eventsHopping(s, d)),
+    "events_funnel" -> ((s, d) => Relational.eventsFunnel(s, d)),
+    "events_retention" -> ((s, d) => Relational.eventsRetention(s, d)),
     "setops_customers" -> ((s, d) => Relational.setOpsCustomers(s, d)),
     "grouping_sets" -> ((s, d) => Relational.groupingSetsOrders(s, d)),
     "doc_unpivot" -> ((s, d) => Relational.unpivotQuality(s, d)),

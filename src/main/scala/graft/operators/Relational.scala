@@ -232,6 +232,62 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** FUNNEL conversion — view → click → purchase in ORDER per user: the
+    * event-analytics staple. Stage progress is a running min over the
+    * user's ordered stream (a click only qualifies after a view has been
+    * seen, a purchase only after a qualified click), so the whole funnel
+    * is three windowed columns + one aggregate on the SAME user_id
+    * partitioning — one exchange, no self-joins, no per-user event list
+    * ever buffered (the collect-free shape that survives a user with
+    * millions of events). ROWS frame spelled explicitly on both engines
+    * (Spark's default for an ordered window is RANGE). */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val e2 = e
+      .withColumn("seen_view",
+        min(when(col("event_type") === "view", col("ts_ms"))).over(w))
+      .withColumn("qclick_ts",
+        when(col("event_type") === "click" && col("seen_view").isNotNull,
+          col("ts_ms")))
+      .withColumn("seen_qclick", min(col("qclick_ts")).over(w))
+      .withColumn("conv_ts",
+        when(col("event_type") === "purchase" && col("seen_qclick").isNotNull,
+          col("ts_ms")))
+    e2.groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_ms"))).as("first_view_ms"),
+        min(col("qclick_ts")).as("first_click_ms"),
+        min(col("conv_ts")).as("first_purchase_ms"),
+        count(lit(1)).as("n_events"))
+      .withColumn("converted", col("first_purchase_ms").isNotNull)
+      .select("user_id", "first_view_ms", "first_click_ms",
+        "first_purchase_ms", "n_events", "converted")
+      .orderBy("user_id")
+  }
+
+  /** COHORT RETENTION — users grouped by first-activity day, counted on
+    * each later active day offset: the second event-analytics staple.
+    * Two aggregates and one join, all keyed by user_id/day — the
+    * cohort table is one slim row per user (broadcastable against the
+    * activity set at any scale), day arithmetic is integer millis-div. */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val dayMs = 86400000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_millis(ts) div $dayMs").as("day"))
+    val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    val active = e.distinct()
+    active.join(cohort, "user_id")
+      .withColumn("k", col("day") - col("cohort_day"))
+      .groupBy("cohort_day", "k")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "k")
+  }
+
   /** CUBE over order priority × status (all four grouping sets). */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
