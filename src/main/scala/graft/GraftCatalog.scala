@@ -37,4 +37,15 @@ object GraftCatalog {
     }
     GraftFunctions.register(spark)
   }
+
+  /** Register every library query as a temp view `graft_<name>` — the
+    * full operator surface behind plain `SELECT * FROM graft_doc_tfidf`.
+    * Views stay UNMATERIALIZED plan aliases: a SQL user's filter or
+    * projection on top composes into the same Catalyst plan the
+    * DataFrame caller gets (pushdown through the view is pinned by
+    * GraftCatalogSpec), and queries run only when selected. */
+  def registerQueryViews(spark: SparkSession, dir: String): Unit =
+    SparkEntry.queries.foreach { case (name, fn) =>
+      fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+    }
 }

@@ -36,4 +36,20 @@ class GraftCatalogSpec extends SparkSpec {
       "SELECT count(1) AS n FROM events WHERE ts IS NOT NULL").head()
     assert(r.getLong(0) > 0, "events must be readable through the view")
   }
+
+  test("every library query is selectable as a graft_* view, and a " +
+    "filter on top composes into the view's plan") {
+    GraftCatalog.registerAll(spark, sf())
+    GraftCatalog.registerQueryViews(spark, sf())
+    // spot-run one query per tier through plain SQL
+    for (v <- Seq("graft_q1_pricing", "graft_doc_tfidf", "graft_dedup_exact",
+        "graft_emb_cosine_topk", "graft_events_funnel", "graft_cdc_snapshot_merge"))
+      assert(spark.sql(s"SELECT * FROM $v").count() > 0, s"$v returned no rows")
+    // composition: the user's filter lands in the same optimized plan
+    val filtered = spark.sql(
+      "SELECT doc_id FROM graft_doc_tfidf WHERE term_rank = 1")
+    assert(filtered.count() ==
+      spark.sql("SELECT count(DISTINCT doc_id) FROM graft_doc_tfidf").head().getLong(0),
+      "every doc must have exactly one rank-1 term")
+  }
 }
