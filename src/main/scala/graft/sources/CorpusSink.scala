@@ -74,19 +74,28 @@ object CorpusSink {
     * written schema carries no extra column. */
   def writeZOrder(df: DataFrame, path: String, c1: String, c2: String,
       nFiles: Int, bits: Int = 10): Unit = {
+    // interleaved shifts reach 2*bits-1, and the bin arithmetic stays in
+    // LONG throughout — an int bin shifted by >=31 silently wraps
+    // negative and scrambles the curve (advice r4)
+    require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
     val r = df.agg(min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) {
+      // empty or all-null key frame: no range to tile — write as-is
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     def bin(c: String, lo: Double, hi: Double): Column = {
       val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
-      least(lit((1 << bits) - 1), greatest(lit(0),
-        floor((col(c).cast("double") - lit(lo)) / lit(span) * (1 << bits))
-          .cast("int")))
+      least(lit((1L << bits) - 1), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(lo)) / lit(span) * (1L << bits))
+          .cast("long")))
     }
     val b1 = bin(c1, r.getDouble(0), r.getDouble(1))
     val b2 = bin(c2, r.getDouble(2), r.getDouble(3))
     val morton = (0 until bits).map { i =>
-      shiftleft(shiftright(b1, i).bitwiseAND(lit(1)), 2 * i + 1).cast("long") +
-        shiftleft(shiftright(b2, i).bitwiseAND(lit(1)), 2 * i).cast("long")
+      shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i)
     }.reduce(_ + _)
     df.repartitionByRange(nFiles, morton)
       .sortWithinPartitions(morton)

@@ -102,6 +102,45 @@ class CorpusSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/z").exceptAll(e).isEmpty)
   }
 
+  test("z-order: wide bit widths stay in long arithmetic; empty frames " +
+    "and out-of-range widths are guarded") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("zedge").toString
+    val e = Tables.events(spark, sf("sf0.001"))
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .select("event_id", "user_id", "ts_ms", "value")
+    // bits=20: interleaved shifts reach 39 — would wrap negative in int
+    // arithmetic and scramble the tiling (advice r4). Long path must
+    // still produce a lossless, tiled layout.
+    CorpusSink.writeZOrder(e, s"$base/wide", "user_id", "value",
+      nFiles = 8, bits = 20)
+    assert(spark.read.parquet(s"$base/wide").count() == e.count())
+    assert(spark.read.parquet(s"$base/wide").exceptAll(e).isEmpty)
+    // and the curve actually tiles (a scrambled key would leave the
+    // first dimension's per-file spans near-global)
+    val g = e.agg((max("user_id") - min("user_id")).cast("double")).head().getDouble(0)
+    val spans = Files.list(Paths.get(s"$base/wide")).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col("user_id")).cast("double"), max(col("user_id")).cast("double"))
+          .head()
+        r.getDouble(1) - r.getDouble(0)
+      }
+    assert(spans.sum / spans.size / g < 0.6,
+      s"bits=20 z-order did not tile user_id: ${spans.sum / spans.size / g}")
+
+    // empty input: min/max are null — must not throw, must write a
+    // readable (empty) output
+    CorpusSink.writeZOrder(e.filter(lit(false)), s"$base/empty",
+      "user_id", "value", nFiles = 4)
+    assert(spark.read.parquet(s"$base/empty").count() == 0)
+
+    intercept[IllegalArgumentException] {
+      CorpusSink.writeZOrder(e, s"$base/bad", "user_id", "value",
+        nFiles = 4, bits = 31)
+    }
+  }
+
   test("read side prunes partitions at the directory level") {
     val out = Files.createTempDirectory("corpus2").toString + "/docs"
     CorpusSink.writePartitioned(Tables.documents(spark, sf()), out, "lang")
