@@ -1177,17 +1177,23 @@ SELECT q_id, vec_id,
 FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""")
 
   /** The composed corpus-curation decision (quality + lang match +
-    * exact-dup + contamination) — its own oracle row AND the keep-set
-    * gate of emb_curated_topk. */
+    * exact-dup + contamination + eval-split exclusion) — its own oracle
+    * row AND the keep-set gate of emb_curated_topk. The is_eval
+    * predicate repeats the contamination split's bucket hash verbatim:
+    * held-out docs are dropped from the keep-set, not just their
+    * train-side contaminators. */
   private lazy val curateSql: String =
     s"""WITH q AS (SELECT doc_id, quality FROM (${sqlBase("doc_quality")})),
 l AS (SELECT doc_id, match_label FROM (${sqlBase("doc_lang_id")})),
 dd AS (SELECT doc_id, is_dup FROM (${sqlBase("dedup_exact")})),
-ct AS (SELECT doc_id, TRUE AS contaminated FROM (${sqlBase("doc_contamination")}))
+ct AS (SELECT doc_id, TRUE AS contaminated FROM (${sqlBase("doc_contamination")})),
+ev AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 = 0 AS is_eval
+  FROM documents)
 SELECT q.doc_id, quality, match_label, is_dup,
-  COALESCE(contaminated, FALSE) AS contaminated,
+  COALESCE(contaminated, FALSE) AS contaminated, is_eval,
   quality >= 5e-1 AND match_label AND NOT is_dup
-    AND NOT COALESCE(contaminated, FALSE) AS keep
+    AND NOT COALESCE(contaminated, FALSE) AND NOT is_eval AS keep
 FROM q JOIN l USING (doc_id) JOIN dd USING (doc_id)
-LEFT JOIN ct USING (doc_id) ORDER BY doc_id"""
+LEFT JOIN ct USING (doc_id) JOIN ev USING (doc_id) ORDER BY doc_id"""
 }

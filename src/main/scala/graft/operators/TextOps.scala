@@ -281,18 +281,24 @@ object TextOps {
           + (lit(1.0) - col("stop_ratio")) * 0.3 + col("ttr") * 0.2)
       .withColumn("match_label", (predicted === col("lang")).cast("boolean"))
       .select(col("doc_id"), col("quality"), col("match_label"),
+        (sampleBucket === 0).as("is_eval"),
         md5(col("text").cast("binary")).as("fp"))
     val w = Window.partitionBy("fp")
     val withDup = sig
       .withColumn("is_dup", (col("doc_id") =!= min(col("doc_id")).over(w)).cast("boolean"))
     val contam = contamination(spark, dir)
       .select(col("doc_id"), lit(true).as("contaminated"))
+    // the eval bucket itself is EXCLUDED from the training keep-set —
+    // contamination only flags train docs sharing grams with the eval
+    // split, so without this predicate the held-out docs themselves
+    // would flow into the corpus (and into curatedTopK) as keepers
     withDup.join(contam, Seq("doc_id"), "left")
       .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
       .withColumn("keep",
         col("quality") >= 0.5 && col("match_label")
-          && !col("is_dup") && !col("contaminated"))
-      .select("doc_id", "quality", "match_label", "is_dup", "contaminated", "keep")
+          && !col("is_dup") && !col("contaminated") && !col("is_eval"))
+      .select("doc_id", "quality", "match_label", "is_dup", "contaminated",
+        "is_eval", "keep")
       .orderBy("doc_id")
   }
 

@@ -49,20 +49,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
-  test("curate: keep is exactly the conjunction of its four signals") {
+  test("curate: keep is exactly the conjunction of its five signals; " +
+    "no eval-bucket doc is ever kept") {
     val c = TextOps.curate(spark, sf()).collect()
     assert(c.nonEmpty)
     c.foreach { row =>
       val expect = row.getDouble(1) >= 0.5 && row.getBoolean(2) &&
-        !row.getBoolean(3) && !row.getBoolean(4)
-      assert(row.getBoolean(5) == expect, s"keep drift at doc ${row.getLong(0)}")
+        !row.getBoolean(3) && !row.getBoolean(4) && !row.getBoolean(5)
+      assert(row.getBoolean(6) == expect, s"keep drift at doc ${row.getLong(0)}")
     }
     // the contaminated flag marks exactly the contamination query's docs
     val flagged = c.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
     val contam = TextOps.contamination(spark, sf())
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(flagged == contam)
+    // the held-out split itself must never enter the training keep-set
+    // (r4 advice: contamination only flags train-side docs, so without
+    // the is_eval predicate eval docs flow into the corpus)
+    val evals = c.filter(_.getBoolean(5))
+    assert(evals.nonEmpty, "eval bucket empty — split key drifted")
+    assert(evals.forall(!_.getBoolean(6)), "an eval-bucket doc was kept")
     // at least one doc is kept and at least one dropped (decision bites)
-    assert(c.exists(_.getBoolean(5)) && c.exists(!_.getBoolean(5)))
+    assert(c.exists(_.getBoolean(6)) && c.exists(!_.getBoolean(6)))
   }
 }
