@@ -38,14 +38,50 @@ object GraftCatalog {
     GraftFunctions.register(spark)
   }
 
-  /** Register every library query as a temp view `graft_<name>` — the
-    * full operator surface behind plain `SELECT * FROM graft_doc_tfidf`.
-    * Views stay UNMATERIALIZED plan aliases: a SQL user's filter or
-    * projection on top composes into the same Catalyst plan the
-    * DataFrame caller gets (pushdown through the view is pinned by
-    * GraftCatalogSpec), and queries run only when selected. */
-  def registerQueryViews(spark: SparkSession, dir: String): Unit =
+  /** Session conf key the lazy view resolver reads (see
+    * `plans.LazyGraftViews`). */
+  val LazyViewDirKey = "spark.graft.lazyViews.dir"
+
+  /** Queries whose BUILDERS execute driver-side Spark actions at plan-
+    * construction time — registering these as temp views runs real jobs
+    * at registration and freezes the collected state (IVF centroids,
+    * the bloom's bit array, CC labels) at that instant (advice r4).
+    * They are excluded from the default temp-view registration; the
+    * lazy resolver (enableLazyViews) serves them on first SELECT
+    * instead, or `includeEager = true` opts into eager registration. */
+  val eagerQueries: Set[String] = Set(
+    "emb_ann_lsh",        // N-derived bit width: one count()
+    "emb_cosine_neardup", // same N-derived bit width (shared memo)
+    "emb_ann_ivf",        // collected init centroids
+    "emb_ann_ivf2",       // collected centroids + integer Lloyd sums
+    "dedup_clusters",     // label propagation: convergence action per round
+    "dedup_clusters_ls",  // large/small-star: fingerprint head() per round
+    "doc_decontam_bloom") // bloom build: count() + treeAggregate
+
+  /** Register library queries as temp views `graft_<name>` — the
+    * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.
+    * Registered views are UNMATERIALIZED plan aliases: a SQL user's
+    * filter or projection on top composes into the same Catalyst plan
+    * the DataFrame caller gets (pushdown through the view is pinned by
+    * GraftCatalogSpec), and the queries run only when selected. The
+    * `eagerQueries` above are the exception — their builders run jobs
+    * at plan construction — so by default they are SKIPPED here (zero
+    * jobs at registration, asserted by spec); pass `includeEager =
+    * true` to register them too, accepting the construction-time jobs
+    * and state freeze. */
+  def registerQueryViews(spark: SparkSession, dir: String,
+      includeEager: Boolean = false): Unit =
     SparkEntry.queries.foreach { case (name, fn) =>
-      fn(spark, dir).createOrReplaceTempView(s"graft_$name")
+      if (includeEager || !eagerQueries(name))
+        fn(spark, dir).createOrReplaceTempView(s"graft_$name")
     }
+
+  /** The genuinely lazy face of the full query surface — REQUIRES a
+    * session built with spark.sql.extensions=graft.plans.GraftExtensions:
+    * stamps `dir` on the session and lets the injected resolution rule
+    * expand `graft_<name>` relations on first reference. Every query —
+    * eager builders included — becomes SQL-addressable with zero work
+    * until something actually selects from it. */
+  def enableLazyViews(spark: SparkSession, dir: String): Unit =
+    spark.conf.set(LazyViewDirKey, dir)
 }

@@ -7,10 +7,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Every reader goes through `spark.read.parquet` so Catalyst's parquet
   * scan gives us column pruning + predicate pushdown for free — at 100 TB
   * the scan must only read the columns/row-groups a query touches.
+  *
+  * The base relation is MEMOIZED per (session, dir, name):
+  * `spark.read.parquet` pays file-listing + footer schema-inference
+  * jobs on every call, so un-memoized each of ~70 query builds re-ran
+  * that metadata work per referenced table (measured: ~2 jobs per
+  * build, 84 jobs for one full view registration). One DataFrame per
+  * table is the metastore-catalog behavior production gets from
+  * `saveAsTable`; reusing the analyzed relation plan is free — every
+  * query still gets its own pruning/pushdown on top. Memos release via
+  * Artifacts.unpersistAll (same lifecycle as the cached artifacts).
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    Artifacts.memo(
+      s"table:${System.identityHashCode(spark)}:$sfDir/$name") {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

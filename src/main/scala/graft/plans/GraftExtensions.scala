@@ -4,7 +4,8 @@ import graft.functions.{ArrayPairs, MinHashSignature, PairsGenerator, TrigramShi
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.expr
 
-/** Registration of graft's custom Catalyst expressions.
+/** Registration of graft's custom Catalyst expressions and the LAZY
+  * query-view resolver.
   *
   * Two entry points, same registry:
   *  - `GraftExtensions` for `--conf spark.sql.extensions=graft.plans.
@@ -13,12 +14,18 @@ import org.apache.spark.sql.functions.expr
   *  - `GraftFunctions.register(spark)` for imperative registration
   *    (tests, notebooks) — idempotent.
   *
-  * No custom Rule[LogicalPlan]/SparkStrategy is registered: the
-  * reference surface needs none (SURVEY §4.2) — scalar expressions are
-  * the only place composing built-ins was inadequate.
+  * Besides the scalar expressions, one analyzer RESOLUTION rule is
+  * injected: `LazyGraftViews` resolves `graft_<query>` relations on
+  * first reference, so the full library surface is SQL-addressable with
+  * ZERO work at session start — including the queries whose builders
+  * run driver-side actions (collected IVF centroids, bloom builds,
+  * iterative CC rounds), which `GraftCatalog.registerQueryViews` must
+  * otherwise execute eagerly or skip. No SparkStrategy is registered:
+  * the reference surface needs none (SURVEY §4.2).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(e: SparkSessionExtensions): Unit = {
+    e.injectResolutionRule(session => new LazyGraftViews(session))
     e.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_trigrams"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -43,6 +50,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[PairsGenerator].getName, "graft_pairs_gen"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PairsGenerator(exprs.head)))
+  }
+}
+
+/** Analyzer rule: resolve `graft_<name>` to the library query's plan ON
+  * FIRST SELECT — the genuinely lazy view face (advice r4: temp-view
+  * registration executes eager builders at registration time and
+  * freezes their collected state; this rule defers that work to the
+  * query that actually reads the view, exactly like a metastore view's
+  * body expanding at resolution).
+  *
+  * Scope guards: fires only when `spark.graft.lazyViews.dir` is set on
+  * the session (GraftCatalog.enableLazyViews), only for single-part
+  * `graft_`-prefixed names that match a library query, and only for
+  * relations the built-in resolver left unresolved — an explicitly
+  * registered temp view of the same name always wins. */
+class LazyGraftViews(session: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val dir = session.conf.get(graft.GraftCatalog.LazyViewDirKey, "")
+    if (dir.isEmpty) plan
+    else plan.resolveOperatorsUp {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 1 &&
+          u.multipartIdentifier.head
+            .toLowerCase(java.util.Locale.ROOT).startsWith("graft_") =>
+        val raw = u.multipartIdentifier.head
+        val name = raw.toLowerCase(java.util.Locale.ROOT).stripPrefix("graft_")
+        graft.SparkEntry.queries.get(name)
+          .map(fn => SubqueryAlias(raw, fn(session, dir).queryExecution.analyzed))
+          .getOrElse(u)
+    }
   }
 }
 

@@ -37,10 +37,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r.getLong(0) > 0, "events must be readable through the view")
   }
 
+  test("default view registration runs ZERO jobs and skips the eager " +
+    "builders; includeEager opts them in") {
+    GraftCatalog.registerAll(spark, sf())
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // calibrate: how many jobs does the marker action itself cost
+      // (listener delivery is async — settle by waiting for stability)
+      def settle(): Int = {
+        var last = -1
+        var cur = jobs.get()
+        while (cur != last) { Thread.sleep(100); last = cur; cur = jobs.get() }
+        cur
+      }
+      spark.range(1).count()
+      val c0 = settle()
+      spark.range(1).count()
+      val markerCost = settle() - c0
+      val before = jobs.get()
+      GraftCatalog.registerQueryViews(spark, sf())
+      // marker job: the listener bus is ordered, so once its jobs land
+      // every event from the registration above has been delivered
+      spark.range(1).count()
+      val ran = settle() - before - markerCost
+      assert(ran == 0,
+        s"view registration ran $ran eager jobs — " +
+          "plan-construction actions leaked into the default path")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the eager queries are absent by default, present with includeEager
+    for (e <- GraftCatalog.eagerQueries)
+      assert(!spark.catalog.tableExists(s"graft_$e"), s"graft_$e registered eagerly")
+    GraftCatalog.registerQueryViews(spark, sf(), includeEager = true)
+    assert(spark.catalog.tableExists("graft_emb_ann_ivf"))
+    assert(spark.sql("SELECT * FROM graft_emb_ann_ivf").count() > 0)
+  }
+
   test("every library query is selectable as a graft_* view, and a " +
     "filter on top composes into the view's plan") {
     GraftCatalog.registerAll(spark, sf())
-    GraftCatalog.registerQueryViews(spark, sf())
+    GraftCatalog.registerQueryViews(spark, sf(), includeEager = true)
     // spot-run one query per tier through plain SQL
     for (v <- Seq("graft_q1_pricing", "graft_doc_tfidf", "graft_dedup_exact",
         "graft_emb_cosine_topk", "graft_events_funnel", "graft_cdc_snapshot_merge"))

@@ -56,6 +56,29 @@ class GraftExtensionsSpec extends SparkSpec {
           |  SELECT collect_list(named_struct('d', id)) AS ds
           |  FROM range(4)))""".stripMargin).count()
       assert(sqlPairs == 6)
+
+      // LAZY query views: before enableLazyViews the rule is inert —
+      // graft_* names must fail analysis like any unknown relation
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT * FROM graft_doc_quality").queryExecution.analyzed
+      }
+      GraftCatalog.enableLazyViews(s2, sf())
+      // an EAGER-builder query resolves and runs with no registration
+      // call at all — its collect/count work happens at THIS select,
+      // not at session start (the whole point of the lazy face)
+      assert(s2.sql("SELECT * FROM graft_emb_ann_ivf").count() > 0)
+      // plain queries compose: a filter on top of the lazy view answers
+      assert(s2.sql(
+        "SELECT count(1) AS n FROM graft_doc_quality WHERE quality >= 0.5")
+        .head().getLong(0) > 0)
+      // an explicitly registered temp view of the same name WINS
+      s2.range(1).selectExpr("42 AS marker")
+        .createOrReplaceTempView("graft_doc_quality")
+      assert(s2.sql("SELECT marker FROM graft_doc_quality").head().getInt(0) == 42)
+      // unknown graft_ name still errors cleanly
+      intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT * FROM graft_no_such_query").queryExecution.analyzed
+      }
     } finally {
       ctxConf(spark.sparkContext).remove("spark.sql.extensions")
       SparkSession.setDefaultSession(shared)
