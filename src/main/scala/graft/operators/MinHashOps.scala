@@ -97,18 +97,25 @@ object MinHashOps {
       if (cache) TextOps.gramsTable(spark, docsIn)
       else TextOps.gramsFrame(docsIn)
     val docsGrams = docsGrams0.filter(size(col("grams")) > 0)
-    val docs = docsGrams
+    val exploded0 = postingsFromGrams(spark, docsGrams)
+    val exploded = if (cache) graft.Artifacts.shared(exploded0) else exploded0
+    (docsGrams, exploded)
+  }
+
+  /** Band postings from an ALREADY-SHINGLED (doc_id, lang, grams) frame
+    * — the signature derives from the grams column alone, which is what
+    * lets NearDupIngest.repairArtifact rebuild postings from the stored
+    * grams half of the artifact without re-reading any text. */
+  private[graft] def postingsFromGrams(spark: SparkSession,
+      docsGrams: DataFrame): DataFrame =
+    docsGrams
       .withColumn("sig", GraftFunctions.graftMinhash(spark, "grams"))
       .withColumn("bands", bandHashes(col("sig")))
-    val exploded0 = docs
       .select(col("doc_id"), col("lang"),
         explode(array((0 until Bands).map(lit(_)): _*)).as("band_idx"),
         col("bands"))
       .withColumn("band_hash", element_at(col("bands"), col("band_idx") + 1))
       .drop("bands")
-    val exploded = if (cache) graft.Artifacts.shared(exploded0) else exploded0
-    (docsGrams, exploded)
-  }
 
   /** Exact-Jaccard verification of a candidate (d1, d2) frame against
     * the grams table(s) — shared tail of the symmetric, incremental and

@@ -26,17 +26,37 @@ object NearDupIngest {
 
   val Threshold = 0.5
 
-  private def artifactExists(spark: SparkSession, artifact: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$artifact/grams")
+  private def dirExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Both halves present — the only state in which the cross-screen may
+    * read the artifact (a half-written artifact from the crash window
+    * below must not fail the batch with a read error; it degrades to
+    * the no-corpus path and heals on the replay). */
+  private def artifactExists(spark: SparkSession, artifact: String): Boolean =
+    dirExists(spark, s"$artifact/grams") && dirExists(spark, s"$artifact/postings")
+
   /** Screen one batch and admit its non-near-dup documents into the
     * artifact. Returns (admitted, rejected) doc counts — admitted =
-    * rows actually APPENDED (0 on a verbatim replay). */
+    * grams rows actually APPENDED (0 on a verbatim replay).
+    *
+    * Crash atomicity (advice r4): grams and postings are two separate
+    * appends with no transaction between them, so each append is made
+    * INDEPENDENTLY idempotent — the grams append anti-joins the doc_ids
+    * already in grams, the postings append anti-joins the doc_ids
+    * already in postings. A crash between the writes leaves a doc in
+    * grams with no postings; the replayed micro-batch (Structured
+    * Streaming's replay unit) then skips the grams append and performs
+    * ONLY the missing postings append, converging to the crash-free
+    * artifact. `repairArtifact` covers the no-replay path (checkpoint
+    * lost): postings re-derive from the stored grams alone. The
+    * `afterGramsAppend` hook exists for the crash-injection spec. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, artifact: String,
-      dfCap: Int = TextOps.DfCap): (Long, Long) = {
+      dfCap: Int = TextOps.DfCap,
+      afterGramsAppend: () => Unit = () => ()): (Long, Long) = {
     val (batchGrams0, batchPostings0) =
       MinHashOps.bandPostings(spark, batch, cache = false)
     // each micro-batch is consumed by several passes (within-batch
@@ -63,21 +83,86 @@ object NearDupIngest {
     val nRejected = rejects.count()
 
     val admittedGrams = batchGrams.join(rejects, Seq("doc_id"), "left_anti")
-    // replay idempotence: only docs the artifact has never seen append
-    val fresh0 =
-      if (artifactExists(spark, artifact))
+    // replay idempotence, PER TABLE: each append keys its anti-join on
+    // its OWN table's doc_ids, so the two appends need no shared commit
+    // point — any prefix of them re-run converges (the doc_id scans are
+    // column-pruned slim reads; a production manifest table would
+    // replace them)
+    val freshGrams0 =
+      if (dirExists(spark, s"$artifact/grams"))
         admittedGrams.join(
           spark.read.parquet(s"$artifact/grams").select("doc_id"),
           Seq("doc_id"), "left_anti")
       else admittedGrams
-    val fresh = fresh0.localCheckpoint(true)
-    val nAdmitted = fresh.count()
-    if (nAdmitted > 0) {
-      fresh.write.mode(SaveMode.Append).parquet(s"$artifact/grams")
-      batchPostings.join(fresh.select("doc_id"), Seq("doc_id"))
-        .write.mode(SaveMode.Append).parquet(s"$artifact/postings")
-    }
+    val freshGrams = freshGrams0.localCheckpoint(true)
+    val nAdmitted = freshGrams.count()
+    if (nAdmitted > 0)
+      freshGrams.write.mode(SaveMode.Append).parquet(s"$artifact/grams")
+    afterGramsAppend()
+    val admittedPost = batchPostings.join(rejects, Seq("doc_id"), "left_anti")
+    val freshPost0 =
+      if (dirExists(spark, s"$artifact/postings"))
+        admittedPost.join(
+          spark.read.parquet(s"$artifact/postings").select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else admittedPost
+    val freshPost = freshPost0.localCheckpoint(true)
+    if (freshPost.count() > 0)
+      freshPost.write.mode(SaveMode.Append).parquet(s"$artifact/postings")
     (nAdmitted, nRejected)
+  }
+
+  /** Re-derive missing postings from the stored grams — recovery for a
+    * crash window that was never replayed (checkpoint lost, manual
+    * surgery): any doc present in grams but absent from postings gets
+    * its band postings recomputed FROM THE STORED GRAMS (the signature
+    * derives from the grams column alone, so no text re-read) and
+    * appended. Idempotent; a healthy artifact is a no-op. Returns the
+    * number of repaired docs. */
+  def repairArtifact(spark: SparkSession, artifact: String): Long = {
+    if (!dirExists(spark, s"$artifact/grams")) return 0L
+    val grams = spark.read.parquet(s"$artifact/grams")
+    val orphans0 =
+      if (dirExists(spark, s"$artifact/postings"))
+        grams.join(
+          spark.read.parquet(s"$artifact/postings").select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+      else grams
+    val orphans = orphans0.localCheckpoint(true)
+    val n = orphans.count()
+    if (n > 0) MinHashOps.postingsFromGrams(spark, orphans)
+      .write.mode(SaveMode.Append).parquet(s"$artifact/postings")
+    n
+  }
+
+  /** Compact the artifact's file sets — the append-per-batch layout
+    * grows one parquet file set per micro-batch forever (VERDICT r4
+    * next-round #6), and a long-lived stream would drown planning in
+    * footers. Rewrites each half through CorpusSink.writeRangeLayout
+    * (grams range-laid on doc_id, postings on band_hash so a bucket's
+    * rows cluster) into a BOUNDED file count, staged in a sibling tmp
+    * dir and swapped in with two renames — a crash before the swap
+    * leaves the live artifact untouched; a crash between delete and
+    * rename is resumed by the `.tmp` probe at the next compaction. */
+  def compactArtifact(spark: SparkSession, artifact: String,
+      nFiles: Int = 4): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((sub, key) <- Seq("grams" -> "doc_id", "postings" -> "band_hash")) {
+      val live = new org.apache.hadoop.fs.Path(s"$artifact/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$artifact/$sub.tmp")
+      val fs = live.getFileSystem(conf)
+      if (fs.exists(tmp) && !fs.exists(live)) {
+        fs.rename(tmp, live) // resume an interrupted swap
+        ()
+      } else if (fs.exists(live)) {
+        if (fs.exists(tmp)) fs.delete(tmp, true) // stale stage
+        graft.sources.CorpusSink.writeRangeLayout(
+          spark.read.parquet(live.toString), tmp.toString, key, nFiles)
+        fs.delete(live, true)
+        fs.rename(tmp, live)
+        ()
+      }
+    }
   }
 
   /** Streaming entry: JSON documents directory → screened corpus

@@ -52,6 +52,103 @@ class NearDupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$artifact/postings").count() == 16)
   }
 
+  test("a crash between the grams and postings appends converges on " +
+    "replay to the crash-free artifact (advice r4)") {
+    val base = Files.createTempDirectory("nd-crash").toString
+    val clean = s"$base/clean"
+    val crashed = s"$base/crashed"
+    val b1 = Seq(
+      (10L, "en", phrase("a") + " tail10"),
+      (20L, "en", phrase("b") + " tail20")).toDF("doc_id", "lang", "text")
+    val b2 = Seq(
+      (30L, "en", phrase("c") + " tail30"),
+      (31L, "en", phrase("a") + " tail31")).toDF("doc_id", "lang", "text")
+    // reference run, no crash
+    NearDupIngest.mergeBatch(spark, b1, clean)
+    NearDupIngest.mergeBatch(spark, b2, clean)
+    // crashed run: batch 2 dies between the two appends
+    NearDupIngest.mergeBatch(spark, b1, crashed)
+    intercept[RuntimeException] {
+      NearDupIngest.mergeBatch(spark, b2, crashed,
+        afterGramsAppend = () => throw new RuntimeException("boom"))
+    }
+    // the crash window is observable: doc 30 admitted in grams, its
+    // postings missing — the exact state that used to become a
+    // permanent false negative
+    def ids(path: String): Seq[Long] = spark.read.parquet(path)
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    assert(ids(s"$crashed/grams") == Seq(10L, 20L, 30L))
+    assert(ids(s"$crashed/postings") == Seq(10L, 20L))
+    // replay (Structured Streaming's recovery unit): appends ONLY the
+    // missing postings; admitted=0 because grams saw the doc already
+    val (ad, _) = NearDupIngest.mergeBatch(spark, b2, crashed)
+    assert(ad == 0L, s"replay re-admitted $ad docs")
+    for (sub <- Seq("grams", "postings"))
+      assert(ids(s"$crashed/$sub") == ids(s"$clean/$sub"),
+        s"$sub diverged from the crash-free run")
+    // and the healed doc is a live near-dup source: a later near-dup of
+    // doc 30 is rejected in both runs alike
+    val b3 = Seq((50L, "en", phrase("c") + " tail50")).toDF("doc_id", "lang", "text")
+    val r1 = NearDupIngest.mergeBatch(spark, b3, clean)
+    val r2 = NearDupIngest.mergeBatch(spark, b3, crashed)
+    assert(r1 == (0L, 1L) && r2 == (0L, 1L), s"post-heal screen: $r1 vs $r2")
+  }
+
+  test("repairArtifact re-derives missing postings from stored grams " +
+    "when the crashed batch is never replayed") {
+    val base = Files.createTempDirectory("nd-repair").toString
+    val art = s"$base/art"
+    val b1 = Seq(
+      (10L, "en", phrase("a") + " tail10"),
+      (20L, "en", phrase("b") + " tail20")).toDF("doc_id", "lang", "text")
+    val b2 = Seq((30L, "en", phrase("c") + " tail30")).toDF("doc_id", "lang", "text")
+    NearDupIngest.mergeBatch(spark, b1, art)
+    intercept[RuntimeException] {
+      NearDupIngest.mergeBatch(spark, b2, art,
+        afterGramsAppend = () => throw new RuntimeException("boom"))
+    }
+    assert(NearDupIngest.repairArtifact(spark, art) == 1L)
+    assert(NearDupIngest.repairArtifact(spark, art) == 0L, "repair not idempotent")
+    // repaired postings are BIT-identical to the batch derivation: the
+    // screen now rejects a near-dup of the once-orphaned doc
+    val probe = Seq((50L, "en", phrase("c") + " tail50")).toDF("doc_id", "lang", "text")
+    assert(NearDupIngest.mergeBatch(spark, probe, art) == (0L, 1L))
+    assert(spark.read.parquet(s"$art/postings").count() == 3 * 4)
+  }
+
+  test("compaction bounds the artifact's file count and changes no " +
+    "screening result") {
+    val base = Files.createTempDirectory("nd-compact").toString
+    val art = s"$base/art"
+    // 4 batches → 4 file sets per table
+    for (i <- 0 until 4) {
+      val b = Seq((100L + i, "en", phrase(s"t$i") + s" tail$i"))
+        .toDF("doc_id", "lang", "text")
+      NearDupIngest.mergeBatch(spark, b, art)
+    }
+    def parquetFiles(sub: String): Int = {
+      val it = Files.walk(java.nio.file.Paths.get(s"$art/$sub")).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    }
+    val before = parquetFiles("grams")
+    assert(before >= 4, s"expected >=4 pre-compaction grams files, got $before")
+    // screening result to preserve: a near-dup of doc 102 is rejected
+    val probe = Seq((200L, "en", phrase("t2") + " tailX")).toDF("doc_id", "lang", "text")
+    // (screen WITHOUT admitting: measure, then compact, then re-measure)
+    val preGrams = spark.read.parquet(s"$art/grams").collect().map(_.getLong(0)).toSet
+    NearDupIngest.compactArtifact(spark, art, nFiles = 2)
+    assert(parquetFiles("grams") <= 2, s"grams not compacted: ${parquetFiles("grams")}")
+    assert(parquetFiles("postings") <= 2)
+    assert(NearDupIngest.compactArtifact(spark, art, nFiles = 2).==(()),
+      "re-compaction must be safe")
+    val postGrams = spark.read.parquet(s"$art/grams").collect().map(_.getLong(0)).toSet
+    assert(preGrams == postGrams, "compaction lost or invented docs")
+    assert(NearDupIngest.mergeBatch(spark, probe, art) == (0L, 1L),
+      "screening diverged after compaction")
+  }
+
   test("streaming ingest: screened corpus converges across two file " +
     "batches with a checkpointed restart") {
     val base = Files.createTempDirectory("nd-stream").toString
