@@ -101,6 +101,58 @@ class SnapshotMaintainSpec extends SparkSpec {
     }
   }
 
+  test("bucketed store: a batch rewrites ONLY buckets holding touched " +
+    "keys — untouched buckets' files stay byte-identical") {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val store = Files.createTempDirectory("snapb").toString + "/store"
+    val B = 16
+    // seed: enough keys to populate several buckets
+    val seed = (1L to 12L).map(u => ev(u, "seed", u.toDouble, 100, u))
+    assert(SnapshotMaintain.mergeBatch(spark, df(seed), store, B) == 12)
+    val dirs = Files.list(Paths.get(store)).iterator()
+    var bucketDirs = List.empty[String]
+    while (dirs.hasNext) {
+      val d = dirs.next().getFileName.toString
+      if (d.startsWith("bucket=")) bucketDirs ::= d
+    }
+    assert(bucketDirs.size >= 3, s"want >=3 buckets, got $bucketDirs")
+
+    def fileBytes(): Map[String, Seq[Byte]] = {
+      val out = scala.collection.mutable.Map.empty[String, Seq[Byte]]
+      val it = Files.walk(Paths.get(store)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val rel = Paths.get(store).relativize(p).toString
+        if (rel.contains("bucket=") && Files.isRegularFile(p))
+          out(rel) = Files.readAllBytes(p).toSeq
+      }
+      out.toMap
+    }
+    val before = fileBytes()
+
+    // touch ONLY user 1; find its bucket the way the store computes it
+    val b1 = spark.range(1).select(pmod(hash(lit(1L)), lit(B))).head().getInt(0)
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df(Seq(ev(1, "upd", 9.0, 900, 99))), store, B) == 1)
+    val after = fileBytes()
+
+    val untouchedBefore = before.filterNot(_._1.startsWith(s"bucket=$b1/"))
+    val untouchedAfter = after.filterNot(_._1.startsWith(s"bucket=$b1/"))
+    assert(untouchedBefore == untouchedAfter,
+      "untouched buckets were rewritten — dynamic overwrite not confined " +
+        s"to bucket=$b1")
+    assert(before.keySet.filter(_.startsWith(s"bucket=$b1/")) !=
+      after.keySet.filter(_.startsWith(s"bucket=$b1/")) ||
+      before(before.keySet.find(_.startsWith(s"bucket=$b1/")).get) !=
+      after(after.keySet.find(_.startsWith(s"bucket=$b1/")).get),
+      "touched bucket did not change")
+    // and the state is right: pruned-merge did not lose untouched keys
+    val s = SnapshotMaintain.snapshot(spark, store)
+    assert(s.count() == 12)
+    assert(s.filter("user_id = 1").head().getAs[String]("last_event_type") == "upd")
+    assert(s.filter("user_id = 7").head().getAs[String]("last_event_type") == "seed")
+  }
+
   test("streaming maintain: two file batches + checkpointed restart") {
     val base = Files.createTempDirectory("snap3").toString
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
