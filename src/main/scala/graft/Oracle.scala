@@ -965,31 +965,42 @@ ORDER BY jaccard DESC, d1, d2 LIMIT 50"""
       s"""SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS simhash16
 FROM documents ORDER BY doc_id""",
 
-    // Twin of MinHashOps.simhashPairs: 17 probe keys per doc (identity
-    // + every one-bit flip) cover all pairs within Hamming distance 2
-    // (a xor b = flip_a xor flip_b); hot probe buckets df-cut like every
-    // postings source; exact popcount verify via the same div/mod bit
-    // walk both engines share.
+    // Twin of MinHashOps.simhashPairs on the WIDE 60-bit fingerprint:
+    // one bit-sum aggregate over the exploded token hashes builds the
+    // fingerprint (exact integer sums, order-independent), each doc
+    // emits its 3 20-bit band values as probe keys (Hamming ≤ 2 ⇒ ≥1
+    // exact band match by pigeonhole), hot (band, value) buckets df-cut
+    // like every postings source, and bit_count of the xor — exact on
+    // BIGINT in both engines — verifies distance ≤ 2.
     "dedup_simhash_pairs" -> {
-      val flips = (Seq(0L) ++ (0 until 16).map(b => 1L << b)).mkString("[", ", ", "]")
-      val pop = (0 until 16).map { b =>
-        s"((CAST(xor(sh1, sh2) AS BIGINT) // ${1L << b}) % 2)"
-      }.mkString(" + ")
-      s"""WITH s AS (
-  SELECT doc_id, CAST($simhashBitsSql AS BIGINT) AS sh FROM documents),
-p AS (SELECT doc_id, sh, unnest($flips) AS flip FROM s),
-pr AS (SELECT doc_id, CAST(xor(sh, flip) AS BIGINT) AS probe FROM p),
+      val bits = graft.operators.MinHashOps.SimBits
+      val bands = graft.operators.MinHashOps.SimBands
+      val bandWidth = bits / bands
+      val sums = (0 until bits).map(b =>
+        s"CAST(sum((h >> $b) & 1) AS BIGINT) AS s$b").mkString(", ")
+      val fp = (0 until bits).map(b =>
+        s"(CASE WHEN s$b * 2 > n THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      val bandIdx = (0 until bands).map(_.toString).mkString("[", ", ", "]")
+      s"""WITH tk AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tk),
+v0 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n, $sums FROM th GROUP BY 1),
+s AS (SELECT doc_id, CAST($fp AS BIGINT) AS sh FROM v0),
+p AS (SELECT doc_id, sh, unnest($bandIdx) AS band_idx FROM s),
+pr AS (SELECT doc_id, band_idx,
+  (sh >> (band_idx * $bandWidth)) & ${(1L << bandWidth) - 1L} AS probe FROM p),
 e AS (
-  SELECT doc_id, probe FROM pr
-  QUALIFY count(*) OVER (PARTITION BY probe) <= 1000),
+  SELECT doc_id, band_idx, probe FROM pr
+  QUALIFY count(*) OVER (PARTITION BY band_idx, probe) <= 1000),
 cand AS (
   SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-  FROM e a JOIN e b ON a.probe = b.probe AND a.doc_id < b.doc_id),
+  FROM e a JOIN e b ON a.band_idx = b.band_idx AND a.probe = b.probe
+    AND a.doc_id < b.doc_id),
 v AS (
   SELECT d1, d2, s1.sh AS sh1, s2.sh AS sh2
   FROM cand JOIN s s1 ON s1.doc_id = d1 JOIN s s2 ON s2.doc_id = d2)
-SELECT d1, d2, sh1, sh2, CAST($pop AS BIGINT) AS hamming
-FROM v WHERE $pop <= 2 ORDER BY hamming, d1, d2 LIMIT 100"""
+SELECT d1, d2, sh1, sh2, CAST(bit_count(xor(sh1, sh2)) AS BIGINT) AS hamming
+FROM v WHERE bit_count(xor(sh1, sh2)) <= 2 ORDER BY hamming, d1, d2 LIMIT 100"""
     },
 
     "emb_ann_lsh" ->
