@@ -42,6 +42,36 @@ object DecompProbe {
       SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+    // ---- IVF assignment share (VERDICT r4 next-round #8) ----
+    // assign − norm isolates the 16-dot top-2 assignment. The composed
+    // form (16 interpreted fold-dots + 16-struct sort_array) measured
+    // 31%/27% of the full queries — over the r2 doGenCode gate's 20%
+    // line — which is why ivfTail now runs the single-pass
+    // IvfAssignTop2 expression; both stages stay measured here.
+    import graft.operators.EmbeddingOps
+    val norm = time("ivf: norm only") {
+      EmbeddingOps.ivfNormOnly(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val composed = time("ivf: assign composed") {
+      EmbeddingOps.ivfAssignOnly(spark, sfDir, composed = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val custom = time("ivf: assign custom") {
+      EmbeddingOps.ivfAssignOnly(spark, sfDir, composed = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val ivf = time("full emb_ann_ivf") {
+      SparkEntry.queries("emb_ann_ivf")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val ivf2 = time("full emb_ann_ivf2") {
+      SparkEntry.queries("emb_ann_ivf2")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"[decomp] assign custom/composed ${custom - norm}%.3f/${composed - norm}%.3f s; " +
+      f"custom share: ivf ${(custom - norm) / ivf * 100}%.1f%% " +
+      f"ivf2 ${(custom - norm) / ivf2 * 100}%.1f%%")
     spark.stop()
   }
 }

@@ -186,6 +186,26 @@ object EmbeddingOps {
     ivfTail(e, initCentroids(e))
   }
 
+  /** Probe hooks for the doGenCode gate (VERDICT r4 next-round #8):
+    * the IVF pipeline minus everything downstream of assignment —
+    * DecompProbe times these against the full queries to measure what
+    * share the 16 interpreted fold-dots actually are. */
+  private[graft] def ivfNormOnly(spark: SparkSession, dir: String): DataFrame =
+    withNorm(Tables.embeddingsPar(spark, dir)).select("vec_id", "dot_self")
+  private[graft] def ivfAssignOnly(spark: SparkSession, dir: String,
+      composed: Boolean): DataFrame = {
+    val e = withNorm(Tables.embeddingsPar(spark, dir))
+    if (composed) {
+      val ranked = ivfRank(initCentroids(e))
+      e.select(col("vec_id"), element_at(ranked, 1)("cid").as("cell"),
+        element_at(ranked, 2)("cid").as("cell2"))
+    } else {
+      val asg = graft.plans.GraftFunctions.graftIvfAssign(
+        e.sparkSession, "v", initCentroids(e))
+      e.select(col("vec_id"), asg("cell").as("cell"), asg("cell2").as("cell2"))
+    }
+  }
+
   /** kmeans-lite init: the first 16 vectors as (cid, centroid, ‖c‖²). */
   private def initCentroids(e: DataFrame): Seq[(Long, Seq[Double], Double)] =
     e.filter(col("vec_id") < 16)
@@ -194,19 +214,27 @@ object EmbeddingOps {
       .sortBy(_._1).toIndexedSeq
 
   /** struct sort on (-score, cid): score desc, ties -> lowest centroid
-    * id; score = dot(v, c) - ‖c‖²/2 ≡ argmin L2. */
-  private def ivfRank(cents: Seq[(Long, Seq[Double], Double)]): Column =
+    * id; score = dot(v, c) - ‖c‖²/2 ≡ argmin L2. The COMPOSED form of
+    * the assignment — kept as the parity reference for the custom
+    * expression that replaced it in the hot path (ExpressionParitySpec
+    * pins them bit-identical). */
+  private[graft] def ivfRank(cents: Seq[(Long, Seq[Double], Double)]): Column =
     sort_array(array(cents.map { case (cid, cv, cdot) =>
       val d = dot(col("v"), typedLit(cv))
       struct((-(d - lit(0.5) * lit(cdot))).as("ns"), lit(cid).as("cid"))
     }: _*))
 
   /** assignment → nprobe=2 probe → exact-cosine rank, shared by the
-    * init-only and Lloyd-refined variants. */
+    * init-only and Lloyd-refined variants. Assignment runs through the
+    * single-pass IvfAssignTop2 expression — DecompProbe measured the
+    * composed 16-fold-dot + sort form at 31%/27% of the ivf/ivf2
+    * queries (over the r2 doGenCode gate's 20% line). */
   private def ivfTail(e: DataFrame, cents: Seq[(Long, Seq[Double], Double)]): DataFrame = {
-    val ranked = ivfRank(cents)
-    val assigned = e.withColumn("cell", element_at(ranked, 1)("cid"))
-      .withColumn("cell2", element_at(ranked, 2)("cid"))
+    val asg = graft.plans.GraftFunctions.graftIvfAssign(e.sparkSession, "v", cents)
+    val assigned = e.withColumn("asg", asg)
+      .withColumn("cell", col("asg.cell"))
+      .withColumn("cell2", col("asg.cell2"))
+      .drop("asg")
     val q = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("dot_self").as("q_dot"),
@@ -238,7 +266,8 @@ object EmbeddingOps {
   def annIvfRefined(spark: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddingsPar(spark, dir))
     val cents0 = initCentroids(e)
-    val assigned0 = e.withColumn("cell", element_at(ivfRank(cents0), 1)("cid"))
+    val assigned0 = e.withColumn("cell",
+      graft.plans.GraftFunctions.graftIvfAssign(e.sparkSession, "v", cents0)("cell"))
     val sums = assigned0
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .withColumn("q", round(col("x") * lit(1048576.0)).cast("long"))

@@ -113,4 +113,20 @@ object GraftFunctions {
   def graftPairsGen(spark: SparkSession, arrCol: String): Column = {
     register(spark); expr(s"graft_pairs_gen($arrCol)")
   }
+
+  /** IVF top-2 centroid assignment over plan-time centroid constants.
+    * The centroids are collected driver state, not SQL-literal-able
+    * args, so the registry BUILDER closes over them — registered under
+    * a name keyed by the centroid set (idempotent per set; a refined
+    * set registers its own name). */
+  def graftIvfAssign(spark: SparkSession, vCol: String,
+      cents: Seq[(Long, Seq[Double], Double)]): Column = {
+    val name = s"graft_ivf_assign_${java.lang.Integer.toHexString(cents.hashCode)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => graft.functions.IvfAssignTop2(exprs.head,
+        cents.map(_._1), cents.map(_._2), cents.map(_._3)),
+      "built-in")
+    expr(s"$name($vCol)")
+  }
 }

@@ -29,6 +29,34 @@ class ExpressionParitySpec extends SparkSpec {
     assert(df.filter(not(col("composed") <=> col("custom"))).count() == 0)
   }
 
+  test("graft_ivf_assign == composed 16-fold-dot sort_array form, " +
+    "bit-identically, on the full embeddings table") {
+    import graft.operators.EmbeddingOps
+    val e = Tables.embeddings(spark, sf())
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v"))
+    // centroid triples like initCentroids builds them
+    val cents = e.filter(col("vec_id") < 16)
+      .withColumn("dot_self", EmbeddingOps.dot(col("v"), col("v")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toIndexedSeq
+    val ranked = EmbeddingOps.ivfRank(cents)
+    val both = e
+      .withColumn("c_cell", element_at(ranked, 1)("cid"))
+      .withColumn("c_cell2", element_at(ranked, 2)("cid"))
+      .withColumn("asg", GraftFunctions.graftIvfAssign(spark, "v", cents))
+    assert(both.filter(
+      not(col("c_cell") <=> col("asg.cell")) ||
+        not(col("c_cell2") <=> col("asg.cell2"))).count() == 0)
+    // degenerate single-centroid case: composed element_at(…, 2) yields
+    // null; the expression must too
+    val one = both.withColumn("a1",
+      GraftFunctions.graftIvfAssign(spark, "v", cents.take(1)))
+    assert(one.filter(col("a1.cell2").isNotNull).count() == 0)
+    assert(one.filter(col("a1.cell") =!= cents.head._1).count() == 0)
+  }
+
   test("SQL registration via extensions entry point") {
     new graft.plans.GraftExtensions() // construct: the --conf path exists
     GraftFunctions.register(spark)
