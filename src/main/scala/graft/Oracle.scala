@@ -1153,6 +1153,56 @@ SELECT doc_id, total_grams, distinct_grams, top_gram_cnt,
   CAST(top_gram_cnt AS DOUBLE) / total_grams AS top_gram_frac
 FROM a ORDER BY doc_id""",
 
+    // Twin of TextOps.gopherRules: mean word length from len(text)
+    // (single-space-joined corpus: chars = Σlen + (n-1) separators),
+    // per-word regexp/stop-set counts over the token list, thresholds
+    // repeated literally.
+    "doc_gopher_rules" ->
+      s"""WITH t AS (
+  SELECT doc_id, text, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_words
+  FROM documents),
+s AS (
+  SELECT doc_id, n_words,
+    CAST(len(text) - n_words + 1 AS DOUBLE) / n_words AS mean_wl,
+    CAST(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+      AS DOUBLE) / n_words AS frac_alpha,
+    CAST(len(list_filter(toks, w -> w IN
+      ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS BIGINT)
+      AS n_stop
+  FROM t)
+SELECT doc_id, n_words, mean_wl, frac_alpha, n_stop,
+  n_words >= 40 AND n_words <= 100000 AND mean_wl >= 3e0 AND mean_wl <= 10e0
+    AND frac_alpha >= 8e-1 AND n_stop >= 2 AS gopher_pass
+FROM s ORDER BY doc_id""",
+
+    // Twin of TextOps.mixSample: alpha=0.5 temperature mixture with the
+    // sqrt quantized to the 2^20 integer grid so the denominator is an
+    // order-independent INTEGER sum; one fixed-order division per
+    // source; md5 bucket repeated verbatim.
+    "doc_mix_sample" ->
+      s"""WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY 1),
+q AS (
+  SELECT source, n_src,
+    CAST(round(sqrt(CAST(n_src AS DOUBLE)) * 1048576e0) AS BIGINT) AS q
+  FROM s),
+t AS (SELECT CAST(sum(q) AS BIGINT) AS sum_q,
+  CAST(sum(n_src) AS BIGINT) AS n_total FROM q),
+r AS (
+  SELECT source, n_src,
+    CAST(floor(least(1e0,
+      CAST(CAST(floor(CAST(n_total AS DOUBLE) * 3e-1) AS BIGINT) * q AS DOUBLE)
+        / (CAST(sum_q AS DOUBLE) * n_src)) * 1000000e0) AS BIGINT) AS thr
+  FROM q, t)
+SELECT doc_id, source, n_src, thr,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 7)) AS BIGINT)
+    % 1000000 AS bucket
+FROM documents JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 7)) AS BIGINT)
+    % 1000000 < thr
+ORDER BY doc_id""",
+
     "dedup_normalized" ->
       s"""WITH n AS (
   SELECT doc_id,

@@ -95,6 +95,8 @@ object SparkEntry {
     "doc_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
     "doc_pivot" -> ((s, d) => TextOps.pivotSourceLang(s, d)),
     "doc_repetition" -> ((s, d) => TextOps.repetition(s, d)),
+    "doc_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
+    "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),

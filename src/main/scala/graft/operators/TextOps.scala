@@ -302,6 +302,81 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** GOPHER-style rule signals (Rae et al. 2021 §A1.1; same family as
+    * C4's heuristics, Raffel et al. 2020) — the rule-based quality gate
+    * production corpora apply before model-based scoring: word-count
+    * bounds, mean-word-length band, alphabetic-word fraction, and the
+    * stop-word evidence count, each emitted as its own signal plus the
+    * conjunction. One scan, pure column arithmetic; mean word length
+    * derives from len(text) (single-space-joined corpus) so no per-word
+    * fold runs: mean_wl = (n_chars - n_words + 1) / n_words.
+    * Thresholds follow Gopher scaled to this corpus's word counts. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesFrame(Tables.documentsPar(spark, dir))
+
+  private[graft] def gopherRulesFrame(docsIn: DataFrame): DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    docsIn
+      .withColumn("toks", tokens)
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("mean_wl",
+        (length(col("text")).cast("long") - col("n_words") + 1L).cast("double")
+          / col("n_words"))
+      .withColumn("frac_alpha",
+        size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("long").cast("double")
+          / col("n_words"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stops.map(lit(_)): _*))).cast("long"))
+      .withColumn("gopher_pass",
+        col("n_words") >= 40L && col("n_words") <= 100000L &&
+          col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0 &&
+          col("frac_alpha") >= 0.8 && col("n_stop") >= 2L)
+      .select("doc_id", "n_words", "mean_wl", "frac_alpha", "n_stop", "gopher_pass")
+      .orderBy("doc_id")
+  }
+
+  /** TEMPERATURE-WEIGHTED source mixture sampling — the standard
+    * multi-source LM data-mixing step (alpha=0.5 unigram smoothing, as
+    * in multilingual-BERT / XLM-R sampling): source s gets weight
+    * n_s^alpha / Σ n_t^alpha, a global budget of 30% of the corpus is
+    * split by those weights, and each doc keeps deterministically iff
+    * its seeded hash bucket falls under its source's acceptance
+    * threshold — so small sources are UP-sampled relative to their
+    * share and the draw replays bit-identically (no RNG state).
+    *
+    * Exactness: sqrt(n_s) quantizes to the 2^20 integer grid
+    * (correctly-rounded IEEE sqrt then round — identical in both
+    * engines), the denominator is an INTEGER sum of those (order-
+    * independent, immune to double-sum reordering), and the acceptance
+    * rate divides once in a fixed token order. Scale shape: the
+    * per-source table is ~|sources| rows (one tiny aggregate), joined
+    * back broadcast; the corpus side is one scan + filter, no shuffle
+    * of the documents at all. */
+  def mixSample(spark: SparkSession, dir: String): DataFrame =
+    mixSampleFrame(Tables.documentsPar(spark, dir))
+
+  private[graft] def mixSampleFrame(d: DataFrame): DataFrame = {
+    val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("q",
+        round(sqrt(col("n_src").cast("double")) * lit(1048576.0)).cast("long"))
+    val tot = bySrc.agg(sum(col("q")).as("sum_q"), sum(col("n_src")).as("n_total"))
+    val rates = bySrc.crossJoin(tot)
+      .withColumn("target", floor(col("n_total").cast("double") * lit(0.3)).cast("long"))
+      .withColumn("thr", floor(least(lit(1.0),
+        (col("target") * col("q")).cast("double")
+          / (col("sum_q").cast("double") * col("n_src"))) * lit(1000000.0))
+        .cast("long"))
+      .select("source", "n_src", "thr")
+    d.select(col("doc_id"), col("source"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit("#mix"))
+          .cast("binary")), 1, 7), 16, 10).cast("long") % 1000000L)
+      .join(broadcast(rates), "source")
+      .filter(col("bucket") < col("thr"))
+      .select("doc_id", "source", "n_src", "thr", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Seeded hash bucket of a doc_id (0-9) — the deterministic sampling
     * key shared by sampleStratified and the contamination eval split. */
   private[graft] def sampleBucket: Column =

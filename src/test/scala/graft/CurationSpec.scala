@@ -49,6 +49,53 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: formula exact on a crafted doc; conjunction law " +
+    "holds corpus-wide and the gate bites both ways") {
+    import spark.implicits._
+    // "ab cde the the" → 4 words, chars 14, mean_wl (14-4+1)/4 = 2.75,
+    // all words alphabetic, 2 stop hits → fails mean_wl ∈ [3,10] only
+    val one = TextOps.gopherRulesFrame(
+      Seq((1L, "en", "ab cde the the")).toDF("doc_id", "lang", "text")).head()
+    assert(one.getLong(1) == 4L && one.getDouble(2) == 2.75 &&
+      one.getDouble(3) == 1.0 && one.getLong(4) == 2L && !one.getBoolean(5),
+      s"crafted gopher signals wrong: $one")
+
+    val r = TextOps.gopherRules(spark, sf()).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val expect = row.getLong(1) >= 40L && row.getLong(1) <= 100000L &&
+        row.getDouble(2) >= 3.0 && row.getDouble(2) <= 10.0 &&
+        row.getDouble(3) >= 0.8 && row.getLong(4) >= 2L
+      assert(row.getBoolean(5) == expect, s"pass drift at doc ${row.getLong(0)}")
+    }
+    assert(r.exists(_.getBoolean(5)) && r.exists(!_.getBoolean(5)),
+      "gopher gate must keep some docs and drop some docs on this corpus")
+  }
+
+  test("mix sample: temperature flattening up-samples small sources; " +
+    "the draw is deterministic and bucket-thresholded") {
+    import spark.implicits._
+    // skewed corpus: big source 300 docs, small source 30
+    val docs = ((0 until 300).map(i => (i.toLong, "en", s"t $i", "big")) ++
+      (0 until 30).map(i => (1000L + i, "en", s"t $i", "small")))
+      .toDF("doc_id", "lang", "text", "source")
+    val kept = TextOps.mixSampleFrame(docs).collect()
+    val thr = kept.map(r => (r.getString(1), r.getLong(3))).toMap
+    // alpha=0.5: acceptance rate ∝ 1/sqrt(n_src) → the small source's
+    // threshold must be strictly higher (up-sampled relative to share)
+    assert(thr.keySet == Set("big", "small"), s"sources missing from draw: $thr")
+    assert(thr("small") > thr("big"),
+      s"temperature flattening inverted: $thr")
+    // every kept row obeys its threshold; replay is bit-identical
+    kept.foreach(r => assert(r.getLong(4) < r.getLong(3)))
+    val again = TextOps.mixSampleFrame(docs).collect()
+    assert(kept.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq,
+      "mixture draw must replay identically")
+    // the global budget holds in expectation: kept ≲ 30% + slack
+    assert(kept.length <= (330 * 0.3 * 1.5).toInt,
+      s"kept ${kept.length} of 330 — budget not enforced")
+  }
+
   test("curate: keep is exactly the conjunction of its five signals; " +
     "no eval-bucket doc is ever kept") {
     val c = TextOps.curate(spark, sf()).collect()
