@@ -93,6 +93,11 @@ object CorpusSink {
     }
     val b1 = bin(c1, r.getDouble(0), r.getDouble(1))
     val b2 = bin(c2, r.getDouble(2), r.getDouble(3))
+    writeMorton(df, path, b1, b2, nFiles, bits)
+  }
+
+  private def writeMorton(df: DataFrame, path: String, b1: Column, b2: Column,
+      nFiles: Int, bits: Int): Unit = {
     val morton = (0 until bits).map { i =>
       shiftleft(shiftright(b1, i).bitwiseAND(lit(1L)), 2 * i + 1) +
         shiftleft(shiftright(b2, i).bitwiseAND(lit(1L)), 2 * i)
@@ -100,5 +105,45 @@ object CorpusSink {
     df.repartitionByRange(nFiles, morton)
       .sortWithinPartitions(morton)
       .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Z-order with QUANTILE bin boundaries — the skew-proof variant the
+    * linear-bin scaladoc points to: cut points come from approxQuantile
+    * (one sketch pass), so every bin holds ≈ equal ROWS rather than
+    * equal value-range; a heavy-tailed key no longer collapses most of
+    * the data into one or two bins (where the interleave degenerates to
+    * a single-dimension sort and the other key's files stop tightening).
+    *
+    * The per-row bin lookup compiles to a BALANCED when-TREE binary
+    * search over the cut points — O(bits) codegen'd comparisons per
+    * row, no interpreted array walk, no join. Cut-point count is
+    * (2^bits)-1 plan-time constants; default 8 bits = 255 cuts per key
+    * keeps the expression tree comfortably inside codegen limits while
+    * 256×256 bins is far finer than any practical file count. */
+  def writeZOrderQuantile(df: DataFrame, path: String, c1: String, c2: String,
+      nFiles: Int, bits: Int = 8): Unit = {
+    require(bits >= 1 && bits <= 12, s"bits must be in [1,12], got $bits")
+    val nb = 1 << bits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val cuts = df.na.drop(Seq(c1, c2))
+      .select(col(c1).cast("double").as(c1), col(c2).cast("double").as(c2))
+      .stat.approxQuantile(Array(c1, c2), probs, 0.001)
+    if (cuts(0).isEmpty || cuts(1).isEmpty) {
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
+    // balanced binary search: bin(x) = number of cuts <= x, as a
+    // log-depth conditional tree (duplicate cuts from discrete data are
+    // fine — they only merge adjacent empty bins)
+    def tree(c: Column, cut: Array[Double], lo: Int, hi: Int): Column =
+      if (lo > hi) lit((lo).toLong)
+      else {
+        val mid = (lo + hi) >>> 1
+        when(c < cut(mid), tree(c, cut, lo, mid - 1))
+          .otherwise(tree(c, cut, mid + 1, hi))
+      }
+    val b1 = tree(col(c1).cast("double"), cuts(0), 0, cuts(0).length - 1)
+    val b2 = tree(col(c2).cast("double"), cuts(1), 0, cuts(1).length - 1)
+    writeMorton(df, path, b1, b2, nFiles, bits)
   }
 }

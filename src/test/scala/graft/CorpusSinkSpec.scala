@@ -102,6 +102,54 @@ class CorpusSinkSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/z").exceptAll(e).isEmpty)
   }
 
+  test("quantile z-order: equi-populated bins keep tightening a " +
+    "heavy-tailed key where linear bins collapse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Files.createTempDirectory("zq").toString
+    // c2: independent of c1 (hash-scrambled) and heavily skewed — the
+    // 4th power packs ~84% of rows into the lowest 1/16 of the range,
+    // so linear binning puts almost everything in a few bins and the
+    // interleave degenerates toward a c1-only sort
+    val n = 4000
+    val df = (0 until n).map { i =>
+      val u = ((i * 2654435761L) % n).toDouble / n
+      (i.toDouble, math.pow(u, 4) * 1000.0)
+    }.toDF("c1", "c2")
+    CorpusSink.writeZOrder(df, s"$base/lin", "c1", "c2", nFiles = 16)
+    CorpusSink.writeZOrderQuantile(df, s"$base/q", "c1", "c2", nFiles = 16)
+
+    def ranges(path: String, c: String): Seq[(Double, Double)] =
+      Files.list(Paths.get(path)).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.map { f =>
+          val r = spark.read.parquet(f)
+            .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+    // the metric that matters: how many files must a SELECTIVE query on
+    // the dense region open (footer min/max overlap)? Linear bins put
+    // the whole dense region in bin ~0, so every c1-tile file contains
+    // dense rows and the predicate prunes nothing; quantile bins spread
+    // the dense rows across the c2 bin axis, confining the predicate to
+    // the low-c2 tiles.
+    val t = math.pow(0.1, 4) * 1000.0 // the exact 10th percentile of c2
+    val linOpen = ranges(s"$base/lin", "c2").count(_._1 <= t)
+    val qOpen = ranges(s"$base/q", "c2").count(_._1 <= t)
+    assert(linOpen >= 12,
+      s"scale check broken: linear layout should barely prune ($linOpen/16 open)")
+    // dense rows live in the lowest b2-quarter → 4 of 16 tiles, plus
+    // range-partition straddle at tile edges: at most half the files
+    assert(qOpen <= 8,
+      s"quantile layout must confine the dense predicate: $qOpen/16 open vs $linOpen/16")
+    // the uniform key must still tile too (the interleave is intact)
+    val c1Spans = ranges(s"$base/q", "c1").map(r => r._2 - r._1)
+    assert(c1Spans.sum / c1Spans.size < n * 0.5,
+      s"uniform key stopped tiling under quantile bins")
+    // lossless
+    assert(spark.read.parquet(s"$base/q").count() == n)
+    assert(spark.read.parquet(s"$base/q").exceptAll(df).isEmpty)
+  }
+
   test("z-order: wide bit widths stay in long arithmetic; empty frames " +
     "and out-of-range widths are guarded") {
     import org.apache.spark.sql.functions._

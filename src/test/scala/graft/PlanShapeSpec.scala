@@ -158,6 +158,26 @@ class PlanShapeSpec extends SparkSpec {
       s"found a grouping without doc_id in its key: $parts")
   }
 
+  test("gopher rules: one scan, shuffle-free — pure per-row arithmetic " +
+    "until the presentation sort") {
+    val p = plan(TextOps.gopherRules(spark, sf()))
+    assert(countIn(p, "Exchange hashpartitioning") == 0,
+      s"gopher signals must not shuffle:\n$p")
+    assert(countIn(p, "FileScan parquet") == 1, s"one documents scan expected:\n$p")
+  }
+
+  test("mix sample: the per-source rate table broadcasts onto one corpus " +
+    "scan — the documents never hash-shuffle") {
+    val p = plan(TextOps.mixSample(spark, sf()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates side must broadcast:\n$p")
+    // the only hash exchanges allowed are the tiny per-source aggregate
+    // (pre-broadcast); the document rows themselves must not repartition
+    // beyond the documented round-robin
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side must not shuffle into the join:\n$p")
+  }
+
   test("pivot with explicit values needs no extra distinct scan") {
     val p = plan(TextOps.pivotSourceLang(spark, sf()))
     // one scan of documents (an implicit pivot runs a whole extra job to
