@@ -615,23 +615,24 @@ object TextOps {
     * identical rankings (no log(), whose rounding is libm-dependent).
     * Ties break on the token string.
     *
-    * Scale shape: tf aggregates on (doc_id, token) with map-side
-    * combine; df derives from tf (already one row per (doc, token)),
-    * shuffling only the slim distinct-token frame; the scoring join is
-    * token-keyed fan-out ≤1 per tf row with a broadcast-sized
-    * vocabulary side in the common case (AQE decides); the final
-    * top-3-per-doc is one window over doc_id. Reuses rarity's cached
-    * (doc_id, token) occurrence artifact — the CacheManager matches the
-    * identical plan, so the corpus is tokenized once across both
-    * queries. */
+    * Scale shape (r5): tf aggregates on (doc_id, token) with map-side
+    * combine and is itself the CACHED artifact; df is a window count
+    * over tf's token partitions — tf is already one row per
+    * (doc, token), so the partition count IS the document frequency,
+    * and the former join-back (which recomputed the tf aggregate for
+    * its second reference and shuffled both sides on the token key)
+    * disappears; the final top-3-per-doc is one window over doc_id.
+    * The exploded occurrence frame underneath still plan-matches
+    * rarity's cached artifact, so the corpus is tokenized once across
+    * both queries. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val tok = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
       .withColumn("toks", tokens)
       .select(col("doc_id"), explode(col("toks")).as("token")))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val tf = graft.Artifacts.shared(
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
-    tf.join(dfreq, "token")
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")).cast("long"))
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("term_rank", row_number().over(w).cast("int"))
       .filter(col("term_rank") <= 3)

@@ -92,15 +92,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("tfidf: rank limit pushed below the window exchange, vocabulary " +
-    "side broadcast, both aggregations read the cached occurrence artifact") {
+  test("tfidf: rank limit pushed below the window exchange, df from a " +
+    "window over the cached tf artifact — no join, no second aggregation") {
     val p = plan(TextOps.tfidf(spark, sf()))
     assert(p.contains("WindowGroupLimit"),
       s"top-3-per-doc must prune before the window exchange:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"the slim df table should broadcast into the tf side:\n$p")
-    assert(countIn(p, "InMemoryTableScan") >= 2,
-      s"tf and df must both derive from the cached (doc_id, token) artifact:\n$p")
+    // r5: df is a window count over tf's token partitions — the former
+    // join-back recomputed the tf aggregate for its second reference
+    // and shuffled both sides on the token key
+    assert(!p.contains("Join"), s"df must not join back onto tf:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"tf must read from the cached artifact:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 
