@@ -1153,6 +1153,34 @@ SELECT doc_id, total_grams, distinct_grams, top_gram_cnt,
   CAST(top_gram_cnt AS DOUBLE) / total_grams AS top_gram_frac
 FROM a ORDER BY doc_id""",
 
+    // Twin of TextOps.spanDedup: chunk derivation repeated from
+    // doc_chunk's verified SQL, span stats per chunk_md5 (exact
+    // count-distinct + min-keeper), cross-doc-only counting.
+    "doc_span_dedup" ->
+      s"""WITH d AS (
+  SELECT doc_id, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
+  FROM documents),
+d2 AS (
+  SELECT *, 1 + (greatest(0, n_tokens - 16) + 7) // 8 AS n_chunks FROM d),
+c AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(toks, 1 + 8 * k, 8 * k + 16), ' ')) AS chunk_md5
+  FROM (SELECT doc_id, toks,
+      unnest(generate_series(0, n_chunks - 1)) AS k FROM d2)),
+s AS (
+  SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    min(doc_id) AS keeper
+  FROM c GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  CAST(sum(CASE WHEN n_docs > 1 AND keeper <> doc_id THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_borrowed,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_frac
+FROM c JOIN s USING (chunk_md5)
+GROUP BY doc_id ORDER BY doc_id""",
+
     // Twin of TextOps.gopherRules: mean word length from len(text)
     // (single-space-joined corpus: chars = Σlen + (n-1) separators),
     // per-word regexp/stop-set counts over the token list, thresholds

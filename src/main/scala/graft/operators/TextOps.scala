@@ -302,6 +302,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-document SPAN dedup (C4-style, Raffel et al. 2020 — C4 drops
+    * duplicated three-sentence spans; the span unit here is `chunk`'s
+    * 16-token stride-8 window): per document, how many of its chunks
+    * also occur verbatim in ANOTHER document, and how many of those it
+    * "borrowed" (a lower doc_id holds the same span — the keeper rule
+    * shared with every dedup tier). Within-doc repetition deliberately
+    * does NOT count (that's `repetition`'s signal); the span table
+    * groups on the compact chunk_md5 key, so a corpus-hot boilerplate
+    * span skews a partition but never blows up row counts (the
+    * spans-side is one row per distinct span, join fan-out ≤ 1 per
+    * chunk row — the rarity/tfidf shape). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupFrame(Tables.documentsPar(spark, dir))
+
+  private[graft] def spanDedupFrame(docs: DataFrame): DataFrame = {
+    val ch = chunkFrame(docs).select("doc_id", "chunk_md5")
+    val spans = ch.groupBy("chunk_md5").agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      min(col("doc_id")).as("keeper"))
+    ch.join(spans, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs") > 1L, 1L).otherwise(0L)).as("n_dup_spans"),
+        sum(when(col("n_docs") > 1L && col("keeper") =!= col("doc_id"), 1L)
+          .otherwise(0L)).as("n_borrowed"))
+      .withColumn("dup_frac",
+        col("n_dup_spans").cast("double") / col("n_chunks"))
+      .select("doc_id", "n_chunks", "n_dup_spans", "n_borrowed", "dup_frac")
+      .orderBy("doc_id")
+  }
+
   /** GOPHER-style rule signals (Rae et al. 2021 §A1.1; same family as
     * C4's heuristics, Raffel et al. 2020) — the rule-based quality gate
     * production corpora apply before model-based scoring: word-count

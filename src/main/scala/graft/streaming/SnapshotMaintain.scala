@@ -93,6 +93,40 @@ object SnapshotMaintain {
   def snapshot(spark: SparkSession, store: String): DataFrame =
     spark.read.parquet(store).drop("bucket")
 
+  /** One-time migration of a pre-bucketing FLAT store (loose parquet
+    * files, no bucket= dirs) into the partitioned layout: staged write
+    * to a sibling dir, then a delete + rename swap — a crash before the
+    * swap leaves the flat store untouched, and an interrupted swap
+    * (flat store deleted, stage present) is resumed by the probe at the
+    * next call. `mergeBatch` detects the flat layout and refuses with a
+    * pointer here rather than failing on the missing partition column
+    * mid-merge. */
+  def migrateStore(spark: SparkSession, store: String,
+      numBuckets: Int = DefaultBuckets): Unit = {
+    val live = new org.apache.hadoop.fs.Path(store)
+    val stage = new org.apache.hadoop.fs.Path(s"$store.migrate")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stage) && !fs.exists(live)) {
+      fs.rename(stage, live) // resume an interrupted swap
+      return
+    }
+    if (!storeExists(spark, store) || isBucketed(spark, store)) return
+    if (fs.exists(stage)) fs.delete(stage, true) // stale stage
+    spark.read.parquet(store)
+      .withColumn("bucket", bucketOf(numBuckets))
+      .write.partitionBy("bucket").parquet(stage.toString)
+    fs.delete(live, true)
+    fs.rename(stage, live)
+    ()
+  }
+
+  private def isBucketed(spark: SparkSession, store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.startsWith("bucket="))
+  }
+
   /** Merge one micro-batch of change events into the bucketed snapshot
     * store. Returns the number of keys whose state actually changed
     * (new key, or a delta version exceeding the stored one) — computed
@@ -106,6 +140,10 @@ object SnapshotMaintain {
       .localCheckpoint(true)
     val merged =
       if (storeExists(spark, store)) {
+        require(isBucketed(spark, store),
+          s"$store is a pre-bucketing flat snapshot store — run " +
+            "SnapshotMaintain.migrateStore(spark, store) once before resuming " +
+            "the stream (staged + resumable; see its scaladoc)")
         // touched buckets: bounded by numBuckets — driver state is a
         // handful of ints, the collect the same class of action as the
         // IVF centroid pickup

@@ -1,4 +1,5 @@
 package graft
+// (span-dedup tests live beside the chunk invariants they build on)
 
 import graft.operators.TextOps
 import org.apache.spark.sql.functions._
@@ -47,5 +48,30 @@ class ChunkInvariantsSpec extends SparkSpec {
         case _ =>
       }
     }
+  }
+
+  test("span dedup: cross-doc spans counted with keeper/borrow law; " +
+    "within-doc repetition does not count") {
+    import spark.implicits._
+    // 24 tokens → 2 chunks (1-16, 9-24). doc 1 and doc 2 share ALL
+    // tokens (identical text) — every span duplicated, doc 2 borrows
+    // all of them from keeper 1. doc 3 is unique but internally
+    // repetitive (its two chunks differ though tokens repeat). doc 4
+    // shares doc 1's FIRST 16 tokens only → exactly its first chunk is
+    // a cross-doc dup.
+    val t24 = (1 to 24).map(i => s"w$i").mkString(" ")
+    val t24b = (1 to 16).map(i => s"w$i").mkString(" ") + " " +
+      (101 to 108).map(i => s"x$i").mkString(" ")
+    val rep = (1 to 24).map(i => s"r${i % 3}").mkString(" ")
+    val docs = Seq(
+      (1L, t24), (2L, t24), (3L, rep), (4L, t24b)).toDF("doc_id", "text")
+    val r = TextOps.spanDedupFrame(docs).collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4))).toMap
+    assert(r(1L) == ((2L, 2L, 0L, 1.0)), s"keeper doc wrong: ${r(1L)}")
+    assert(r(2L) == ((2L, 2L, 2L, 1.0)), s"borrowing dup wrong: ${r(2L)}")
+    assert(r(3L)._2 == 0L && r(3L)._3 == 0L,
+      s"within-doc repetition must not count as span dup: ${r(3L)}")
+    assert(r(4L) == ((2L, 1L, 1L, 0.5)), s"partial overlap wrong: ${r(4L)}")
   }
 }

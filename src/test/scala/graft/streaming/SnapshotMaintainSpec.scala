@@ -153,6 +153,35 @@ class SnapshotMaintainSpec extends SparkSpec {
     assert(s.filter("user_id = 7").head().getAs[String]("last_event_type") == "seed")
   }
 
+  test("a pre-bucketing flat store is refused with a migration pointer; " +
+    "migrateStore converts it losslessly and merging resumes") {
+    val store = Files.createTempDirectory("snapmig").toString + "/store"
+    // fabricate the legacy layout: the merged state written flat
+    val legacy = Seq(
+      (1L, "view", 2.0, 200L, 11L, 2L),
+      (2L, "signup", 5.0, 150L, 12L, 1L))
+      .toDF("user_id", "last_event_type", "last_value", "last_ts_ms",
+        "last_event_id", "n_events")
+    legacy.write.parquet(store)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotMaintain.mergeBatch(spark,
+        df(Seq(ev(1, "purchase", 7.0, 300, 20))), store)
+    }
+    assert(ex.getMessage.contains("migrateStore"), s"unhelpful error: $ex")
+    SnapshotMaintain.migrateStore(spark, store)
+    SnapshotMaintain.migrateStore(spark, store) // idempotent on bucketed
+    val migrated = SnapshotMaintain.snapshot(spark, store)
+    assert(migrated.count() == 2)
+    assert(migrated.filter("user_id = 1").head()
+      .getAs[Long]("n_events") == 2, "migration altered state")
+    // merging now works and preserves the migrated counters
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df(Seq(ev(1, "purchase", 7.0, 300, 20))), store) == 1)
+    val k1 = SnapshotMaintain.snapshot(spark, store).filter("user_id = 1").head()
+    assert(k1.getAs[String]("last_event_type") == "purchase" &&
+      k1.getAs[Long]("n_events") == 3, s"post-migration merge wrong: $k1")
+  }
+
   test("streaming maintain: two file batches + checkpointed restart") {
     val base = Files.createTempDirectory("snap3").toString
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
