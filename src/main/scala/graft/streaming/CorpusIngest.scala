@@ -64,6 +64,24 @@ object CorpusIngest {
     n
   }
 
+  val timedDocSchema: StructType = docSchema.add("ts", TimestampType)
+
+  /** NATIVE state-store dedup — Spark's own streaming face of the
+    * exact-dedup tier: `dropDuplicatesWithinWatermark` keeps one row
+    * per fingerprint in keyed state that the WATERMARK EVICTS, so state
+    * is bounded by the dedup horizon instead of growing with the corpus
+    * — the right face when duplicates cluster in time (re-crawls,
+    * retry storms) while the canonical-store anti-join (`mergeBatch`)
+    * covers all-time dedup. The horizon IS the contract: a duplicate
+    * arriving after its key aged out is admitted again (spec pins both
+    * sides of the boundary). At 100 TB/day this is the difference
+    * between state ∝ horizon×rate and state ∝ corpus. */
+  def dedupWithinHorizon(stream: DataFrame, horizon: String): DataFrame =
+    stream
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming entry: JSON documents directory → canonical store. */
   def ingest(spark: SparkSession, srcDir: String, store: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =

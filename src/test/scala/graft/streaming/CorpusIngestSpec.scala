@@ -41,6 +41,43 @@ class CorpusIngestSpec extends SparkSpec {
       "keeper is the min doc_id")
   }
 
+  test("watermark-horizon dedup: duplicates inside the horizon drop via " +
+    "bounded state; a key aged out past the watermark is admitted again") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = in.toDF().toDF("doc_id", "text", "ts")
+    val q = CorpusIngest.dedupWithinHorizon(stream, "10 seconds")
+      .writeStream.format("memory").queryName("horizon_dedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc + same-text dup inside one batch → one survivor
+      in.addData((1L, "alpha beta", ts(10)), (2L, "alpha beta", ts(11)))
+      q.processAllAvailable()
+      // batch 2: another dup, still inside the horizon → dropped by the
+      // keyed state (no artifact, no store read)
+      in.addData((3L, "alpha beta", ts(12)))
+      q.processAllAvailable()
+      val mid = spark.table("horizon_dedup")
+      assert(mid.filter("text = 'alpha beta'").count() == 1,
+        "in-horizon duplicates must collapse to the first arrival")
+      // advance the watermark far past the key's expiry (11s + 10s),
+      // then resend: the state was EVICTED, so the dup is admitted
+      // again — the horizon is the contract, pinned from both sides
+      in.addData((4L, "unrelated", ts(60)))
+      q.processAllAvailable()
+      in.addData((5L, "alpha beta", ts(55)))
+      q.processAllAvailable()
+      val fin = spark.table("horizon_dedup")
+      assert(fin.filter("text = 'alpha beta'").count() == 2,
+        "a key aged out past the watermark must be re-admitted")
+      assert(fin.filter("text = 'alpha beta'")
+        .select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming ingest: two file batches + checkpoint, store converges") {
     val base = Files.createTempDirectory("ingest").toString
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
