@@ -821,6 +821,27 @@ SELECT vec_id, amax,
     (a, x) -> a + x) AS sq_err
 FROM qt ORDER BY vec_id""",
 
+    // Twin of EmbeddingOps.sourceCentroids: per-(source, dim) quantized
+    // integer sums (2^20 grid, the ivf2 Lloyd convention) so the mean
+    // is order-independent; generate_subscripts is 1-based → -1 aligns
+    // with posexplode.
+    "emb_source_centroids" ->
+      """WITH j AS (
+  SELECT d.source, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+x AS (
+  SELECT source,
+    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576e0) AS BIGINT) AS q
+  FROM j),
+a AS (
+  SELECT source, dim, CAST(sum(q) AS BIGINT) AS sq,
+    CAST(count(*) AS BIGINT) AS n_vecs
+  FROM x GROUP BY 1, 2)
+SELECT source, dim, n_vecs, sq,
+  CAST(sq AS DOUBLE) / (n_vecs * 1048576e0) AS c
+FROM a ORDER BY source, dim""",
+
     "dedup_ngram_jaccard" ->
       s"""SELECT * FROM ($jaccardPairsSql)
 ORDER BY jaccard DESC, d1, d2 LIMIT 100""",

@@ -120,6 +120,7 @@ object SparkEntry {
     "emb_ann_ivf" -> ((s, d) => EmbeddingOps.annIvf(s, d)),
     "emb_ann_ivf2" -> ((s, d) => EmbeddingOps.annIvfRefined(s, d)),
     "emb_quantize" -> ((s, d) => EmbeddingOps.quantize(s, d)),
+    "emb_source_centroids" -> ((s, d) => EmbeddingOps.sourceCentroids(s, d)),
     // --- multimodal plumbing ---
     "mm_media_meta" -> ((s, d) => MultimodalOps.mediaMetaQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => MultimodalOps.frameSampleQuery(s, d)),

@@ -293,6 +293,32 @@ object EmbeddingOps {
     ivfTail(e, cents1)
   }
 
+  /** Per-SOURCE embedding centroids — the dataset-cartography primitive
+    * (which sources cluster where, feed of mixture/curation decisions):
+    * documents' source labels join onto the vectors by the shared doc
+    * identity, and each source's mean embedding is computed
+    * INTEGER-EXACT on the same 2^20 grid as the Lloyd step — quantized
+    * per-element sums are order-independent under distributed partial
+    * aggregation, so the result is bit-stable and the oracle repeats it
+    * verbatim. Output is one row per (source, dim): scalar columns
+    * only, no array equality in the compare. Scale shape: one id join
+    * (co-partition candidates at 100 TB), one slim (source, dim)
+    * aggregate with map-side combine — ≤ |sources|×64 result rows. */
+  def sourceCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documentsPar(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("source"))
+    val e = Tables.embeddingsPar(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    e.join(src, "vec_id")
+      .select(col("source"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q", round(col("x") * lit(1048576.0)).cast("long"))
+      .groupBy("source", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n_vecs"))
+      .withColumn("c", col("sq").cast("double") / (col("n_vecs") * lit(1048576.0)))
+      .select("source", "dim", "n_vecs", "sq", "c")
+      .orderBy("source", "dim")
+  }
+
   /** INT8 scalar QUANTIZATION of embeddings — the "compress the vector
     * store 4×" step of a production ANN index build: per-vector absmax
     * scale, q_i = round(127·x_i/amax) ∈ [-127,127], plus the audit

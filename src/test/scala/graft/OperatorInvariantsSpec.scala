@@ -185,6 +185,35 @@ class OperatorInvariantsSpec extends SparkSpec {
       f"one Lloyd step collapsed recall: $recall2%.2f vs $recall%.2f")
   }
 
+  test("source centroids: bit-equal to a driver-computed quantized mean " +
+    "for every source; coverage complete") {
+    import graft.operators.EmbeddingOps
+    val got = EmbeddingOps.sourceCentroids(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // ground truth on the driver: same quantization, same division
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val embs = Tables.embeddings(spark, sf())
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val bySrc = embs.groupBy { case (id, _) => docs(id) }
+    assert(got.keySet.map(_._1) == bySrc.keySet, "source coverage mismatch")
+    // Spark's round() is HALF_UP (away from zero) — math.round would
+    // drift by one on negative half-grid values
+    def halfUp(x: Double): Long =
+      new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    for ((src, vecs) <- bySrc; dim <- 0 until 64) {
+      val sq = vecs.map { case (_, v) => halfUp(v(dim) * 1048576.0) }.sum
+      val n = vecs.size.toLong
+      val expect = (n, sq, sq.toDouble / (n * 1048576.0))
+      assert(got((src, dim)) == expect,
+        s"centroid drift at ($src, $dim): got ${got((src, dim))}, want $expect")
+    }
+  }
+
   test("bloom decontamination: bit-identical to the exact path, and the " +
     "bloom actually cuts the pre-shuffle postings volume") {
     val exact = TextOps.contamination(spark, d).collect()
