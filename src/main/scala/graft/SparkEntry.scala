@@ -29,14 +29,18 @@ object SparkEntry {
     // library API (Decide.decisionsNested); for the scalar-based oracle
     // compare it is emitted as canonical JSON here and element-by-element
     // in sig_decision_signals below.
+    // the nested decision record is the SHARED artifact both decision
+    // queries render from (JSON wire form vs element-wise explosion) —
+    // one materialization per events input, like the reference's
+    // persisted decisions table
     "sig_decisions" -> ((s, d) => {
-      val n = Decide.decisionsNested(Tables.events(s, d))
+      val n = graft.Artifacts.shared(Decide.decisionsNested(Tables.events(s, d)))
       n.withColumn("signals_json", Decide.signalsJson(col_("signals")))
         .drop("signals")
         .orderBy("w_start", "symbol")
     }),
     "sig_decision_signals" -> ((s, d) =>
-      Decide.decisionsNested(Tables.events(s, d))
+      graft.Artifacts.shared(Decide.decisionsNested(Tables.events(s, d)))
         .select(col_("w_start"), col_("symbol"),
           org.apache.spark.sql.functions.posexplode(col_("signals"))
             .as(Seq("idx", "sig")))

@@ -20,9 +20,16 @@ object OrderOps {
   val MaxQty = 10.0
 
   /** P7 whitelist -> P8 STRONG boost ×1.2 + threshold -> P9 side ->
-    * P10 broadcast price lookup -> O1 sizing -> O2 id -> O3 payload. */
+    * P10 broadcast price lookup -> O1 sizing -> O2 id -> O3 payload.
+    * The decisions frame is a SHARED artifact: the reference persists
+    * decisions to its own DB table before the order stage reads them
+    * (the outbox pattern's whole point), and on the batch surface both
+    * `orders` and `CdcRoute.outboxEvents` consume the same derivation —
+    * the CacheManager's canonical-plan match materializes it once per
+    * events input. The streaming sink path (OutboxPipeline) uses
+    * `fromDecisions` directly and never touches this cache. */
   def orders(spark: SparkSession, events: DataFrame): DataFrame =
-    fromDecisions(spark, Decide.decisions(events))
+    fromDecisions(spark, graft.Artifacts.shared(Decide.decisions(events)))
 
   /** The decision→order stage alone — shared with the streaming sink
     * (graft.streaming.OutboxPipeline), which applies it inside
