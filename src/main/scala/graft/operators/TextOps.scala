@@ -387,13 +387,27 @@ object TextOps {
   def mixSample(spark: SparkSession, dir: String): DataFrame =
     mixSampleFrame(Tables.documentsPar(spark, dir))
 
-  private[graft] def mixSampleFrame(d: DataFrame): DataFrame = {
+  /** Library face with the mixing knobs exposed: `alpha` is the
+    * temperature (0 = uniform over sources, 1 = proportional; the
+    * 0.5 default is the multilingual-BERT/XLM-R convention) and
+    * `budget` the kept fraction of the corpus. The alpha=0.5 default
+    * keeps the source weight an exactly-quantizable sqrt; other alphas
+    * quantize pow(n, alpha) on the same 2^20 grid (still
+    * order-independent — the query face and oracle pin only the
+    * default). */
+  private[graft] def mixSampleFrame(d: DataFrame, alpha: Double = 0.5,
+      budget: Double = 0.3): DataFrame = {
+    // sqrt (correctly-rounded IEEE) for the default — pow(x, 0.5) is
+    // not guaranteed the same last ulp, and the oracle says sqrt
+    val weight =
+      if (alpha == 0.5) sqrt(col("n_src").cast("double"))
+      else pow(col("n_src").cast("double"), lit(alpha))
     val bySrc = d.groupBy("source").agg(count(lit(1)).as("n_src"))
-      .withColumn("q",
-        round(sqrt(col("n_src").cast("double")) * lit(1048576.0)).cast("long"))
+      .withColumn("q", round(weight * lit(1048576.0)).cast("long"))
     val tot = bySrc.agg(sum(col("q")).as("sum_q"), sum(col("n_src")).as("n_total"))
     val rates = bySrc.crossJoin(tot)
-      .withColumn("target", floor(col("n_total").cast("double") * lit(0.3)).cast("long"))
+      .withColumn("target",
+        floor(col("n_total").cast("double") * lit(budget)).cast("long"))
       .withColumn("thr", floor(least(lit(1.0),
         (col("target") * col("q")).cast("double")
           / (col("sum_q").cast("double") * col("n_src"))) * lit(1000000.0))

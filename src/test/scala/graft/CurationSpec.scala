@@ -94,6 +94,19 @@ class CurationSpec extends SparkSpec {
     // the global budget holds in expectation: kept ≲ 30% + slack
     assert(kept.length <= (330 * 0.3 * 1.5).toInt,
       s"kept ${kept.length} of 330 — budget not enforced")
+    // temperature law across the knob: alpha=1 is proportional (rate
+    // T/N identical for every source → equal thresholds), alpha=0 is
+    // uniform-over-sources (small source's threshold grows ∝ n_big/n_small,
+    // stronger than sqrt's flattening)
+    def thrs(alpha: Double) = TextOps.mixSampleFrame(docs, alpha = alpha)
+      .select("source", "thr").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t1 = thrs(1.0)
+    assert(t1("big") == t1("small"), s"alpha=1 must be proportional: $t1")
+    val t0 = thrs(0.0)
+    assert(t0("small") > thr("small") && thr("small") > t1("small"),
+      s"flattening must increase monotonically as alpha drops: " +
+        s"a0=${t0("small")} a05=${thr("small")} a1=${t1("small")}")
   }
 
   test("curate: keep is exactly the conjunction of its five signals; " +
