@@ -317,7 +317,11 @@ object TextOps {
     spanDedupFrame(Tables.documentsPar(spark, dir))
 
   private[graft] def spanDedupFrame(docs: DataFrame): DataFrame = {
-    val ch = chunkFrame(docs).select("doc_id", "chunk_md5")
+    // the slim (doc_id, chunk_md5) frame feeds BOTH the span-stats
+    // aggregate and the join-back; cached, or the tokenize+slice+md5
+    // chunk derivation runs twice (ExplainProbe showed the double scan)
+    val ch = graft.Artifacts.shared(
+      chunkFrame(docs).select("doc_id", "chunk_md5"))
     val spans = ch.groupBy("chunk_md5").agg(
       countDistinct(col("doc_id")).as("n_docs"),
       min(col("doc_id")).as("keeper"))
