@@ -116,6 +116,47 @@ class NearDupIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$art/postings").count() == 3 * 4)
   }
 
+  test("randomized trials: any batch split with random crash injection " +
+    "+ replay converges to the one-shot artifact (seeded)") {
+    val rnd = new scala.util.Random(11)
+    val base = Files.createTempDirectory("nd-prop").toString
+    def ids(path: String): Seq[Long] = spark.read.parquet(path)
+      .select("doc_id").distinct().as[Long].collect().sorted.toSeq
+    for (trial <- 0 until 3) {
+      // corpus with planted near-dup groups: docs i and i+100 share a
+      // phrase for even i, so rejections depend on arrival order of
+      // within-group members — exactly what replay must keep stable
+      val docs = (0 until 10).flatMap { i =>
+        val tag = s"t${trial}_${i / 2}" // pairs share a tag
+        Seq((i.toLong, "en", phrase(tag) + s" tail$i"))
+      }
+      val oneShot = s"$base/one$trial"
+      // one-shot reference: a single batch admits one doc per tag group
+      NearDupIngest.mergeBatch(spark,
+        docs.toDF("doc_id", "lang", "text"), oneShot)
+
+      // split delivery IN DOC-ID ORDER (streaming preserves source
+      // order; the screen's keeper choice is order-sensitive by design)
+      val split = s"$base/split$trial"
+      val batches = docs.grouped(1 + rnd.nextInt(4)).toSeq
+      batches.foreach { b =>
+        val df = b.toDF("doc_id", "lang", "text")
+        if (rnd.nextBoolean()) {
+          // crash between the appends, then replay (streaming's
+          // recovery unit) — must converge, not double-admit
+          intercept[RuntimeException] {
+            NearDupIngest.mergeBatch(spark, df, split,
+              afterGramsAppend = () => throw new RuntimeException("boom"))
+          }
+          NearDupIngest.mergeBatch(spark, df, split)
+        } else NearDupIngest.mergeBatch(spark, df, split)
+      }
+      for (sub <- Seq("grams", "postings"))
+        assert(ids(s"$split/$sub") == ids(s"$oneShot/$sub"),
+          s"trial $trial: $sub diverged (batches=${batches.map(_.map(_._1))})")
+    }
+  }
+
   test("compaction bounds the artifact's file count and changes no " +
     "screening result") {
     val base = Files.createTempDirectory("nd-compact").toString
