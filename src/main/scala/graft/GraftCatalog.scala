@@ -84,4 +84,17 @@ object GraftCatalog {
     * until something actually selects from it. */
   def enableLazyViews(spark: SparkSession, dir: String): Unit =
     spark.conf.set(LazyViewDirKey, dir)
+
+  /** One-call session setup — the "use this library from spark-sql"
+    * entry: tables + custom functions + the full query-view surface.
+    * Zero jobs run here. On an extensions-built session the eager
+    * builders stay reachable through lazy resolution (first SELECT
+    * pays their construction); on a plain session they are simply not
+    * registered (see `eagerQueries`) and the DataFrame API remains
+    * their entry. */
+  def init(spark: SparkSession, dir: String): Unit = {
+    registerAll(spark, dir)
+    enableLazyViews(spark, dir)
+    registerQueryViews(spark, dir)
+  }
 }

@@ -79,6 +79,14 @@ class GraftExtensionsSpec extends SparkSpec {
       intercept[org.apache.spark.sql.AnalysisException] {
         s2.sql("SELECT * FROM graft_no_such_query").queryExecution.analyzed
       }
+
+      // one-call setup: tables, functions, and the whole query surface
+      // — a registered view (clobbering the marker above), a lazy
+      // eager-builder view, and a base table all answer
+      GraftCatalog.init(s2, sf())
+      assert(s2.sql("SELECT * FROM graft_doc_quality").count() > 0)
+      assert(s2.sql("SELECT * FROM graft_dedup_clusters").count() > 0)
+      assert(s2.sql("SELECT count(1) FROM documents").head().getLong(0) > 0)
     } finally {
       ctxConf(spark.sparkContext).remove("spark.sql.extensions")
       SparkSession.setDefaultSession(shared)
