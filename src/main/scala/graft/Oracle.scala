@@ -1177,80 +1177,35 @@ FROM a ORDER BY doc_id""",
     // Twin of TextOps.spanDedup: chunk derivation repeated from
     // doc_chunk's verified SQL, span stats per chunk_md5 (exact
     // count-distinct + min-keeper), cross-doc-only counting.
-    "doc_span_dedup" ->
-      s"""WITH d AS (
-  SELECT doc_id, $tokensExpr AS toks,
-    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
-  FROM documents),
-d2 AS (
-  SELECT *, 1 + (greatest(0, n_tokens - 16) + 7) // 8 AS n_chunks FROM d),
-c AS (
-  SELECT doc_id,
-    md5(array_to_string(list_slice(toks, 1 + 8 * k, 8 * k + 16), ' ')) AS chunk_md5
-  FROM (SELECT doc_id, toks,
-      unnest(generate_series(0, n_chunks - 1)) AS k FROM d2)),
-s AS (
-  SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-    min(doc_id) AS keeper
-  FROM c GROUP BY 1)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
-  CAST(sum(CASE WHEN n_docs > 1 AND keeper <> doc_id THEN 1 ELSE 0 END)
-    AS BIGINT) AS n_borrowed,
-  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
-    AS dup_frac
-FROM c JOIN s USING (chunk_md5)
-GROUP BY doc_id ORDER BY doc_id""",
+    "doc_span_dedup" -> spanDedupSql,
 
     // Twin of TextOps.gopherRules: mean word length from len(text)
     // (single-space-joined corpus: chars = Σlen + (n-1) separators),
     // per-word regexp/stop-set counts over the token list, thresholds
     // repeated literally.
-    "doc_gopher_rules" ->
-      s"""WITH t AS (
-  SELECT doc_id, text, $tokensExpr AS toks,
-    CAST(len($tokensExpr) AS BIGINT) AS n_words
-  FROM documents),
-s AS (
-  SELECT doc_id, n_words,
-    CAST(len(text) - n_words + 1 AS DOUBLE) / n_words AS mean_wl,
-    CAST(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
-      AS DOUBLE) / n_words AS frac_alpha,
-    CAST(len(list_filter(toks, w -> w IN
-      ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS BIGINT)
-      AS n_stop
-  FROM t)
-SELECT doc_id, n_words, mean_wl, frac_alpha, n_stop,
-  n_words >= 40 AND n_words <= 100000 AND mean_wl >= 3e0 AND mean_wl <= 10e0
-    AND frac_alpha >= 8e-1 AND n_stop >= 2 AS gopher_pass
-FROM s ORDER BY doc_id""",
+    "doc_gopher_rules" -> gopherSql,
 
     // Twin of TextOps.mixSample: alpha=0.5 temperature mixture with the
     // sqrt quantized to the 2^20 integer grid so the denominator is an
     // order-independent INTEGER sum; one fixed-order division per
     // source; md5 bucket repeated verbatim.
-    "doc_mix_sample" ->
-      s"""WITH s AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY 1),
-q AS (
-  SELECT source, n_src,
-    CAST(round(sqrt(CAST(n_src AS DOUBLE)) * 1048576e0) AS BIGINT) AS q
-  FROM s),
-t AS (SELECT CAST(sum(q) AS BIGINT) AS sum_q,
-  CAST(sum(n_src) AS BIGINT) AS n_total FROM q),
-r AS (
-  SELECT source, n_src,
-    CAST(floor(least(1e0,
-      CAST(CAST(floor(CAST(n_total AS DOUBLE) * 3e-1) AS BIGINT) * q AS DOUBLE)
-        / (CAST(sum_q AS DOUBLE) * n_src)) * 1000000e0) AS BIGINT) AS thr
-  FROM q, t)
-SELECT doc_id, source, n_src, thr,
-  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 7)) AS BIGINT)
-    % 1000000 AS bucket
-FROM documents JOIN r USING (source)
-WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 7)) AS BIGINT)
-    % 1000000 < thr
-ORDER BY doc_id""",
+    "doc_mix_sample" -> mixSampleSql,
+
+    // Twin of TextOps.trainingSet: the composed corpus release —
+    // every gate's verified SQL reused as a subquery (the curateSql
+    // pattern), conjunction repeated literally.
+    "doc_training_set" ->
+      s"""WITH c AS (SELECT doc_id, keep FROM ($curateSql)),
+g AS (SELECT doc_id, gopher_pass FROM ($gopherSql)),
+sp AS (SELECT doc_id, dup_frac FROM ($spanDedupSql)),
+m AS (SELECT doc_id FROM ($mixSampleSql))
+SELECT d.doc_id, d.source, c.keep AS curate_keep, g.gopher_pass,
+  sp.dup_frac AS span_dup_frac, m.doc_id IS NOT NULL AS in_mix,
+  c.keep AND g.gopher_pass AND sp.dup_frac <= 5e-1
+    AND m.doc_id IS NOT NULL AS selected
+FROM documents d JOIN c USING (doc_id) JOIN g USING (doc_id)
+JOIN sp USING (doc_id) LEFT JOIN m ON m.doc_id = d.doc_id
+ORDER BY d.doc_id""",
 
     "dedup_normalized" ->
       s"""WITH n AS (
@@ -1285,6 +1240,83 @@ sims AS (
 SELECT q_id, vec_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
 FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""")
+
+  // Twin of TextOps.spanDedup: chunk derivation repeated from
+  // doc_chunk's verified SQL, span stats per chunk_md5 (exact
+  // count-distinct + min-keeper), cross-doc-only counting. Shared by
+  // doc_span_dedup and the training-set composition.
+  private lazy val spanDedupSql: String =
+    s"""WITH d AS (
+  SELECT doc_id, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
+  FROM documents),
+d2 AS (
+  SELECT *, 1 + (greatest(0, n_tokens - 16) + 7) // 8 AS n_chunks FROM d),
+c AS (
+  SELECT doc_id,
+    md5(array_to_string(list_slice(toks, 1 + 8 * k, 8 * k + 16), ' ')) AS chunk_md5
+  FROM (SELECT doc_id, toks,
+      unnest(generate_series(0, n_chunks - 1)) AS k FROM d2)),
+s AS (
+  SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+    min(doc_id) AS keeper
+  FROM c GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  CAST(sum(CASE WHEN n_docs > 1 AND keeper <> doc_id THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_borrowed,
+  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS dup_frac
+FROM c JOIN s USING (chunk_md5)
+GROUP BY doc_id ORDER BY doc_id"""
+
+  // Twin of TextOps.gopherRules: mean word length from len(text)
+  // (single-space-joined corpus), per-word regexp/stop-set counts,
+  // thresholds repeated literally. Shared with doc_training_set.
+  private lazy val gopherSql: String =
+    s"""WITH t AS (
+  SELECT doc_id, text, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_words
+  FROM documents),
+s AS (
+  SELECT doc_id, n_words,
+    CAST(len(text) - n_words + 1 AS DOUBLE) / n_words AS mean_wl,
+    CAST(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT)
+      AS DOUBLE) / n_words AS frac_alpha,
+    CAST(len(list_filter(toks, w -> w IN
+      ('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'))) AS BIGINT)
+      AS n_stop
+  FROM t)
+SELECT doc_id, n_words, mean_wl, frac_alpha, n_stop,
+  n_words >= 40 AND n_words <= 100000 AND mean_wl >= 3e0 AND mean_wl <= 10e0
+    AND frac_alpha >= 8e-1 AND n_stop >= 2 AS gopher_pass
+FROM s ORDER BY doc_id"""
+
+  // Twin of TextOps.mixSample: alpha=0.5 temperature mixture, sqrt
+  // quantized to the 2^20 integer grid (order-independent INTEGER
+  // denominator), md5 bucket verbatim. Shared with doc_training_set.
+  private lazy val mixSampleSql: String =
+    s"""WITH s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY 1),
+q AS (
+  SELECT source, n_src,
+    CAST(round(sqrt(CAST(n_src AS DOUBLE)) * 1048576e0) AS BIGINT) AS q
+  FROM s),
+t AS (SELECT CAST(sum(q) AS BIGINT) AS sum_q,
+  CAST(sum(n_src) AS BIGINT) AS n_total FROM q),
+r AS (
+  SELECT source, n_src,
+    CAST(floor(least(1e0,
+      CAST(CAST(floor(CAST(n_total AS DOUBLE) * 3e-1) AS BIGINT) * q AS DOUBLE)
+        / (CAST(sum_q AS DOUBLE) * n_src)) * 1000000e0) AS BIGINT) AS thr
+  FROM q, t)
+SELECT doc_id, source, n_src, thr,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 7)) AS BIGINT)
+    % 1000000 AS bucket
+FROM documents JOIN r USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 7)) AS BIGINT)
+    % 1000000 < thr
+ORDER BY doc_id"""
 
   /** The composed corpus-curation decision (quality + lang match +
     * exact-dup + contamination + eval-split exclusion) — its own oracle

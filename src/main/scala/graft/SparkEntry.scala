@@ -101,6 +101,7 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "doc_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "doc_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
+    "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     // --- dedup ---

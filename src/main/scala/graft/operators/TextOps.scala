@@ -427,6 +427,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The END-TO-END training-set build — the composed selection a
+    * corpus release actually ships, stacking every round's gates on
+    * the shared doc identity:
+    *   curate.keep (quality ∧ lang-match ∧ not-dup ∧ not-contaminated
+    *   ∧ not-eval) ∧ gopher_pass (rule gate) ∧ span_dup_frac ≤ 0.5
+    *   (mostly-original under C4 span dedup) ∧ the temperature-mixture
+    *   draw (source-balanced budget).
+    * Emitted as one audit row per document (each gate's verdict + the
+    * conjunction), the lineage table a release pipeline keeps beside
+    * the corpus. Plan shape: each signal is its own derivation — at
+    * 100 TB they are materialized signal artifacts — joined on the
+    * slim doc key; no signal recomputes another's scan. */
+  def trainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val c = curate(spark, dir).select(col("doc_id"), col("keep").as("curate_keep"))
+    val g = gopherRules(spark, dir).select(col("doc_id"), col("gopher_pass"))
+    val sp = spanDedup(spark, dir)
+      .select(col("doc_id"), col("dup_frac").as("span_dup_frac"))
+    val m = mixSample(spark, dir).select(col("doc_id"), lit(true).as("in_mix"))
+    Tables.documentsPar(spark, dir).select("doc_id", "source")
+      .join(c, "doc_id").join(g, "doc_id").join(sp, "doc_id")
+      .join(m, Seq("doc_id"), "left")
+      .withColumn("in_mix", coalesce(col("in_mix"), lit(false)))
+      .withColumn("selected",
+        col("curate_keep") && col("gopher_pass")
+          && col("span_dup_frac") <= 0.5 && col("in_mix"))
+      .select("doc_id", "source", "curate_keep", "gopher_pass",
+        "span_dup_frac", "in_mix", "selected")
+      .orderBy("doc_id")
+  }
+
   /** Seeded hash bucket of a doc_id (0-9) — the deterministic sampling
     * key shared by sampleStratified and the contamination eval split. */
   private[graft] def sampleBucket: Column =

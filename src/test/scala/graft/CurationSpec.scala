@@ -109,6 +109,26 @@ class CurationSpec extends SparkSpec {
         s"a0=${t0("small")} a05=${thr("small")} a1=${t1("small")}")
   }
 
+  test("training set: selection is exactly the conjunction of the four " +
+    "gates, every gate bites, and the release is non-empty") {
+    val r = TextOps.trainingSet(spark, sf()).collect()
+    assert(r.length == 500, "one audit row per document")
+    r.foreach { row =>
+      val expect = row.getBoolean(2) && row.getBoolean(3) &&
+        row.getDouble(4) <= 0.5 && row.getBoolean(5)
+      assert(row.getBoolean(6) == expect, s"selection drift at ${row.getLong(0)}")
+    }
+    val selected = r.filter(_.getBoolean(6))
+    assert(selected.nonEmpty, "empty release — gates over-tightened")
+    assert(selected.length < r.length, "vacuous release — nothing filtered")
+    // each gate individually excludes at least one doc that the other
+    // gates would admit is too strong for a synthetic corpus; assert
+    // the weaker per-gate law: every gate fails somewhere
+    assert(r.exists(!_.getBoolean(2)) && r.exists(!_.getBoolean(3)) &&
+      r.exists(_.getDouble(4) > 0.5) && r.exists(!_.getBoolean(5)),
+      "a gate never fired on this corpus")
+  }
+
   test("curate: keep is exactly the conjunction of its five signals; " +
     "no eval-bucket doc is ever kept") {
     val c = TextOps.curate(spark, sf()).collect()
