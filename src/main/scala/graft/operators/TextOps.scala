@@ -440,11 +440,19 @@ object TextOps {
     * 100 TB they are materialized signal artifacts — joined on the
     * slim doc key; no signal recomputes another's scan. */
   def trainingSet(spark: SparkSession, dir: String): DataFrame = {
-    val c = curate(spark, dir).select(col("doc_id"), col("keep").as("curate_keep"))
-    val g = gopherRules(spark, dir).select(col("doc_id"), col("gopher_pass"))
-    val sp = spanDedup(spark, dir)
+    // each gate's frame is a SHARED artifact: the standalone queries
+    // (doc_curate / doc_gopher_rules / doc_span_dedup / doc_mix_sample)
+    // build the identical plan, so the CacheManager's canonical-plan
+    // match materializes every signal once per (session, dir) — the
+    // release pipeline's signal tables, built once, read everywhere
+    val c = graft.Artifacts.shared(curate(spark, dir))
+      .select(col("doc_id"), col("keep").as("curate_keep"))
+    val g = graft.Artifacts.shared(gopherRules(spark, dir))
+      .select(col("doc_id"), col("gopher_pass"))
+    val sp = graft.Artifacts.shared(spanDedup(spark, dir))
       .select(col("doc_id"), col("dup_frac").as("span_dup_frac"))
-    val m = mixSample(spark, dir).select(col("doc_id"), lit(true).as("in_mix"))
+    val m = graft.Artifacts.shared(mixSample(spark, dir))
+      .select(col("doc_id"), lit(true).as("in_mix"))
     Tables.documentsPar(spark, dir).select("doc_id", "source")
       .join(c, "doc_id").join(g, "doc_id").join(sp, "doc_id")
       .join(m, Seq("doc_id"), "left")
