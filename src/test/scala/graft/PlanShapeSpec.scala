@@ -13,7 +13,19 @@ import org.apache.spark.sql.functions._
   *  - the windowed signal aggregate clusters on ONE exchange;
   *  - no cartesian products anywhere.
   */
-class PlanShapeSpec extends SparkSpec {
+class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
+
+  // these pins assert the UNCACHED plan shapes: suites that ran earlier
+  // may have registered the library's shared artifacts (e.g. the
+  // training-set gates cache curate/gopher/mix/span), and the shared
+  // session's CacheManager would substitute InMemoryTableScans into the
+  // identical frames here, hiding the scans/joins under test. Queries
+  // that cache internally re-register during construction, so their
+  // own cache assertions still hold.
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.Artifacts.unpersistAll()
+  }
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
