@@ -115,6 +115,9 @@ object SnapshotMaintain {
     spark.read.parquet(store)
       .withColumn("bucket", bucketOf(numBuckets))
       .write.partitionBy("bucket").parquet(stage.toString)
+    // the marker travels INSIDE the stage so the rename carries layout
+    // and its declaration atomically (a resumed swap inherits it)
+    writeBucketMarker(spark, stage.toString, numBuckets)
     fs.delete(live, true)
     fs.rename(stage, live)
     ()
@@ -127,19 +130,58 @@ object SnapshotMaintain {
       s.isDirectory && s.getPath.getName.startsWith("bucket="))
   }
 
+  /** The store's bucket count rides WITH the store (a `_graft_buckets`
+    * marker written at creation): partition pruning computes
+    * pmod(hash(key), B) with the delta, and a caller passing a
+    * DIFFERENT B than the layout was written with would prune the
+    * wrong buckets — stored rows for a touched key would sit in
+    * partitions the merge never reads, and the write would land a
+    * duplicate row for the key in a second bucket. The parameter is
+    * therefore only the CREATION default; an existing store's marker
+    * always wins. (A marker-less store from this round's earlier
+    * builds falls back to the caller's value — the pre-marker
+    * contract.) */
+  private def storedBuckets(spark: SparkSession, store: String,
+      fallback: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/_graft_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) fallback
+    else {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def writeBucketMarker(spark: SparkSession, store: String,
+      numBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$store/_graft_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$numBuckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Merge one micro-batch of change events into the bucketed snapshot
     * store. Returns the number of keys whose state actually changed
     * (new key, or a delta version exceeding the stored one) — computed
-    * from the merge output, not a second store read. */
+    * from the merge output, not a second store read. `numBuckets` only
+    * applies when the store is CREATED; afterwards the store's own
+    * marker governs (see `storedBuckets`). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String,
       numBuckets: Int = DefaultBuckets): Long = {
+    val exists = storeExists(spark, store)
+    val buckets =
+      if (exists) storedBuckets(spark, store, fallback = numBuckets)
+      else numBuckets
     // one row per touched key, pinned: the touched-bucket probe and the
     // merge both read it (batch-sized, never store-sized)
     val delta = latestPerKey(batch)
-      .withColumn("bucket", bucketOf(numBuckets))
+      .withColumn("bucket", bucketOf(buckets))
       .localCheckpoint(true)
     val merged =
-      if (storeExists(spark, store)) {
+      if (exists) {
         require(isBucketed(spark, store),
           s"$store is a pre-bucketing flat snapshot store — run " +
             "SnapshotMaintain.migrateStore(spark, store) once before resuming " +
@@ -180,7 +222,7 @@ object SnapshotMaintain {
             (col("new_v").isNotNull &&
               (col("cur_v").isNull || col("new_v") > col("cur_v")))
               .as("__changed"))
-          .withColumn("bucket", bucketOf(numBuckets))
+          .withColumn("bucket", bucketOf(buckets))
       } else delta.withColumn("__changed", lit(true))
     // pin the touched buckets' new content before overwriting the files
     // it was derived from; O(touched), not O(store)
@@ -191,6 +233,7 @@ object SnapshotMaintain {
       .option("partitionOverwriteMode", "dynamic") // replace ONLY the
       .partitionBy("bucket")                       // buckets being written
       .parquet(store)
+    if (!exists) writeBucketMarker(spark, store, buckets)
     changed
   }
 

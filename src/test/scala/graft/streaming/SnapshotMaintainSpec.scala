@@ -153,6 +153,34 @@ class SnapshotMaintainSpec extends SparkSpec {
     assert(s.filter("user_id = 7").head().getAs[String]("last_event_type") == "seed")
   }
 
+  test("the store's bucket marker governs pruning: a caller passing a " +
+    "different numBuckets cannot split keys across layouts") {
+    val store = Files.createTempDirectory("snapbm").toString + "/store"
+    // created at B=8; the marker rides with the store
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df((1L to 10L).map(u => ev(u, "seed", u.toDouble, 100, u))), store, 8) == 10)
+    assert(Files.exists(Paths.get(store, "_graft_buckets")))
+    // later calls pass the DEFAULT (64): without the marker the delta
+    // would hash into pmod(hash, 64) partitions, the merge would never
+    // read user 1's pmod(hash, 8) bucket, and the store would carry the
+    // key twice — once per layout
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df(Seq(ev(1, "upd", 9.0, 900, 99))), store) == 1)
+    val s = SnapshotMaintain.snapshot(spark, store)
+    assert(s.count() == 10, "key duplicated across bucket layouts")
+    assert(s.filter("user_id = 1").count() == 1)
+    assert(s.filter("user_id = 1").head().getAs[String]("last_event_type") == "upd")
+    // and the layout really is still the creation-time one
+    val dirs = Files.list(Paths.get(store)).iterator()
+    var maxBucket = -1
+    while (dirs.hasNext) {
+      val d = dirs.next().getFileName.toString
+      if (d.startsWith("bucket="))
+        maxBucket = math.max(maxBucket, d.stripPrefix("bucket=").toInt)
+    }
+    assert(maxBucket < 8, s"rows landed outside the B=8 layout: bucket=$maxBucket")
+  }
+
   test("a pre-bucketing flat store is refused with a migration pointer; " +
     "migrateStore converts it losslessly and merging resumes") {
     val store = Files.createTempDirectory("snapmig").toString + "/store"
