@@ -106,10 +106,7 @@ object SnapshotMaintain {
     val live = new org.apache.hadoop.fs.Path(store)
     val stage = new org.apache.hadoop.fs.Path(s"$store.migrate")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(stage) && !fs.exists(live)) {
-      fs.rename(stage, live) // resume an interrupted swap
-      return
-    }
+    if (resumePendingSwap(spark, store)) return
     if (!storeExists(spark, store) || isBucketed(spark, store)) return
     if (fs.exists(stage)) fs.delete(stage, true) // stale stage
     spark.read.parquet(store)
@@ -121,6 +118,56 @@ object SnapshotMaintain {
     fs.delete(live, true)
     fs.rename(stage, live)
     ()
+  }
+
+  /** Resize an existing bucketed store to a NEW modulus — the layout
+    * evolution knob (PLAN r6 #6): a store created at B buckets whose
+    * keyspace has outgrown them (one bucket no longer a comfortable
+    * task's worth of state) is rewritten ONCE to `newBuckets`, after
+    * which every `mergeBatch` prunes against the new marker
+    * automatically. Same staged + resumable shape as `migrateStore`:
+    * the re-bucketed store (marker inside) is written to a sibling
+    * `.resize` stage, then delete + rename swap. A crash before the
+    * swap leaves the live store untouched at the old modulus; an
+    * interrupted swap (live gone, stage present) is resumed by the
+    * probe here, by `migrateStore`, or — self-healing — by the next
+    * `mergeBatch`, so a maintenance stream restarting after a mid-swap
+    * crash recovers the store rather than recreating an empty one.
+    * The rewrite is one full-store pass — O(store), paid once at the
+    * operator's command, never per batch. */
+  def resizeStore(spark: SparkSession, store: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
+    val live = new org.apache.hadoop.fs.Path(store)
+    val stage = new org.apache.hadoop.fs.Path(s"$store.resize")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (resumePendingSwap(spark, store)) return
+    if (!storeExists(spark, store)) return
+    require(isBucketed(spark, store),
+      s"$store is a pre-bucketing flat snapshot store — run " +
+        "SnapshotMaintain.migrateStore(spark, store) first")
+    if (storedBuckets(spark, store, fallback = -1) == newBuckets) return
+    if (fs.exists(stage)) fs.delete(stage, true) // stale stage
+    spark.read.parquet(store).drop("bucket")
+      .withColumn("bucket", bucketOf(newBuckets))
+      .write.partitionBy("bucket").parquet(stage.toString)
+    writeBucketMarker(spark, stage.toString, newBuckets)
+    fs.delete(live, true)
+    fs.rename(stage, live)
+    ()
+  }
+
+  /** Resume an interrupted stage→live swap (live deleted, stage
+    * present) from either `migrateStore` or `resizeStore`. Returns
+    * true when a swap was completed. Safe to probe every batch: two
+    * existence checks when nothing is pending. */
+  private def resumePendingSwap(spark: SparkSession, store: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(store)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) return false
+    Seq(s"$store.migrate", s"$store.resize").exists { s =>
+      val stage = new org.apache.hadoop.fs.Path(s)
+      fs.exists(stage) && fs.rename(stage, live)
+    }
   }
 
   private def isBucketed(spark: SparkSession, store: String): Boolean = {
@@ -171,6 +218,7 @@ object SnapshotMaintain {
     * marker governs (see `storedBuckets`). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String,
       numBuckets: Int = DefaultBuckets): Long = {
+    resumePendingSwap(spark, store) // self-heal an interrupted swap
     val exists = storeExists(spark, store)
     val buckets =
       if (exists) storedBuckets(spark, store, fallback = numBuckets)

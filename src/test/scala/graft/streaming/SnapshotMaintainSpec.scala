@@ -210,6 +210,58 @@ class SnapshotMaintainSpec extends SparkSpec {
       k1.getAs[Long]("n_events") == 3, s"post-migration merge wrong: $k1")
   }
 
+  test("resizeStore rewrites the layout to a new modulus losslessly; " +
+    "subsequent merges prune against the NEW marker") {
+    val store = Files.createTempDirectory("snaprs").toString + "/store"
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df((1L to 12L).map(u => ev(u, "seed", u.toDouble, 100, u))), store, 8) == 12)
+    val before = SnapshotMaintain.snapshot(spark, store)
+      .orderBy("user_id").collect().toSeq
+    SnapshotMaintain.resizeStore(spark, store, 32)
+    SnapshotMaintain.resizeStore(spark, store, 32) // idempotent at target
+    assert(new String(Files.readAllBytes(
+      Paths.get(store, "_graft_buckets")), "UTF-8").trim == "32",
+      "marker not updated to the new modulus")
+    val after = SnapshotMaintain.snapshot(spark, store)
+      .orderBy("user_id").collect().toSeq
+    assert(before == after, "resize altered logical state")
+    // rows really live in the new layout (pmod(hash,32) can exceed 7)
+    val dirs = Files.list(Paths.get(store)).iterator()
+    var maxBucket = -1
+    while (dirs.hasNext) {
+      val d = dirs.next().getFileName.toString
+      if (d.startsWith("bucket="))
+        maxBucket = math.max(maxBucket, d.stripPrefix("bucket=").toInt)
+    }
+    assert(maxBucket >= 8, s"layout still at the old modulus: max=$maxBucket")
+    // a merge after the resize finds keys under the new pruning — no
+    // duplicate rows, state advances
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df(Seq(ev(1, "upd", 9.0, 900, 99))), store) == 1)
+    val s = SnapshotMaintain.snapshot(spark, store)
+    assert(s.count() == 12, "key duplicated across bucket layouts after resize")
+    assert(s.filter("user_id = 1").head().getAs[String]("last_event_type") == "upd")
+  }
+
+  test("an interrupted resize swap (live gone, stage present) self-heals " +
+    "on the next mergeBatch — the stream recovers the store") {
+    import org.apache.hadoop.fs.Path
+    val store = Files.createTempDirectory("snaprx").toString + "/store"
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df((1L to 6L).map(u => ev(u, "seed", u.toDouble, 100, u))), store, 8) == 6)
+    // simulate the crash window: stage fully written, live deleted,
+    // rename never ran
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(store), new Path(s"$store.resize"))
+    assert(!fs.exists(new Path(store)))
+    // next batch resumes the swap instead of creating an empty store
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df(Seq(ev(1, "upd", 9.0, 900, 99))), store) == 1)
+    val s = SnapshotMaintain.snapshot(spark, store)
+    assert(s.count() == 6, s"swap not resumed: ${s.count()} keys")
+    assert(s.filter("user_id = 3").head().getAs[String]("last_event_type") == "seed")
+  }
+
   test("streaming maintain: two file batches + checkpointed restart") {
     val base = Files.createTempDirectory("snap3").toString
     val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
