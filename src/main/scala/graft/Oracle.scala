@@ -613,6 +613,48 @@ GROUP BY 1, 2, 3 ORDER BY 1""",
   CAST(count(*) AS BIGINT) AS n
 FROM orders GROUP BY 1 ORDER BY 1""",
 
+    // twin of Relational.percentilesDist: the SAME value-count + rank-span
+    // computation, so every intermediate (integer ranks, bracketing cents)
+    // and the final interpolation are token-identical across engines
+    "percentiles_dist" ->
+      """WITH c AS (
+  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders),
+vc AS (SELECT o_orderstatus, cents, CAST(count(*) AS BIGINT) AS c
+  FROM c GROUP BY 1, 2),
+cum AS (SELECT *, SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS cum
+  FROM vc),
+n AS (SELECT o_orderstatus, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY 1),
+j AS (SELECT cum.*, n.n,
+    CAST(floor(CAST(n.n - 1 AS DOUBLE) * 5e-1) AS BIGINT) + 1 AS lo5,
+    CAST(floor(CAST(n.n - 1 AS DOUBLE) * 9e-1) AS BIGINT) + 1 AS lo9
+  FROM cum JOIN n USING (o_orderstatus)),
+k AS (SELECT * FROM j
+  WHERE (cum - c < lo5 AND cum >= lo5) OR (cum - c < lo5 + 1 AND cum >= lo5 + 1)
+     OR (cum - c < lo9 AND cum >= lo9) OR (cum - c < lo9 + 1 AND cum >= lo9 + 1)),
+a AS (SELECT o_orderstatus, MAX(n) AS n,
+    MIN(CASE WHEN cum >= lo5 THEN cents END) AS v_lo5,
+    MIN(CASE WHEN cum >= lo5 + 1 THEN cents END) AS v_hi5,
+    MIN(CASE WHEN cum >= lo9 THEN cents END) AS v_lo9,
+    MIN(CASE WHEN cum >= lo9 + 1 THEN cents END) AS v_hi9
+  FROM k GROUP BY 1),
+p AS (SELECT *,
+    CAST(n - 1 AS DOUBLE) * 5e-1 AS pos5,
+    CAST(n - 1 AS DOUBLE) * 9e-1 AS pos9,
+    coalesce(v_hi5, v_lo5) AS h5, coalesce(v_hi9, v_lo9) AS h9
+  FROM a)
+SELECT o_orderstatus,
+  CASE WHEN ceil(pos5) = floor(pos5) OR h5 = v_lo5 THEN CAST(v_lo5 AS DOUBLE)
+    ELSE (CAST(ceil(pos5) AS BIGINT) - pos5) * CAST(v_lo5 AS DOUBLE)
+       + (pos5 - CAST(floor(pos5) AS BIGINT)) * CAST(h5 AS DOUBLE)
+  END / 1e2 AS median_price,
+  CASE WHEN ceil(pos9) = floor(pos9) OR h9 = v_lo9 THEN CAST(v_lo9 AS DOUBLE)
+    ELSE (CAST(ceil(pos9) AS BIGINT) - pos9) * CAST(v_lo9 AS DOUBLE)
+       + (pos9 - CAST(floor(pos9) AS BIGINT)) * CAST(h9 AS DOUBLE)
+  END / 1e2 AS p90_price,
+  CAST(n AS BIGINT) AS n
+FROM p ORDER BY 1""",
+
     "doc_top_tokens" ->
       s"""WITH t AS (SELECT unnest($tokensExpr) AS token FROM documents)
 SELECT token, CAST(count(*) AS BIGINT) AS n

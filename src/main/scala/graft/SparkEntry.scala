@@ -82,6 +82,7 @@ object SparkEntry {
     "interval_join" -> ((s, d) => Relational.intervalJoin(s, d)),
     "approx_distinct" -> ((s, d) => Relational.approxDistinct(s, d)),
     "percentiles" -> ((s, d) => Relational.percentiles(s, d)),
+    "percentiles_dist" -> ((s, d) => Relational.percentilesDist(s, d)),
     "approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "hll_daily_merge" -> ((s, d) => Relational.hllDailyMerge(s, d)),
     "dq_report" -> ((s, d) => Relational.dqReport(s, d)),

@@ -340,6 +340,76 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** Exact quantiles, the DISTRIBUTED way (the 100 TB face of
+    * `percentiles`): Spark's `percentile` aggregate buffers every group
+    * value in the aggregation buffer — O(group) reducer MEMORY, the
+    * exact-tier scale ceiling. This variant never materializes a group:
+    *  1. compact to (status, cents) VALUE COUNTS — map-side combinable,
+    *     so the one real shuffle carries distinct values, not rows
+    *     (duplicates collapse at the mapper; a 100 TB orders table has
+    *     bounded price cardinality);
+    *  2. a cumulative-count window over the compacted table assigns
+    *     each distinct value its rank span [cum-c+1, cum];
+    *  3. the quantile's bracketing ranks lo=floor((n-1)p)+1 and lo+1
+    *     pick their values by span membership — a filter that keeps
+    *     ≤4 rows per group — and the same (n-1)p linear interpolation
+    *     as `percentile`/`quantile_cont` reconstitutes the exact
+    *     result, bit-for-bit (PercentilesDistSpec asserts equality
+    *     against the buffering tier).
+    * The per-group window sort spills through UnsafeExternalSorter
+    * (disk, not memory) and sorts DISTINCT values only. */
+  def percentilesDist(spark: SparkSession, dir: String): DataFrame =
+    quantilesByValueCounts(
+      Tables.orders(spark, dir).select(
+        col("o_orderstatus").as("key"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      Seq(0.5 -> "median_price", 0.9 -> "p90_price"))
+      .withColumnRenamed("key", "o_orderstatus")
+      .orderBy("o_orderstatus")
+
+  /** The value-count quantile engine behind `percentilesDist`: exact
+    * interpolated quantiles of `cents` per `key` without ever holding a
+    * group in memory. Input frame: (key, cents: long). Output:
+    * (key, <one double column per requested quantile>, n). */
+  def quantilesByValueCounts(base: DataFrame,
+      quantiles: Seq[(Double, String)]): DataFrame = {
+    val vc = base.groupBy("key", "cents").agg(count(lit(1)).as("c"))
+    val cum = vc.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy("key").orderBy("cents")))
+    val n = vc.groupBy("key").agg(sum(col("c")).as("n"))
+    val j = cum.join(broadcast(n), "key")
+    // bracketing rank for quantile p: pos = (n-1)p, lo = floor(pos)+1
+    def lo(p: Double) =
+      floor((col("n") - 1).cast("double") * lit(p)) + 1
+    def spans(r: Column) = col("cum") - col("c") < r && col("cum") >= r
+    def vAt(r: Column) = min(when(col("cum") >= r, col("cents")))
+    // Spark Percentile.getPercentile's EXACT token sequence (special
+    // cases included), so the reconstruction is bit-identical to the
+    // buffering tier: (higher-pos)*lower + (pos-lower)*higher, with
+    // integral pos or equal bracketing keys short-circuiting to the
+    // lower key. A rank past n leaves v_hi null -> coalesce to v_lo.
+    def interp(vLo: Column, vHi: Column, p: Double) = {
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val hi = coalesce(vHi, vLo)
+      when(ceil(pos) === floor(pos) || hi === vLo, vLo.cast("double"))
+        .otherwise((ceil(pos) - pos) * vLo.cast("double") +
+          (pos - floor(pos)) * hi.cast("double")) / 100.0
+    }
+    val ps = quantiles.map(_._1)
+    val aggs = max(col("n")).as("n") +:
+      ps.zipWithIndex.flatMap { case (p, i) => Seq(
+        vAt(lo(p)).as(s"v_lo$i"), vAt(lo(p) + 1).as(s"v_hi$i")) }
+    j.filter(ps.flatMap(p => Seq(lo(p), lo(p) + 1))
+        .map(spans).reduce(_ || _))
+      .groupBy("key")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("key") +:
+        quantiles.zipWithIndex.map { case ((p, name), i) =>
+          interp(col(s"v_lo$i"), col(s"v_hi$i"), p).as(name) } :+
+        col("n"): _*)
+  }
+
   /** HLL approximate distinct (no DuckDB oracle — sketch internals are
     * engine-specific; accuracy is asserted against the exact count in
     * OperatorInvariantsSpec instead). Pure sketch path: partial HLL

@@ -85,6 +85,26 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("percentiles_dist is BIT-IDENTICAL to the buffering exact tier") {
+    val buffering = Relational.percentiles(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val dist = Relational.percentilesDist(spark, d).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(buffering.toSeq == dist.toSeq,
+      s"value-count reconstruction drifted from percentile():\n" +
+        s"  buffering=${buffering.toSeq}\n  dist=${dist.toSeq}")
+    // interpolation edges driven through the engine itself: n=1 (frac=0,
+    // bracketing rank past n), n=2 (pure midpoint), all-duplicates
+    import spark.implicits._
+    val tiny = Seq(("A", 100L), ("B", 100L), ("B", 300L),
+      ("C", 700L), ("C", 700L), ("C", 700L)).toDF("key", "cents")
+    val got = Relational.quantilesByValueCounts(tiny, Seq(0.5 -> "m"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A", 1.0, 1L), ("B", 2.0, 2L), ("C", 7.0, 3L)),
+      s"edge-group quantiles wrong: ${got.toSeq}")
+  }
+
   test("merged daily HLL sketches track the exact all-time distinct count") {
     val r = Relational.hllDailyMerge(spark, d).head()
     val merged = r.getLong(1)
