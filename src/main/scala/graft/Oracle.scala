@@ -655,6 +655,49 @@ SELECT o_orderstatus,
   CAST(n AS BIGINT) AS n
 FROM p ORDER BY 1""",
 
+    // twin of TextOps.piiRedactQuery: the SAME planted contact line (built
+    // with identical casts/lpad), then the SAME patterns applied in
+    // PiiPatterns order — interpolated from the one definition so the two
+    // engines can never drift. Each count is taken BEFORE its replacement.
+    "doc_pii_redact" -> {
+      val Seq(em, ph, ip, id) = graft.operators.TextOps.PiiPatterns.map(_._2)
+      s"""WITH p AS (SELECT doc_id,
+  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-'
+    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+    || ' ref ' || lpad(CAST(doc_id % 100000 AS VARCHAR), 12, '0') AS t0
+  FROM documents),
+r1 AS (SELECT doc_id, CAST(len(regexp_extract_all(t0, '$em')) AS BIGINT) AS n_email,
+  regexp_replace(t0, '$em', '<EMAIL>', 'g') AS t1 FROM p),
+r2 AS (SELECT *, CAST(len(regexp_extract_all(t1, '$ph')) AS BIGINT) AS n_phone,
+  regexp_replace(t1, '$ph', '<PHONE>', 'g') AS t2 FROM r1),
+r3 AS (SELECT *, CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ip,
+  regexp_replace(t2, '$ip', '<IP>', 'g') AS t3 FROM r2),
+r4 AS (SELECT *, CAST(len(regexp_extract_all(t3, '$id')) AS BIGINT) AS n_id9,
+  regexp_replace(t3, '$id', '<ID>', 'g') AS t4 FROM r3)
+SELECT doc_id, n_email, n_phone, n_ip, n_id9,
+  n_email + n_phone + n_ip + n_id9 AS n_pii, t4 AS redacted
+FROM r4 ORDER BY doc_id"""
+    },
+
+    // twin of TextOps.bigramLm: same grid (2^20), same FLOOR division, so
+    // the per-document sum is integer-exact; one double division at the end
+    "doc_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS toks FROM documents),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+cp AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(cb) AS BIGINT) AS cp
+  FROM cb GROUP BY 1),
+sc AS (SELECT bg, (cb * 1048576) // cp AS g
+  FROM cb JOIN cp ON string_split(cb.bg, ' ')[1] = cp.w1),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(g) AS BIGINT) AS lm_grid
+  FROM b JOIN sc USING (bg) GROUP BY 1)
+SELECT doc_id, n_pairs, lm_grid,
+  CAST(lm_grid AS DOUBLE) / (n_pairs * 1048576) AS lm_score
+FROM a ORDER BY doc_id""",
+
     "doc_top_tokens" ->
       s"""WITH t AS (SELECT unnest($tokensExpr) AS token FROM documents)
 SELECT token, CAST(count(*) AS BIGINT) AS n

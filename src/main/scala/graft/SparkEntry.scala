@@ -105,6 +105,8 @@ object SparkEntry {
     "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
+    "doc_pii_redact" -> ((s, d) => TextOps.piiRedactQuery(s, d)),
+    "doc_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),

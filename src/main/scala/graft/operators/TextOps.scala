@@ -892,4 +892,106 @@ object TextOps {
       .select(col("id").as("doc_id"), col("root").as("cluster_id"))
       .orderBy("doc_id")
   }
+
+  // --- PII redaction ---------------------------------------------------
+
+  /** PII patterns in the Java/RE2 COMMON dialect (plain classes,
+    * bounded quantifiers, no backrefs/lookarounds) so Spark and the
+    * DuckDB oracle match the same spans. Applied in list order; each
+    * pattern's count is taken BEFORE its replacement. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9][0-9()\\- ]{6,}[0-9]", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("id9", "[0-9]{9,}", "<ID>"))
+
+  /** Redact PII from a (…, `textCol`, …) frame: emails, international
+    * phone numbers, dotted quads, and long digit runs are replaced by
+    * typed placeholders, with one count column per pattern — the
+    * scrubbing gate every public-corpus pipeline runs before training.
+    * Pure regexp column expressions: single scan, codegen'd,
+    * embarrassingly parallel at 100 TB (no shuffle at all). Patterns
+    * apply in `PiiPatterns` order, so a dotted quad inside an already
+    * redacted email is not double-counted. */
+  def piiRedact(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = PiiPatterns.foldLeft(docs.withColumn("redacted", col(textCol))) {
+      case (df, (name, pat, repl)) =>
+        df.withColumn(s"n_$name",
+            size(regexp_extract_all(col("redacted"), lit(pat), lit(0))).cast("long"))
+          .withColumn("redacted", regexp_replace(col("redacted"), pat, repl))
+    }
+    counted.withColumn("n_pii",
+      PiiPatterns.map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _))
+  }
+
+  /** The `doc_pii_redact` query: the synthetic corpus carries no PII
+    * (word-salad, zero digits), so the query PLANTS a deterministic
+    * contact line per document — built identically in the oracle SQL —
+    * and redacts that. The stand-in keeps the oracle compare exercising
+    * real replacements on every row (counts >= 3, text provably
+    * rewritten) instead of vacuously hashing unchanged text; `piiRedact`
+    * itself is the generic library face (PiiRedactSpec drives it over
+    * planted fixtures directly). */
+  def piiRedactQuery(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(
+      Tables.documentsPar(spark, dir).withColumn("pii_text",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"),
+          lit(" ref "), lpad((col("doc_id") % 100000).cast("string"), 12, "0"))),
+      textCol = "pii_text")
+      .select("doc_id", "n_email", "n_phone", "n_ip", "n_id9", "n_pii", "redacted")
+      .orderBy("doc_id")
+
+  // --- bigram language-model fluency score -----------------------------
+
+  /** Bigram-LM fluency score — the KenLM-style perplexity filter's
+    * deterministic stand-in: every document is scored by how common its
+    * token TRANSITIONS are in the corpus itself. For each adjacent pair
+    * (w1, w2), the conditional frequency c(w1 w2)/c(w1·) is put on the
+    * 2^20 integer grid with FLOOR DIVISION — c(w1 w2) * 2^20 div
+    * c(w1·) — so the per-document sum is a BIGINT (order-independent,
+    * oracle-exact), and only the final score performs one double
+    * division. Gibberish (rare transitions) scores near 0; formulaic
+    * text near 1.
+    *
+    * Shape at 100 TB: token pairs come from one explode + a lead()
+    * window over (doc_id, pos) — one shuffle by doc_id, no self-join;
+    * the bigram/prefix count tables are classic LM estimation
+    * aggregates (map-side combinable); the scoring join keys on the
+    * bigram string. Zipf skew concentrates count rows on few keys but
+    * the COUNT tables are slim (two longs); AQE skew-join handles the
+    * probe side. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmFrame(Tables.documentsPar(spark, dir)).orderBy("doc_id")
+
+  private[graft] def bigramLmFrame(docs: DataFrame): DataFrame = {
+    val G = 1048576L // 2^20 grid, matching the mixture sampler's
+    val pairs = docs
+      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w1")))
+      .withColumn("w2",
+        lead(col("w1"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("bg"),
+        col("w1"))
+    val cb = pairs.groupBy("bg").agg(count(lit(1)).as("cb"))
+    // prefix totals fold over the (small) bigram-count table, not the
+    // exploded pairs — one corpus aggregation, not two
+    val cp = cb.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
+      .agg(sum(col("cb")).as("cp"))
+    // grid ratio attached to the count table FIRST (count ⨝ count, slim),
+    // so the exploded pairs shuffle exactly once, on bg
+    val scored = cb
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(cp, "w1")
+      .select(col("bg"), expr("(cb * 1048576) div cp").as("g"))
+    pairs.select("doc_id", "bg").join(scored, "bg")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("g")).as("lm_grid"))
+      .select(col("doc_id"), col("n_pairs"), col("lm_grid"),
+        (col("lm_grid").cast("double") / (col("n_pairs") * G)).as("lm_score"))
+  }
 }
