@@ -680,6 +680,16 @@ SELECT doc_id, n_email, n_phone, n_ip, n_id9,
 FROM r4 ORDER BY doc_id"""
     },
 
+    // twin of TextOps.shardShuffle: same seeded 28-bit md5 key, same
+    // shard modulus, same (key, doc_id) total order within a shard
+    "doc_shard_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuf'), 1, 7)) AS BIGINT) AS skey
+  FROM documents)
+SELECT doc_id, skey % 16 AS shard,
+  CAST(row_number() OVER (PARTITION BY skey % 16 ORDER BY skey, doc_id) AS BIGINT) AS rank
+FROM k ORDER BY shard, rank""",
+
     // twin of TextOps.bigramLm: same grid (2^20), same FLOOR division, so
     // the per-document sum is integer-exact; one double division at the end
     "doc_bigram_lm" ->

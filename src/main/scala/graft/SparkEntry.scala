@@ -106,6 +106,7 @@ object SparkEntry {
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     "doc_pii_redact" -> ((s, d) => TextOps.piiRedactQuery(s, d)),
+    "doc_shard_shuffle" -> ((s, d) => TextOps.shardShuffle(s, d)),
     "doc_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),

@@ -893,6 +893,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic corpus shuffle + sharding — the step between packing
+    * and training: documents are dealt into `ShuffleShards` shards and
+    * given a pseudo-random, REPRODUCIBLE order inside each (seeded hash,
+    * no RNG — the same property mixSample's sampling key has). Rank ties
+    * (28-bit key collisions) break on doc_id, so the order is total.
+    *
+    * Shape at 100 TB: one shuffle by shard, then a per-shard sort — and
+    * a shard IS the unit a training corpus is written in (one file per
+    * shard, one task per file), so the per-shard sort is the job's
+    * natural granularity. The shard count is the parallelism knob:
+    * production corpora use O(thousands); 16 keeps the toy SFs' shards
+    * populated. */
+  val ShuffleShards = 16
+
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val key = conv(substring(md5(concat(col("doc_id").cast("string"), lit("#shuf"))
+      .cast("binary")), 1, 7), 16, 10).cast("long")
+    Tables.documentsPar(spark, dir)
+      .withColumn("skey", key)
+      .withColumn("shard", col("skey") % ShuffleShards)
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("shard").orderBy("skey", "doc_id"))
+        .cast("long"))
+      .select("doc_id", "shard", "rank")
+      .orderBy("shard", "rank")
+  }
+
   // --- PII redaction ---------------------------------------------------
 
   /** PII patterns in the Java/RE2 COMMON dialect (plain classes,

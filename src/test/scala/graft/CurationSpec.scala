@@ -129,6 +129,27 @@ class CurationSpec extends SparkSpec {
       "a gate never fired on this corpus")
   }
 
+  test("shard shuffle: a reproducible permutation — contiguous ranks per " +
+    "shard, every doc exactly once, and genuinely not doc_id order") {
+    val out = TextOps.shardShuffle(spark, sf())
+    val n = Tables.documentsPar(spark, sf()).count()
+    assert(out.count() == n, "not a permutation: row count drifted")
+    assert(out.select("doc_id").distinct().count() == n, "doc duplicated")
+    // ranks are 1..count(shard), no gaps: max == count per shard
+    val bad = out.groupBy("shard")
+      .agg(max("rank").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mx") =!= col("c")).count()
+    assert(bad == 0, "rank gaps inside a shard")
+    // the within-shard order must differ from plain doc_id order (the
+    // whole point); probability of accidental agreement ~ 1/(k!)
+    val firstShard = out.filter(col("shard") === 0).orderBy("rank")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(firstShard != firstShard.sorted, "shuffle left doc_id order intact")
+    // reproducible: a second build is bit-identical
+    val again = TextOps.shardShuffle(spark, sf()).collect().toSeq
+    assert(out.collect().toSeq == again, "shuffle not deterministic")
+  }
+
   test("curate: keep is exactly the conjunction of its five signals; " +
     "no eval-bucket doc is ever kept") {
     val c = TextOps.curate(spark, sf()).collect()
