@@ -624,11 +624,10 @@ vc AS (SELECT o_orderstatus, cents, CAST(count(*) AS BIGINT) AS c
   FROM c GROUP BY 1, 2),
 cum AS (SELECT *, SUM(c) OVER (PARTITION BY o_orderstatus ORDER BY cents) AS cum
   FROM vc),
-n AS (SELECT o_orderstatus, CAST(SUM(c) AS BIGINT) AS n FROM vc GROUP BY 1),
-j AS (SELECT cum.*, n.n,
-    CAST(floor(CAST(n.n - 1 AS DOUBLE) * 5e-1) AS BIGINT) + 1 AS lo5,
-    CAST(floor(CAST(n.n - 1 AS DOUBLE) * 9e-1) AS BIGINT) + 1 AS lo9
-  FROM cum JOIN n USING (o_orderstatus)),
+j AS (SELECT *,
+    CAST(floor(CAST(n - 1 AS DOUBLE) * 5e-1) AS BIGINT) + 1 AS lo5,
+    CAST(floor(CAST(n - 1 AS DOUBLE) * 9e-1) AS BIGINT) + 1 AS lo9
+  FROM (SELECT *, MAX(cum) OVER (PARTITION BY o_orderstatus) AS n FROM cum)),
 k AS (SELECT * FROM j
   WHERE (cum - c < lo5 AND cum >= lo5) OR (cum - c < lo5 + 1 AND cum >= lo5 + 1)
      OR (cum - c < lo9 AND cum >= lo9) OR (cum - c < lo9 + 1 AND cum >= lo9 + 1)),

@@ -374,10 +374,12 @@ object Relational {
   def quantilesByValueCounts(base: DataFrame,
       quantiles: Seq[(Double, String)]): DataFrame = {
     val vc = base.groupBy("key", "cents").agg(count(lit(1)).as("c"))
-    val cum = vc.withColumn("cum",
-      sum(col("c")).over(Window.partitionBy("key").orderBy("cents")))
-    val n = vc.groupBy("key").agg(sum(col("c")).as("n"))
-    val j = cum.join(broadcast(n), "key")
+    // n rides the SAME window exchange as cum (max over the full
+    // partition) — no second scan of the input, no count join
+    val j = vc
+      .withColumn("cum",
+        sum(col("c")).over(Window.partitionBy("key").orderBy("cents")))
+      .withColumn("n", max(col("cum")).over(Window.partitionBy("key")))
     // bracketing rank for quantile p: pos = (n-1)p, lo = floor(pos)+1
     def lo(p: Double) =
       floor((col("n") - 1).cast("double") * lit(p)) + 1

