@@ -56,7 +56,8 @@ object GraftCatalog {
     "emb_ann_ivf2",       // collected centroids + integer Lloyd sums
     "dedup_clusters",     // label propagation: convergence action per round
     "dedup_clusters_ls",  // large/small-star: fingerprint head() per round
-    "doc_decontam_bloom") // bloom build: count() + treeAggregate
+    "doc_decontam_bloom", // bloom build: count() + treeAggregate
+    "vocab_bpe_merges")   // BPE trainer: top-pair collect per round
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

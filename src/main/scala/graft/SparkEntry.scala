@@ -107,6 +107,9 @@ object SparkEntry {
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     "doc_pii_redact" -> ((s, d) => TextOps.piiRedactQuery(s, d)),
     "doc_shard_shuffle" -> ((s, d) => TextOps.shardShuffle(s, d)),
+    // spec-tier (no DuckDB oracle — see bpeMerges scaladoc): the driver
+    // records the weaker rows-only check, like the sketch queries
+    "vocab_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "doc_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),

@@ -920,6 +920,83 @@ object TextOps {
       .orderBy("shard", "rank")
   }
 
+  // --- BPE merge induction ---------------------------------------------
+
+  /** BPE tokenizer-vocabulary induction (Sennrich et al. 2016) — the
+    * K most frequent adjacent-symbol merges, learned the way production
+    * BPE trainers do: over the DISTINCT-WORD frequency table, never the
+    * corpus. One corpus scan builds (word, freq); every merge round then
+    * touches only the vocabulary (|V| rows — thousands, not billions),
+    * so K rounds cost K tiny shuffles regardless of corpus size. Pair
+    * counting weights by word frequency and counts every adjacent
+    * position (overlaps included); the merge applies LEFTMOST
+    * NON-OVERLAPPING, via an `aggregate` fold over the symbol array
+    * (interpreted HOF — fine, it runs on |V| rows). Ties break
+    * (count desc, left asc, right asc); the per-round top-1 collect is
+    * the same bounded-driver-state class as the IVF centroid pickup.
+    * Rounds localCheckpoint the vocab to keep lineage flat.
+    *
+    * No DuckDB oracle: the leftmost-non-overlap fold needs a
+    * struct-accumulator lambda (DuckDB 1.0's list_reduce cannot express
+    * it) — spec tier instead, with the classic hand-computed fixture
+    * (BpeSpec) pinning every merge exactly. */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val wordFreq = Tables.documentsPar(spark, dir)
+      .select(explode(tokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeMergesFromWordFreq(spark, wordFreq, k)
+  }
+
+  private[graft] def bpeMergesFromWordFreq(
+      spark: SparkSession, wordFreq: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
+    // symbols = characters + the word-final marker
+    var vocab = wordFreq.select(col("freq"),
+      concat(filter(split(col("word"), ""), s => s =!= ""),
+        array(lit("</w>"))).as("sym"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (round <- 1 to k) {
+      val top = vocab
+        .select(col("freq"), posexplode(
+          zip_with(slice(col("sym"), lit(1), size(col("sym")) - 1),
+            slice(col("sym"), lit(2), size(col("sym")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as(Seq("i", "p")))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, c))
+        // leftmost non-overlapping merge of (l, r) -> l+r in every word:
+        // fold state = (emitted prefix, pending symbol); "" is a safe
+        // sentinel (never a symbol)
+        val fold = aggregate(
+          col("sym"),
+          struct(array().cast("array<string>").as("out"), lit("").as("pend")),
+          (acc, s) =>
+            when(acc.getField("pend") === l && s === r,
+              struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
+                lit("").as("pend")))
+            .when(acc.getField("pend") === "",
+              struct(acc.getField("out").as("out"), s.as("pend")))
+            .otherwise(
+              struct(concat(acc.getField("out"), array(acc.getField("pend"))).as("out"),
+                s.as("pend"))),
+          acc => when(acc.getField("pend") === "", acc.getField("out"))
+            .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+        vocab = vocab.withColumn("sym", fold).localCheckpoint(true)
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "left", "right", "pair_count")
+      .select(col("merge_rank").cast("long"), col("left"), col("right"),
+        col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
   // --- PII redaction ---------------------------------------------------
 
   /** PII patterns in the Java/RE2 COMMON dialect (plain classes,
