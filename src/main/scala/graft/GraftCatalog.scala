@@ -57,7 +57,8 @@ object GraftCatalog {
     "dedup_clusters",     // label propagation: convergence action per round
     "dedup_clusters_ls",  // large/small-star: fingerprint head() per round
     "doc_decontam_bloom", // bloom build: count() + treeAggregate
-    "vocab_bpe_merges")   // BPE trainer: top-pair collect per round
+    "vocab_bpe_merges",   // BPE trainer: top-pair collect per round
+    "approx_top_tokens")  // sketch build: mapPartitions collect
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

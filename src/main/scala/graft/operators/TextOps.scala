@@ -208,6 +208,47 @@ object TextOps {
       .limit(50)
   }
 
+  /** APPROXIMATE heavy hitters — the sketch tier beside the exact
+    * `topTokensSalted`, same rule as approx_distinct/approx_percentiles:
+    * at 100 TB even the salted exact top-k shuffles one row per DISTINCT
+    * token; the Misra-Gries ItemsSketch instead ships ONE bounded sketch
+    * per partition (≤ `MaxMapSize` counters each) to the driver and
+    * merges — the exchange is O(partitions), independent of both corpus
+    * and vocabulary size. NO_FALSE_NEGATIVES guarantees every true heavy
+    * hitter surfaces; estimates carry explicit lower/upper bounds, and
+    * when the vocabulary fits the map (as in the synthetic corpus) the
+    * sketch is EXACT — the spec asserts equality with the salted truth
+    * there, and bound-containment always. Per-partition sketches ride as
+    * serialized bytes (mapPartitions is the sketch-building idiom — the
+    * same class of action as the bloom build); driver state is
+    * partitions × sketch bytes, bounded. Deterministic for a fixed
+    * input + partitioning (no RNG in Misra-Gries). */
+  val MaxMapSize = 1024
+
+  def approxTopTokens(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.memory.Memory
+    import spark.implicits._
+    val serde = new ArrayOfStringsSerDe
+    val m = MaxMapSize
+    val parts: Array[Array[Byte]] = Tables.documentsPar(spark, dir)
+      .select(explode(tokens).as("token")).as[String]
+      .mapPartitions { it =>
+        val sk = new ItemsSketch[String](m)
+        it.foreach(sk.update)
+        Iterator.single(sk.toByteArray(new ArrayOfStringsSerDe))
+      }.collect()
+    val merged = parts.foldLeft(new ItemsSketch[String](m)) { (acc, b) =>
+      acc.merge(ItemsSketch.getInstance(Memory.wrap(b), serde))
+    }
+    merged.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      .sortBy { case (t, est, _, _) => (-est, t) }
+      .take(k).toSeq
+      .toDF("token", "est", "lb", "ub")
+  }
+
   /** Non-distinct word-trigram list — repetition signals need the
     * multiplicity that wordTrigrams' set semantics throw away. */
   def wordTrigramsAll(t: Column): Column =

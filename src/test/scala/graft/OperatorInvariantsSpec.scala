@@ -105,6 +105,27 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"edge-group quantiles wrong: ${got.toSeq}")
   }
 
+  test("approx_top_tokens: bounds contain the exact salted counts; on a " +
+    "map-resident vocabulary the sketch IS exact") {
+    val truth = graft.operators.TextOps.topTokensSalted(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.TextOps.approxTopTokens(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(approx.nonEmpty)
+    approx.foreach { case (tok, est, lb, ub) =>
+      assert(lb <= est && est <= ub, s"bounds inverted for $tok")
+      truth.get(tok).foreach { ex =>
+        assert(lb <= ex && ex <= ub, s"true count $ex outside [$lb,$ub] for $tok")
+      }
+    }
+    // synthetic vocabulary << MaxMapSize ⇒ no evictions ⇒ exact
+    val approxMap = approx.map(a => a._1 -> a._2).toMap
+    truth.foreach { case (tok, ex) =>
+      assert(approxMap.get(tok).contains(ex),
+        s"sketch not exact on map-resident vocab: $tok approx=${approxMap.get(tok)} exact=$ex")
+    }
+  }
+
   test("merged daily HLL sketches track the exact all-time distinct count") {
     val r = Relational.hllDailyMerge(spark, d).head()
     val merged = r.getLong(1)
