@@ -1101,25 +1101,24 @@ object TextOps {
     * division. Gibberish (rare transitions) scores near 0; formulaic
     * text near 1.
     *
-    * Shape at 100 TB: token pairs come from one explode + a lead()
-    * window over (doc_id, pos) — one shuffle by doc_id, no self-join;
-    * the bigram/prefix count tables are classic LM estimation
-    * aggregates (map-side combinable); the scoring join keys on the
-    * bigram string. Zipf skew concentrates count rows on few keys but
-    * the COUNT tables are slim (two longs); AQE skew-join handles the
-    * probe side. */
+    * Shape at 100 TB: token pairs are PER-DOCUMENT — an array slice-zip
+    * over the materialized tokens column (the wordTrigramsAll idiom), so
+    * pair extraction is shuffle-FREE; the bigram/prefix count tables are
+    * classic LM estimation aggregates (map-side combinable); the scoring
+    * join keys on the bigram string. Zipf skew concentrates count rows
+    * on few keys but the COUNT tables are slim (two longs); AQE
+    * skew-join handles the probe side. */
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmFrame(Tables.documentsPar(spark, dir)).orderBy("doc_id")
 
   private[graft] def bigramLmFrame(docs: DataFrame): DataFrame = {
     val G = 1048576L // 2^20 grid, matching the mixture sampler's
-    val pairs = docs
-      .select(col("doc_id"), posexplode(tokens).as(Seq("pos", "w1")))
-      .withColumn("w2",
-        lead(col("w1"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), concat(col("w1"), lit(" "), col("w2")).as("bg"),
-        col("w1"))
+    val pairs = docs.withColumn("toks", tokens)
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1))))).as("bg"))
     // the bigram-count table is the LM model — a shared artifact (like
     // gramsTable), so the prefix fold, the ratio attach, and warm bench
     // reps all read one materialization instead of re-running the
