@@ -940,6 +940,19 @@ FROM a ORDER BY source, dim""",
       s"""SELECT * FROM ($jaccardPairsSql)
 ORDER BY jaccard DESC, d1, d2 LIMIT 100""",
 
+    // twin of TextOps.crossSourceDupReport: same pair truth, same 0.5
+    // threshold, same (min, max) source normalization
+    "dedup_cross_source" ->
+      s"""WITH pairs AS ($jaccardPairsSql),
+pp AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 5e-1),
+s AS (SELECT doc_id, source FROM documents),
+j AS (SELECT least(a.source, b.source) AS src_a, greatest(a.source, b.source) AS src_b
+  FROM pp JOIN s a ON pp.d1 = a.doc_id JOIN s b ON pp.d2 = b.doc_id),
+g AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs FROM j GROUP BY 1, 2)
+SELECT src_a, src_b, n_pairs, src_a <> src_b AS cross_source,
+  CAST(n_pairs AS DOUBLE) / CAST(SUM(n_pairs) OVER () AS BIGINT) AS frac
+FROM g ORDER BY n_pairs DESC, src_a, src_b""",
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
 edges AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 5e-1),

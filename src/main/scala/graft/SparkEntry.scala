@@ -121,6 +121,7 @@ object SparkEntry {
     "doc_sample_stratified" -> ((s, d) => TextOps.sampleStratified(s, d)),
     "doc_sample_grouped" -> ((s, d) => TextOps.sampleGrouped(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
+    "dedup_cross_source" -> ((s, d) => TextOps.crossSourceDupReport(s, d)),
     "dedup_clusters" -> ((s, d) => TextOps.dedupClusters(s, d)),
     "dedup_clusters_ls" -> ((s, d) => TextOps.dedupClustersLS(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => MinHashOps.minhashLshPairs(s, d)),

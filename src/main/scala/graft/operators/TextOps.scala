@@ -925,6 +925,31 @@ object TextOps {
     * components, where plain propagation above would need one shuffle
     * round per hop of component radius. Identical output (min doc_id
     * per component), identical oracle. */
+  /** Cross-source duplication report — corpus governance: which SOURCES
+    * duplicate each other (mirror sites, re-crawls, shared upstreams).
+    * Near-dup pairs (the shared scored-pair artifact — no new pair
+    * computation) join each side's source label, normalize the pair to
+    * (min, max), and aggregate: pair counts per source pair plus the
+    * share of all near-dup mass, flagging cross-source rows. Slim
+    * throughout: pairs are (long, long), the doc→source side is a
+    * two-column projection. */
+  def crossSourceDupReport(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccardPairsAll(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val src = Tables.documentsPar(spark, dir).select("doc_id", "source")
+    val labeled = pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), "d1")
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), "d2")
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+    labeled.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("src_a") =!= col("src_b"))
+      .withColumn("frac", col("n_pairs").cast("double")
+        / sum(col("n_pairs")).over(Window.partitionBy()))
+      .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
+  }
+
   def dedupClustersLS(spark: SparkSession, dir: String): DataFrame = {
     val edges = ngramJaccardPairsAll(spark, dir)
       .filter(col("jaccard") >= 0.5)

@@ -99,4 +99,22 @@ class DedupClustersSpec extends SparkSpec {
       assert(next == root, s"extra round would relabel $id: $root -> $next")
     }
   }
+
+  test("cross-source dup report: fractions sum to 1, pair mass matches " +
+    "the thresholded pair set, source pairs are normalized") {
+    import org.apache.spark.sql.functions._
+    val rep = graft.operators.TextOps.crossSourceDupReport(spark, sf()).collect()
+    assert(rep.nonEmpty, "no near-dup pairs at threshold 0.5 — fixture broke")
+    val totalPairs = graft.operators.TextOps.ngramJaccardPairsAll(spark, sf())
+      .filter(col("jaccard") >= 0.5).count()
+    assert(rep.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "report lost or duplicated pair mass")
+    val fracSum = rep.map(_.getAs[Double]("frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-9, s"fracs sum to $fracSum")
+    rep.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a <= b, s"source pair not normalized: ($a, $b)")
+      assert(r.getAs[Boolean]("cross_source") == (a != b))
+    }
+  }
 }
