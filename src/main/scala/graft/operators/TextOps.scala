@@ -225,29 +225,48 @@ object TextOps {
     * input + partitioning (no RNG in Misra-Gries). */
   val MaxMapSize = 1024
 
-  def approxTopTokens(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+  /** Per-partition sketch build + driver merge — shared by the batch
+    * query here and streaming.TrendingTokens so the two faces can never
+    * drift (same map size, serde, merge). */
+  private[graft] def sketchTokens(spark: SparkSession, toks: DataFrame)
+      : org.apache.datasketches.frequencies.ItemsSketch[String] = {
     import org.apache.datasketches.common.ArrayOfStringsSerDe
-    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.frequencies.ItemsSketch
     import org.apache.datasketches.memory.Memory
     import spark.implicits._
-    val serde = new ArrayOfStringsSerDe
     val m = MaxMapSize
-    val parts: Array[Array[Byte]] = Tables.documentsPar(spark, dir)
-      .select(explode(tokens).as("token")).as[String]
+    val parts: Array[Array[Byte]] = toks.as[String]
       .mapPartitions { it =>
         val sk = new ItemsSketch[String](m)
         it.foreach(sk.update)
         Iterator.single(sk.toByteArray(new ArrayOfStringsSerDe))
       }.collect()
-    val merged = parts.foldLeft(new ItemsSketch[String](m)) { (acc, b) =>
+    val serde = new ArrayOfStringsSerDe
+    parts.foldLeft(new ItemsSketch[String](m)) { (acc, b) =>
       acc.merge(ItemsSketch.getInstance(Memory.wrap(b), serde))
     }
-    merged.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+  }
+
+  /** Render a frequencies sketch as the (token, est, lb, ub) top-k frame
+    * — ONE formatting (NO_FALSE_NEGATIVES, (-est, token) tie-break) for
+    * both the batch and streaming faces. */
+  private[graft] def sketchTopK(spark: SparkSession,
+      sk: org.apache.datasketches.frequencies.ItemsSketch[String],
+      k: Int): DataFrame = {
+    import org.apache.datasketches.frequencies.ErrorType
+    import spark.implicits._
+    sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
       .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
       .sortBy { case (t, est, _, _) => (-est, t) }
       .take(k).toSeq
       .toDF("token", "est", "lb", "ub")
   }
+
+  def approxTopTokens(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    sketchTopK(spark,
+      sketchTokens(spark, Tables.documentsPar(spark, dir)
+        .select(explode(tokens).as("token"))),
+      k)
 
   /** Non-distinct word-trigram list — repetition signals need the
     * multiplicity that wordTrigrams' set semantics throw away. */
@@ -1023,7 +1042,8 @@ object TextOps {
         array(lit("</w>"))).as("sym"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (round <- 1 to k) {
+    var exhausted = false // no pairs left: every word is one symbol
+    for (round <- 1 to k if !exhausted) {
       val top = vocab
         .select(col("freq"), posexplode(
           zip_with(slice(col("sym"), lit(1), size(col("sym")) - 1),
@@ -1033,7 +1053,8 @@ object TextOps {
         .agg(sum(col("freq")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) exhausted = true
+      else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l, r, c))
         // leftmost non-overlapping merge of (l, r) -> l+r in every word:

@@ -41,23 +41,43 @@ object TrendingTokens {
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Read persisted (lastBatchId, sketch); heals an interrupted swap. */
+  /** Read persisted (lastBatchId, sketch); heals an interrupted swap.
+    * Adoption VALIDATES the tmp first: the FIRST write for a store has
+    * no complete-before-delete guarantee (live never existed), so a
+    * crash mid-create can leave a truncated tmp — adopting it blindly
+    * would wedge every later read on a corrupt live file. An unparsable
+    * tmp is deleted and state starts fresh; the interrupted batch never
+    * recorded its id, so the checkpoint replays it and the merge
+    * re-applies — convergent, not lossy. */
   private def readState(spark: SparkSession, store: String)
       : (Long, org.apache.datasketches.frequencies.ItemsSketch[String]) = {
-    import org.apache.datasketches.common.ArrayOfStringsSerDe
     import org.apache.datasketches.frequencies.ItemsSketch
-    import org.apache.datasketches.memory.Memory
     val live = new org.apache.hadoop.fs.Path(store)
     val tmp = new org.apache.hadoop.fs.Path(s"$store.tmp")
     val f = fs(spark, live)
-    if (!f.exists(live) && f.exists(tmp)) f.rename(tmp, live) // adopt
+    if (!f.exists(live) && f.exists(tmp)) {
+      if (parseState(spark, tmp).isDefined) f.rename(tmp, live) // adopt
+      else f.delete(tmp, false) // truncated first write: discard
+    }
     if (!f.exists(live)) return (-1L, new ItemsSketch[String](MaxMapSize))
-    val in = f.open(live)
+    parseState(spark, live).getOrElse(
+      throw new IllegalStateException(
+        s"$store is corrupt — it was swapped in whole, so this is " +
+          "external damage, not a crash window; restore or delete it"))
+  }
+
+  private def parseState(spark: SparkSession, p: org.apache.hadoop.fs.Path)
+      : Option[(Long, org.apache.datasketches.frequencies.ItemsSketch[String])] = {
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.memory.Memory
+    val in = fs(spark, p).open(p)
     try {
       val id = in.readLong()
       val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
-      (id, ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe))
-    } finally in.close()
+      Some((id, ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)))
+    } catch { case _: Exception => None }
+    finally in.close()
   }
 
   private def writeState(spark: SparkSession, store: String, batchId: Long,
@@ -78,39 +98,21 @@ object TrendingTokens {
     * batch was applied, false when the gate skipped a replay. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String,
       batchId: Long): Boolean = {
-    import org.apache.datasketches.common.ArrayOfStringsSerDe
-    import org.apache.datasketches.frequencies.ItemsSketch
-    import org.apache.datasketches.memory.Memory
-    import spark.implicits._
     val (lastId, current) = readState(spark, store)
     if (batchId <= lastId) return false // whole-batch replay: absorbed
-    val m = MaxMapSize
-    val parts = batch
-      .select(explode(split(col("text"), " ")).as("token")).as[String]
-      .mapPartitions { it =>
-        val sk = new ItemsSketch[String](m)
-        it.foreach(sk.update)
-        Iterator.single(sk.toByteArray(new ArrayOfStringsSerDe))
-      }.collect()
-    val serde = new ArrayOfStringsSerDe
-    val merged = parts.foldLeft(current) { (acc, b) =>
-      acc.merge(ItemsSketch.getInstance(Memory.wrap(b), serde))
-    }
-    writeState(spark, store, batchId, merged)
+    // the shared batch-face build (TextOps.sketchTokens) keeps map size,
+    // serde, and merge identical across the two faces
+    val batchSketch = graft.operators.TextOps.sketchTokens(spark,
+      batch.select(explode(split(col("text"), " ")).as("token")))
+    current.merge(batchSketch)
+    writeState(spark, store, batchId, current)
     true
   }
 
-  /** Current top-k from the persisted sketch. */
-  def topK(spark: SparkSession, store: String, k: Int = 20): DataFrame = {
-    import org.apache.datasketches.frequencies.ErrorType
-    import spark.implicits._
-    val (_, sk) = readState(spark, store)
-    sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
-      .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
-      .sortBy { case (t, est, _, _) => (-est, t) }
-      .take(k).toSeq
-      .toDF("token", "est", "lb", "ub")
-  }
+  /** Current top-k from the persisted sketch (same rendering as the
+    * batch query — TextOps.sketchTopK). */
+  def topK(spark: SparkSession, store: String, k: Int = 20): DataFrame =
+    graft.operators.TextOps.sketchTopK(spark, readState(spark, store)._2, k)
 
   /** Streaming entry: JSON document directory → sketch state file. */
   def maintain(spark: SparkSession, srcDir: String, store: String,

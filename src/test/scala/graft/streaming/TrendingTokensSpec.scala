@@ -47,6 +47,19 @@ class TrendingTokensSpec extends SparkSpec {
     assert(counts(store) == Map("x" -> 1L, "y" -> 1L))
   }
 
+  test("a TRUNCATED first-write tmp (crash mid-create, live never " +
+    "existed) is discarded, and the replayed batch re-applies cleanly") {
+    val store = Files.createTempDirectory("trendt").toString + "/sketch"
+    // crash window: first writeState died mid-create — 3 junk bytes
+    Files.createDirectories(Paths.get(store).getParent)
+    Files.write(Paths.get(s"$store.tmp"), Array[Byte](1, 2, 3))
+    // reader discards the corrupt tmp instead of adopting it...
+    assert(counts(store).isEmpty)
+    // ...and the interrupted batch (never recorded) re-applies
+    assert(TrendingTokens.mergeBatch(spark, docs((1, "a b a")), store, batchId = 0))
+    assert(counts(store) == Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("streaming maintain: file batches + checkpointed RESTART never " +
     "double-counts (the replayed micro-batch hits the gate)") {
     val base = Files.createTempDirectory("trend3").toString
