@@ -1027,9 +1027,12 @@ object TextOps {
     * (BpeSpec) pinning every merge exactly. */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    val wordFreq = Tables.documentsPar(spark, dir)
-      .select(explode(tokens).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // the word-frequency table is the trainer's input artifact — shared,
+    // so warm re-runs start from the cached |V| rows, not a corpus scan
+    val wordFreq = graft.Artifacts.shared(
+      Tables.documentsPar(spark, dir)
+        .select(explode(tokens).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")))
     bpeMergesFromWordFreq(spark, wordFreq, k)
   }
 
