@@ -201,4 +201,39 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(countIn(p, "Scan parquet") == 1, "implicit pivot would scan twice")
     assert(countIn(p, "Exchange hashpartitioning") <= 2)
   }
+
+  test("percentiles_dist: ONE scan, the value-count exchange plus the " +
+    "window exchange, no join — n rides the window, not a second pass") {
+    val p = plan(Relational.percentilesDist(spark, sf()))
+    assert(countIn(p, "Scan parquet") == 1,
+      "group count re-scanned the input instead of riding the window")
+    assert(!p.contains("Join"), "count joined back instead of windowed")
+    assert(countIn(p, "Window ") == 2, "expected cum + max(cum) windows")
+  }
+
+  test("pii redaction: zero-shuffle per-row transform (the only exchange " +
+    "is the presentation sort)") {
+    val p = plan(TextOps.piiRedactQuery(spark, sf()))
+    assert(countIn(p, "Exchange hashpartitioning") == 0,
+      "redaction should never shuffle")
+    assert(!p.contains("Join"))
+    assert(countIn(p, "Scan parquet") == 1)
+  }
+
+  test("shard shuffle: one hash exchange (the shard window), one scan") {
+    val p = plan(TextOps.shardShuffle(spark, sf()))
+    assert(countIn(p, "Exchange hashpartitioning") == 1)
+    assert(countIn(p, "Scan parquet") == 1)
+    assert(!p.contains("Join"))
+  }
+
+  test("bigram LM: pair extraction is shuffle-free (no window, no " +
+    "doc_id exchange before the count aggregations)") {
+    val p = plan(TextOps.bigramLmFrame(
+      Tables.documentsPar(spark, sf())))
+    assert(!p.contains("Window "), "pairs should slice-zip, not lead()")
+    // exchanges: bg counts, w1 prefix fold, final per-doc sum — all on
+    // compact keys; the probe side joins broadcast
+    assert(countIn(p, "CartesianProduct") == 0)
+  }
 }
