@@ -1184,7 +1184,14 @@ object TextOps {
       .withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(cp, "w1")
       .select(col("bg"), expr("(cb * 1048576) div cp").as("g"))
-    pairs.select("doc_id", "bg").join(scored, "bg")
+    // SHUFFLE-HASH with the count table as build side: without the hint
+    // the planner broadcasts whichever side its static estimate likes —
+    // at test SFs that was the exploded CORPUS pairs (a corpus broadcast
+    // at 100 TB). The count table is the smaller side but still
+    // vocab²-bounded, so a shuffle join keyed on bg is the shape that
+    // survives scale; AQE may still locally convert when runtime stats
+    // allow.
+    pairs.select("doc_id", "bg").join(scored.hint("shuffle_hash"), "bg")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_pairs"),

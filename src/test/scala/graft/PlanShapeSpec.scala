@@ -232,8 +232,11 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val p = plan(TextOps.bigramLmFrame(
       Tables.documentsPar(spark, sf())))
     assert(!p.contains("Window "), "pairs should slice-zip, not lead()")
-    // exchanges: bg counts, w1 prefix fold, final per-doc sum — all on
-    // compact keys; the probe side joins broadcast
     assert(countIn(p, "CartesianProduct") == 0)
+    // the scoring probe must SHUFFLE on bg with the count table as build
+    // side — the planner's static estimate liked broadcasting the
+    // exploded CORPUS pairs (a corpus broadcast at 100 TB)
+    assert(p.contains("ShuffledHashJoin [bg"),
+      "probe join regressed from the hinted shuffle-hash shape")
   }
 }
