@@ -58,7 +58,8 @@ object GraftCatalog {
     "dedup_clusters_ls",  // large/small-star: fingerprint head() per round
     "doc_decontam_bloom", // bloom build: count() + treeAggregate
     "vocab_bpe_merges",   // BPE trainer: top-pair collect per round
-    "approx_top_tokens")  // sketch build: mapPartitions collect
+    "approx_top_tokens",  // sketch build: mapPartitions collect
+    "kll_daily_merge")    // daily sketch collect + driver merge
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

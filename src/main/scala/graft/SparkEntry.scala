@@ -85,6 +85,7 @@ object SparkEntry {
     "percentiles_dist" -> ((s, d) => Relational.percentilesDist(s, d)),
     "approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "hll_daily_merge" -> ((s, d) => Relational.hllDailyMerge(s, d)),
+    "kll_daily_merge" -> ((s, d) => Relational.kllDailyMerge(s, d)),
     "dq_report" -> ((s, d) => Relational.dqReport(s, d)),
     // --- LLM-data-pipeline tier: text analysis ---
     "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),

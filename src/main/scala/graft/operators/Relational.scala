@@ -460,6 +460,38 @@ object Relational {
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct_users"))
   }
 
+  /** MERGEABLE quantile sketches — the KLL analog of `hllDailyMerge`,
+    * completing the sketch trio (distinct = HLL, heavy hitters =
+    * Misra-Gries, quantiles = KLL): per-day KllDoublesSketches of the
+    * event value, UNIONED into all-time quantiles without rescanning
+    * raw data — the incremental-aggregation pattern a 100 TB history
+    * table forces (store one ~KB sketch per day, answer any window).
+    * Build is distributed (mapGroups per day); the driver holds one
+    * sketch per day — bounded. k=200 gives ~0.6% normalized rank error
+    * (asserted against the exact CDF in OperatorInvariantsSpec). No
+    * oracle — sketch internals are engine-specific, same rule as
+    * approx_distinct. */
+  def kllDailyMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import spark.implicits._
+    val daily: Array[(Long, Array[Byte])] = Tables.events(spark, dir)
+      .withColumn("day", expr("unix_millis(ts) div 86400000"))
+      .select(col("day"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (day, it) =>
+        val sk = KllDoublesSketch.newHeapInstance(200)
+        it.foreach(x => sk.update(x._2))
+        (day, sk.toByteArray)
+      }.collect()
+    val merged = daily.foldLeft(KllDoublesSketch.newHeapInstance(200)) {
+      case (acc, (_, b)) => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))); acc
+    }
+    Seq((daily.length.toLong,
+      merged.getQuantile(0.5), merged.getQuantile(0.9), merged.getQuantile(0.99)))
+      .toDF("n_days", "p50", "p90", "p99")
+  }
+
   /** DATA-QUALITY expectations report — the validation gate a training
     * pipeline runs before accepting a new data drop: each rule is a
     * violation predicate, all rules evaluate in ONE scan (conditional

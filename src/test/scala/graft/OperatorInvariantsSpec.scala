@@ -126,6 +126,22 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("merged daily KLL sketches hit the exact quantiles within design " +
+    "rank error") {
+    val r = Relational.kllDailyMerge(spark, d).head()
+    assert(r.getLong(0) > 1, "need >1 daily sketch for the merge to mean anything")
+    val values = Tables.events(spark, d).select("value").collect()
+      .map(_.getDouble(0)).sorted
+    def rankOf(v: Double): Double =
+      values.count(_ <= v).toDouble / values.length
+    Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3))
+      .foreach { case (p, est) =>
+        val rk = rankOf(est)
+        assert(math.abs(rk - p) < 0.02,
+          s"KLL p$p estimate $est sits at true rank $rk — outside 2% rank error")
+      }
+  }
+
   test("merged daily HLL sketches track the exact all-time distinct count") {
     val r = Relational.hllDailyMerge(spark, d).head()
     val merged = r.getLong(1)
