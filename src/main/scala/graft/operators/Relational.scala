@@ -467,9 +467,10 @@ object Relational {
     * raw data — the incremental-aggregation pattern a 100 TB history
     * table forces (store one ~KB sketch per day, answer any window).
     * Build is distributed (mapGroups per day); the driver holds one
-    * sketch per day — bounded. k=200 gives ~0.6% normalized rank error
-    * (asserted against the exact CDF in OperatorInvariantsSpec). No
-    * oracle — sketch internals are engine-specific, same rule as
+    * sketch per day — bounded. k=200 bounds normalized rank error at
+    * ~1.65% (99% confidence; the spec asserts against the exact CDF
+    * with the library's own getNormalizedRankError bound). No oracle —
+    * sketch internals are engine-specific, same rule as
     * approx_distinct. */
   def kllDailyMerge(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
@@ -487,9 +488,13 @@ object Relational {
     val merged = daily.foldLeft(KllDoublesSketch.newHeapInstance(200)) {
       case (acc, (_, b)) => acc.merge(KllDoublesSketch.heapify(Memory.wrap(b))); acc
     }
-    Seq((daily.length.toLong,
-      merged.getQuantile(0.5), merged.getQuantile(0.9), merged.getQuantile(0.99)))
-      .toDF("n_days", "p50", "p90", "p99")
+    // empty input: one row with NaN quantiles, matching hllDailyMerge's
+    // always-emits-a-row contract (getQuantile throws on an empty sketch)
+    val row =
+      if (merged.isEmpty) (0L, Double.NaN, Double.NaN, Double.NaN)
+      else (daily.length.toLong,
+        merged.getQuantile(0.5), merged.getQuantile(0.9), merged.getQuantile(0.99))
+    Seq(row).toDF("n_days", "p50", "p90", "p99")
   }
 
   /** DATA-QUALITY expectations report — the validation gate a training

@@ -56,8 +56,10 @@ object TrendingTokens {
     val tmp = new org.apache.hadoop.fs.Path(s"$store.tmp")
     val f = fs(spark, live)
     if (!f.exists(live) && f.exists(tmp)) {
-      if (parseState(spark, tmp).isDefined) f.rename(tmp, live) // adopt
-      else f.delete(tmp, false) // truncated first write: discard
+      parseState(spark, tmp) match {
+        case Some(st) => f.rename(tmp, live); return st // adopt, one read
+        case None => f.delete(tmp, false) // truncated first write: discard
+      }
     }
     if (!f.exists(live)) return (-1L, new ItemsSketch[String](MaxMapSize))
     parseState(spark, live).getOrElse(
@@ -66,6 +68,12 @@ object TrendingTokens {
           "external damage, not a crash window; restore or delete it"))
   }
 
+  /** Parse a state file. None means STRUCTURAL corruption (truncation /
+    * bad sketch preamble) — the only case adoption may discard. A
+    * transient read failure (connection reset, checksum, datanode loss)
+    * PROPAGATES: after a non-first-write crash the tmp can be the only
+    * surviving copy of the accumulated state, and conflating a flaky
+    * read with corruption would delete it. */
   private def parseState(spark: SparkSession, p: org.apache.hadoop.fs.Path)
       : Option[(Long, org.apache.datasketches.frequencies.ItemsSketch[String])] = {
     import org.apache.datasketches.common.ArrayOfStringsSerDe
@@ -76,7 +84,11 @@ object TrendingTokens {
       val id = in.readLong()
       val bytes = org.apache.hadoop.io.IOUtils.readFullyToByteArray(in)
       Some((id, ItemsSketch.getInstance(Memory.wrap(bytes), new ArrayOfStringsSerDe)))
-    } catch { case _: Exception => None }
+    } catch {
+      case _: java.io.EOFException => None // truncated write
+      case _: org.apache.datasketches.common.SketchesException => None
+      case _: IllegalArgumentException => None // bad preamble/serde
+    }
     finally in.close()
   }
 

@@ -134,11 +134,15 @@ class OperatorInvariantsSpec extends SparkSpec {
       .map(_.getDouble(0)).sorted
     def rankOf(v: Double): Double =
       values.count(_ <= v).toDouble / values.length
+    // the library's own 99%-confidence bound for k=200 (~1.65%), doubled
+    // for merge slack — KLL compaction is randomized, so a tight bound
+    // would flake once the item count exceeds sketch capacity
+    val eps = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(200, false)
     Seq(0.5 -> r.getDouble(1), 0.9 -> r.getDouble(2), 0.99 -> r.getDouble(3))
       .foreach { case (p, est) =>
         val rk = rankOf(est)
-        assert(math.abs(rk - p) < 0.02,
-          s"KLL p$p estimate $est sits at true rank $rk — outside 2% rank error")
+        assert(math.abs(rk - p) < 2 * eps,
+          s"KLL p$p estimate $est sits at true rank $rk — outside 2*eps=${2 * eps}")
       }
   }
 
