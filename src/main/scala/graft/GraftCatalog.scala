@@ -59,7 +59,8 @@ object GraftCatalog {
     "doc_decontam_bloom", // bloom build: count() + treeAggregate
     "vocab_bpe_merges",   // BPE trainer: top-pair collect per round
     "approx_top_tokens",  // sketch build: mapPartitions collect
-    "kll_daily_merge")    // daily sketch collect + driver merge
+    "kll_daily_merge",    // daily sketch collect + driver merge
+    "doc_bpe_segment")    // trains (collects) the merges first
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

@@ -114,6 +114,7 @@ object SparkEntry {
     // spec-tier (no DuckDB oracle — see bpeMerges scaladoc): the driver
     // records the weaker rows-only check, like the sketch queries
     "vocab_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "doc_bpe_segment" -> ((s, d) => TextOps.bpeSegmentCounts(s, d)),
     "doc_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),

@@ -1036,6 +1036,41 @@ object TextOps {
     bpeMergesFromWordFreq(spark, wordFreq, k)
   }
 
+  /** Apply an ordered merge list to a (word, …) vocabulary frame:
+    * word → subtoken count after all merges. The testable core of
+    * `bpeSegmentCounts` (BpeSpec drives it with the fixture's learned
+    * merges). */
+  private[graft] def bpeSegmentWords(wordFreq: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val vocab = wordFreq
+      .select(col("word"),
+        concat(filter(split(col("word"), ""), s => s =!= ""),
+          array(lit("</w>"))).as("sym"))
+    merges.foldLeft(vocab) { case (v, (l, r)) =>
+      v.withColumn("sym", mergeFold(col("sym"), l, r))
+    }.select(col("word"), size(col("sym")).cast("long").as("n_sub"))
+  }
+
+  /** Leftmost non-overlapping merge of (l, r) -> l+r over a symbol
+    * array — the ONE fold both BPE training and application use. Fold
+    * state = (emitted prefix, pending symbol); "" is a safe sentinel
+    * (never a symbol). */
+  private def mergeFold(sym: Column, l: String, r: String): Column =
+    aggregate(
+      sym,
+      struct(array().cast("array<string>").as("out"), lit("").as("pend")),
+      (acc, s) =>
+        when(acc.getField("pend") === l && s === r,
+          struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
+            lit("").as("pend")))
+        .when(acc.getField("pend") === "",
+          struct(acc.getField("out").as("out"), s.as("pend")))
+        .otherwise(
+          struct(concat(acc.getField("out"), array(acc.getField("pend"))).as("out"),
+            s.as("pend"))),
+      acc => when(acc.getField("pend") === "", acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+
   private[graft] def bpeMergesFromWordFreq(
       spark: SparkSession, wordFreq: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
@@ -1060,24 +1095,8 @@ object TextOps {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l, r, c))
-        // leftmost non-overlapping merge of (l, r) -> l+r in every word:
-        // fold state = (emitted prefix, pending symbol); "" is a safe
-        // sentinel (never a symbol)
-        val fold = aggregate(
-          col("sym"),
-          struct(array().cast("array<string>").as("out"), lit("").as("pend")),
-          (acc, s) =>
-            when(acc.getField("pend") === l && s === r,
-              struct(concat(acc.getField("out"), array(lit(l + r))).as("out"),
-                lit("").as("pend")))
-            .when(acc.getField("pend") === "",
-              struct(acc.getField("out").as("out"), s.as("pend")))
-            .otherwise(
-              struct(concat(acc.getField("out"), array(acc.getField("pend"))).as("out"),
-                s.as("pend"))),
-          acc => when(acc.getField("pend") === "", acc.getField("out"))
-            .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
-        vocab = vocab.withColumn("sym", fold).localCheckpoint(true)
+        vocab = vocab.withColumn("sym", mergeFold(col("sym"), l, r))
+          .localCheckpoint(true)
       }
     }
     merges.result()
@@ -1085,6 +1104,37 @@ object TextOps {
       .select(col("merge_rank").cast("long"), col("left"), col("right"),
         col("pair_count"))
       .orderBy("merge_rank")
+  }
+
+  /** BPE APPLICATION — the other half of the tokenizer story: segment
+    * the corpus with the merges `bpeMerges` learned. Like training,
+    * application is per-DISTINCT-WORD: the K merge folds run over the
+    * |V|-row vocabulary once, and the corpus only joins each token to
+    * its precomputed subtoken count — segmentation cost is independent
+    * of corpus size, the join is the standard word-keyed probe (hinted
+    * shuffle-hash like the bigram probe: the static estimate must not
+    * broadcast the exploded corpus side). Output per document: word
+    * count, BPE token count (the `</w>` marker counts as part of the
+    * last subtoken only when a merge absorbed it — standard), and
+    * fertility (one double division). Spec tier, same reason as
+    * bpeMerges: the merge fold is not DuckDB-expressible. */
+  def bpeSegmentCounts(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val merges = bpeMerges(spark, dir, k).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val segmented = bpeSegmentWords(
+      graft.Artifacts.shared(
+        Tables.documentsPar(spark, dir)
+          .select(explode(tokens).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))),
+      merges.toSeq)
+    Tables.documentsPar(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("word"))
+      .join(segmented.hint("shuffle_hash"), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words")).as("bpe_fertility"))
+      .orderBy("doc_id")
   }
 
   // --- PII redaction ---------------------------------------------------

@@ -42,6 +42,40 @@ class BpeSpec extends SparkSpec {
       (2L, "aa", "</w>", 1L)), s"fold semantics wrong: $m")
   }
 
+  test("APPLY phase: the fixture's learned merges segment each word to " +
+    "the hand-computed subtoken count; zero merges = chars + marker") {
+    val wf = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("word", "freq")
+    val merges = TextOps.bpeMergesFromWordFreq(spark, wf, 3).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val seg = TextOps.bpeSegmentWords(wf, merges).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merges es, est, est</w>:  low = l o w </w>;  lower = l o w e r </w>;
+    // newest = n e w est</w>;   widest = w i d est</w>
+    assert(seg == Map("low" -> 4L, "lower" -> 6L, "newest" -> 4L, "widest" -> 4L),
+      s"segmentation drifted: $seg")
+    val seg0 = TextOps.bpeSegmentWords(wf, Nil).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seg0 == Map("low" -> 4L, "lower" -> 6L, "newest" -> 7L, "widest" -> 7L),
+      s"unmerged segmentation should be chars+1: $seg0")
+  }
+
+  test("corpus segment query: one row per doc, every word >= 1 subtoken, " +
+    "fertility >= 1, and more merges never increase the token count") {
+    val out = TextOps.bpeSegmentCounts(spark, sf(), k = 6).collect()
+    assert(out.length == Tables.documentsPar(spark, sf()).count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("bpe_fertility") >= 1.0)
+    }
+    val out2 = TextOps.bpeSegmentCounts(spark, sf(), k = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") <= out2(r.getAs[Long]("doc_id")),
+        "more merges increased a doc's token count")
+    }
+  }
+
   test("corpus run: k merges, positive counts, monotone non-increasing, " +
     "merged symbols chain from earlier vocabulary") {
     val m = TextOps.bpeMerges(spark, sf(), k = 6).collect()
