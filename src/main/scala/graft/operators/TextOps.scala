@@ -410,7 +410,17 @@ object TextOps {
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
     gopherRulesFrame(Tables.documentsPar(spark, dir))
 
-  private[graft] def gopherRulesFrame(docsIn: DataFrame): DataFrame = {
+  private[graft] def gopherRulesFrame(docsIn: DataFrame): DataFrame =
+    gopherSignals(docsIn)
+      .select("doc_id", "n_words", "mean_wl", "frac_alpha", "n_stop", "gopher_pass")
+      .orderBy("doc_id")
+
+  /** Signals-only face of the Gopher gate: adds the rule columns and
+    * keeps every input column (no projection, no sort), so it composes
+    * into BATCH AND STREAMING plans alike — pure per-row column
+    * arithmetic, no aggregation, stream-safe in append mode
+    * (CorpusIngest.gate builds on exactly this property). */
+  private[graft] def gopherSignals(docsIn: DataFrame): DataFrame = {
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
     docsIn
       .withColumn("toks", tokens)
@@ -427,8 +437,7 @@ object TextOps {
         col("n_words") >= 40L && col("n_words") <= 100000L &&
           col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0 &&
           col("frac_alpha") >= 0.8 && col("n_stop") >= 2L)
-      .select("doc_id", "n_words", "mean_wl", "frac_alpha", "n_stop", "gopher_pass")
-      .orderBy("doc_id")
+      .drop("toks")
   }
 
   /** TEMPERATURE-WEIGHTED source mixture sampling — the standard

@@ -94,4 +94,48 @@ object CorpusIngest {
         mergeBatch(batch.sparkSession, batch, store)
         ()
       }
+
+  /** QUALITY + PII gating as one stream-safe transform — the cleaning
+    * gate every public-corpus pipeline runs at the door, composed from
+    * the batch tier's verified pieces: Gopher rule signals
+    * (TextOps.gopherSignals — the same columns doc_gopher_rules
+    * oracles) filter admission, and survivors ship with their text
+    * REDACTED by the PII scrub (TextOps.piiRedact — doc_pii_redact's
+    * patterns, applied in the same order). Pure per-row column
+    * arithmetic end to end: no aggregation, no watermark, no state —
+    * so the SAME function serves batch frames and streaming frames,
+    * and batch/stream parity is by construction (CorpusGateSpec pins
+    * it anyway).
+    *
+    * Scale: embarrassingly parallel (zero shuffle); at 100 TB/day the
+    * gate runs at source parallelism and drops rejected documents
+    * BEFORE anything downstream pays to move them. */
+  def gate(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.piiRedact(
+      graft.operators.TextOps.gopherSignals(docs).filter(col("gopher_pass")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("redacted").as("text"), col("n_words"), col("mean_wl"),
+        col("frac_alpha"), col("n_stop"),
+        col("n_email"), col("n_phone"), col("n_ip"), col("n_id9"), col("n_pii"))
+
+  /** Gated streaming ingest: JSON documents directory → gate →
+    * parquet store, exactly-once via the FILE-SINK MANIFEST — the
+    * fourth EOS pattern in this repo, and the cheapest: because the
+    * gate is stateless, Spark's transactional file sink alone gives
+    * end-to-end exactly-once (each micro-batch's files commit
+    * atomically into `_spark_metadata`; a replayed batch id is
+    * skipped by the sink, and readers going through
+    * `spark.read.parquet(store)` see only committed files). Contrast:
+    * the orders sink needs a JDBC transaction, TrendingTokens a
+    * batchId gate, SnapshotMaintain convergent merges — all because
+    * they UPDATE state. Append-only lets the sink do the work. */
+  def ingestGated(spark: SparkSession, srcDir: String, store: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    gate(spark.readStream.schema(docSchema).json(srcDir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", store)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
 }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** The streaming quality+PII gate: batch/stream parity of the one
+  * shared transform, gate semantics (Gopher rejection + PII
+  * redaction), and file-sink exactly-once across a restart. */
+class CorpusGateSpec extends SparkSpec {
+
+  // 44 words, mean word length ~3.9, all-alpha, stopword-rich:
+  // passes every Gopher rule with margin
+  private val goodText = Seq.fill(4)(
+    "the quick brown fox jumps over the lazy dog with zest").mkString(" ")
+
+  private def jdoc(id: Long, text: String): String =
+    s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+
+  private def write(dir: String, name: String, rows: Seq[String]): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, name), rows.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("gate semantics: Gopher failures drop, survivors ship redacted text") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, goodText + " contact bob@example.com or +1 (555) 010-9999", "en", "s"),
+      (2L, "a b c", "en", "s"), // 3 words: fails the n_words >= 40 rule
+      (3L, goodText, "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusIngest.gate(in).collect().map(r =>
+      r.getLong(0) -> r).toMap
+
+    assert(out.keySet == Set(1L, 3L), "the 3-word doc must be rejected")
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_email") == 1L && d1.getAs[Long]("n_phone") == 1L,
+      "planted email + phone each counted once")
+    val t1 = d1.getAs[String]("text")
+    assert(t1.contains("<EMAIL>") && t1.contains("<PHONE>"),
+      "admitted text must be the REDACTED text")
+    assert(!t1.contains("bob@example.com") && !t1.contains("010-9999"))
+    assert(out(3L).getAs[Long]("n_pii") == 0L)
+    assert(out(3L).getAs[String]("text") == goodText, "clean text passes unchanged")
+  }
+
+  test("batch/stream parity: the same transform gives identical rows " +
+    "through a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, goodText + " ref 123456789012", "en", "a"),
+      (2L, "too short", "en", "b"),
+      (3L, goodText + " host 10.0.0.1", "fr", "c"),
+      (4L, goodText, "en", "d"))
+
+    val batch = CorpusIngest.gate(
+      rows.toDF("doc_id", "text", "lang", "source")).collect().toSet
+
+    val in = MemoryStream[(Long, String, String, String)]
+    val q = CorpusIngest.gate(
+        in.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.format("memory").queryName("gate_parity")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(2)); q.processAllAvailable()
+      in.addData(rows.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("gate_parity").collect().toSet
+      assert(streamed == batch,
+        "stream and batch must admit the same rows with identical columns")
+    } finally q.stop()
+  }
+
+  test("gated ingest: file-sink manifest gives exactly-once across restart") {
+    val base = Files.createTempDirectory("gated").toString
+    val (src, store, ckpt) = (s"$base/src", s"$base/store", s"$base/ckpt")
+
+    write(src, "b1.json", Seq(
+      jdoc(1, goodText + " contact bob@example.com"),
+      jdoc(2, "a b c"), // rejected at the gate
+      jdoc(3, goodText)))
+    val q1 = CorpusIngest.ingestGated(spark, src, store, ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+    val after1 = spark.read.parquet(store)
+    assert(after1.count() == 2, "gate admits 2 of 3")
+    assert(after1.filter("doc_id = 1").select("text").head().getString(0)
+      .contains("<EMAIL>"), "stored text is redacted")
+
+    // restart from the checkpoint with nothing new: the committed batch
+    // is not re-emitted (manifest EOS), then a second file lands
+    write(src, "b2.json", Seq(jdoc(4, goodText), jdoc(5, "x y")))
+    val q2 = CorpusIngest.ingestGated(spark, src, store, ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+
+    val fin = spark.read.parquet(store)
+    assert(fin.count() == 3, s"expected 3 admitted docs, got ${fin.count()}")
+    assert(fin.select("doc_id").distinct().count() == 3,
+      "no doc may be emitted twice across the restart")
+  }
+}
