@@ -228,6 +228,14 @@ FROM q2 ORDER BY doc_id"""
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** 8-dim variants over PQ subvector slices — same left fold
+    * (list_reduce from the first element; 0.0 + t1 == t1 on the Spark
+    * side), twins of the slice folds in EmbeddingOps.annPq */
+  private def dot8Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 9), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+  private def l28Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 9), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
   private val dotSelfSql = dotSql("embedding", "embedding")
 
   /** twin of EmbeddingOps.lshBucket with the N-DERIVED bit width
@@ -1227,6 +1235,44 @@ sims AS (
 SELECT q_id, cell, vec_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
 FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
+    // Twin of EmbeddingOps.annPq: codebooks = subvector slices of the
+    // first 16 vectors; code = argmax(dot − ‖c‖²/2) per subspace with
+    // ties to the lowest k (the IvfAssignTop2 kernel, score DESC / k
+    // ASC); ADC = per-subspace (x−c)² left folds quantized to the 2^20
+    // grid and summed as order-independent BIGINTs, one double division
+    // at render. The 8×8×16 geometry mirrors PqM/PqSub/PqK literally.
+    "emb_ann_pq" ->
+      s"""WITH m8 AS (SELECT unnest(generate_series(0, 7)) AS m),
+sub AS (
+  SELECT vec_id, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS vm
+  FROM embeddings, m8),
+cb AS (
+  SELECT vec_id AS k, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS ck
+  FROM embeddings, m8 WHERE vec_id < 16),
+cbd AS (SELECT k, m, ck, ${dot8Sql("ck", "ck")} AS c_dot FROM cb),
+scored AS (
+  SELECT s.vec_id, s.m, c.k,
+    ${dot8Sql("s.vm", "c.ck")} - 5e-1 * c.c_dot AS score
+  FROM sub s JOIN cbd c ON c.m = s.m),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, k) AS crn
+    FROM scored) WHERE crn = 1),
+q AS (SELECT vec_id AS q_id, m, vm AS qm FROM sub WHERE vec_id < 5),
+parts AS (
+  SELECT q.q_id, c.vec_id,
+    CAST(round(${l28Sql("q.qm", "b.ck")} * 1048576e0) AS BIGINT) AS d2u
+  FROM q JOIN codes c ON c.m = q.m AND c.vec_id <> q.q_id
+  JOIN cbd b ON b.m = q.m AND b.k = c.code),
+adc AS (
+  SELECT q_id, vec_id, CAST(sum(d2u) AS BIGINT) AS adc_units
+  FROM parts GROUP BY 1, 2)
+SELECT q_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_units, vec_id) AS INT) AS rn,
+  adc_units / 1048576e0 AS adc
+FROM adc QUALIFY rn <= 3 ORDER BY q_id, rn""",
 
     "mm_media_meta" ->
       """SELECT doc_id,

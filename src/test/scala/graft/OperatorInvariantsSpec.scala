@@ -246,6 +246,49 @@ class OperatorInvariantsSpec extends SparkSpec {
       f"one Lloyd step collapsed recall: $recall2%.2f vs $recall%.2f")
   }
 
+  test("pq ann: seed vectors self-encode, codes in range, ADC recall " +
+    "vs exact L2 reported") {
+    // every codebook comes from the first 16 vectors' own slices, so a
+    // seed vector is at distance 0 from its own centroid in EVERY
+    // subspace — its 8 codes must all equal its vec_id
+    val codes = EmbeddingOps.pqEncode(spark, d).drop("v").collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val id = r.getLong(0)
+      (1 to EmbeddingOps.PqM).foreach { i =>
+        val c = r.getLong(i)
+        assert(c >= 0 && c < EmbeddingOps.PqK, s"code out of range: $c")
+        if (id < EmbeddingOps.PqK)
+          assert(c == id, s"seed $id must self-encode, got $c in subspace ${i - 1}")
+      }
+    }
+
+    // output shape: <=3 per query, no self, ADC is a squared distance
+    val pq = EmbeddingOps.annPq(spark, d).collect()
+    assert(pq.nonEmpty)
+    assert(pq.groupBy(_.getLong(0)).values.forall(_.size <= 3))
+    assert(pq.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(pq.forall(_.getDouble(3) >= 0.0), "ADC must be nonnegative")
+
+    // recall@3 vs the exact L2 ranking (PQ approximates L2, not
+    // cosine) — 16 data-seeded codes per subspace on uniform synthetic
+    // vectors is a coverage demo, so the floor is loose and the
+    // measured value goes to the log (the MinHashRecallSpec pattern)
+    val vecs = Tables.embeddingsPar(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val exact = (0L until 5L).flatMap { qid =>
+      vecs.keys.filter(_ != qid).toSeq
+        .sortBy(c => (l2(vecs(qid), vecs(c)), c)).take(3).map(qid -> _)
+    }.toSet
+    val got = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"PQ ADC recall@3 vs exact L2: $recall%.2f")
+    assert(recall > 0.0, "ADC found nothing the exact L2 ranking has")
+  }
+
   test("source centroids: bit-equal to a driver-computed quantized mean " +
     "for every source; coverage complete") {
     import graft.operators.EmbeddingOps

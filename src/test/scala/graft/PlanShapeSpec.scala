@@ -239,4 +239,17 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(p.contains("ShuffledHashJoin [bg"),
       "probe join regressed from the hinted shuffle-hash shape")
   }
+
+  test("pq ann: encoding shuffle-free, query side broadcast, one window " +
+    "exchange — the code scan never moves the float payload") {
+    val p = plan(EmbeddingOps.annPq(spark, sf()))
+    assert(countIn(p, "BroadcastHashJoin") == 0 &&
+      countIn(p, "BroadcastNestedLoopJoin") == 1,
+      "5-row query side must broadcast (non-equi self-exclusion join)")
+    assert(countIn(p, "CartesianProduct") == 0)
+    // exactly one hash exchange: the q_id ranking window; encoding and
+    // ADC are per-row expression work
+    assert(countIn(p, "Exchange hashpartitioning") == 1,
+      s"expected only the window exchange:\n$p")
+  }
 }
