@@ -1274,6 +1274,60 @@ SELECT q_id, vec_id,
   adc_units / 1048576e0 AS adc
 FROM adc QUALIFY rn <= 3 ORDER BY q_id, rn""",
 
+    // Twin of EmbeddingOps.annIvfPq: emb_ann_ivf's coarse-cell CTEs
+    // (minus the norm filter — PQ indexes every vector, c_dot from the
+    // same 64-dim fold) composed with emb_ann_pq's codebook/code/ADC
+    // CTEs, candidates restricted to the query's two probed cells.
+    "emb_ann_ivfpq" ->
+      s"""WITH m8 AS (SELECT unnest(generate_series(0, 7)) AS m),
+sub AS (
+  SELECT vec_id, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS vm
+  FROM embeddings, m8),
+cb AS (
+  SELECT vec_id AS k, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS ck
+  FROM embeddings, m8 WHERE vec_id < 16),
+cbd AS (SELECT k, m, ck, ${dot8Sql("ck", "ck")} AS c_dot FROM cb),
+scoredpq AS (
+  SELECT s.vec_id, s.m, c.k,
+    ${dot8Sql("s.vm", "c.ck")} - 5e-1 * c.c_dot AS score
+  FROM sub s JOIN cbd c ON c.m = s.m),
+codes AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, k) AS crn
+    FROM scoredpq) WHERE crn = 1),
+ce AS (
+  SELECT vec_id AS c_id, embedding AS cemb, $dotSelfSql AS c_dot
+  FROM embeddings WHERE vec_id < 16),
+scoredc AS (
+  SELECT e.vec_id, c.c_id,
+    ${dotSql("e.embedding", "c.cemb")} - 5e-1 * c.c_dot AS score
+  FROM embeddings e CROSS JOIN ce c),
+assignc AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS crn
+  FROM scoredc),
+cell AS (SELECT vec_id, c_id AS cell FROM assignc WHERE crn = 1),
+qprobe AS (SELECT vec_id AS q_id, c_id AS probe FROM assignc WHERE vec_id < 5 AND crn <= 2),
+qm AS (SELECT vec_id AS q_id, m, vm FROM sub WHERE vec_id < 5),
+cand AS (
+  SELECT q.q_id, ce2.vec_id, ce2.cell
+  FROM qprobe q JOIN cell ce2 ON ce2.cell = q.probe AND ce2.vec_id <> q.q_id),
+parts AS (
+  SELECT c.q_id, c.vec_id, c.cell,
+    CAST(round(${l28Sql("qm.vm", "b.ck")} * 1048576e0) AS BIGINT) AS d2u
+  FROM cand c
+  JOIN qm ON qm.q_id = c.q_id
+  JOIN codes co ON co.vec_id = c.vec_id AND co.m = qm.m
+  JOIN cbd b ON b.m = qm.m AND b.k = co.code),
+adc AS (
+  SELECT q_id, cell, vec_id, CAST(sum(d2u) AS BIGINT) AS adc_units
+  FROM parts GROUP BY 1, 2, 3)
+SELECT q_id, cell, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_units, vec_id) AS INT) AS rn,
+  adc_units / 1048576e0 AS adc
+FROM adc QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
     "mm_media_meta" ->
       """SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -444,24 +444,72 @@ object EmbeddingOps {
         (0 until PqM).map(m => col(s"c$m")): _*))
   }
 
-  def annPq(spark: SparkSession, dir: String): DataFrame = {
-    val books = pqBooks(spark, dir)
-    val encoded = pqEncode(spark, dir)
-    val q = encoded.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    // ADC in integer grid units: Σ_m round(2^20 · ‖q_m − c[code_m]‖²)
-    val adcUnits = (0 until PqM).map { m =>
+  /** ADC in integer grid units over a joined (qv, c0..c7) row:
+    * Σ_m round(2^20 · ‖q_m − c[code_m]‖²) — each subspace distance is
+    * the oracle-twinned left fold, quantized HALF_UP, and the total is
+    * an order-independent BIGINT. Shared by the flat and IVF-pruned
+    * ADC scans. */
+  private def adcUnitsCol(books: IndexedSeq[IndexedSeq[Seq[Double]]]): Column =
+    (0 until PqM).map { m =>
       val qm = slice(col("qv"), m * PqSub + 1, PqSub)
       val cent = element_at(typedLit(books(m)), (col(s"c$m") + 1).cast("int"))
       round(aggregate(zip_with(qm, cent, (x, c) => (x - c) * (x - c)),
         lit(0.0), (acc, y) => acc + y) * lit(1048576.0)).cast("long")
     }.reduce(_ + _)
+
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    val encoded = pqEncode(spark, dir)
+    val q = encoded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val w = Window.partitionBy("q_id").orderBy(col("adc_units"), col("vec_id"))
     encoded.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("adc_units", adcUnits)
+      .withColumn("adc_units", adcUnitsCol(pqBooks(spark, dir)))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("q_id"), col("vec_id"), col("rn"),
+        (col("adc_units").cast("double") / lit(1048576.0)).as("adc"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** IVF+PQ (`emb_ann_ivfpq`) — the composition production vector
+    * indexes actually ship (FAISS's IVFPQ): the coarse quantizer
+    * prunes the search to the query's top-2 cells, and within them
+    * candidates rank by ADC over their 8 half-byte codes. Relative to
+    * `annPq` the scored scan shrinks ~8× (2 of 16 cells); relative to
+    * `annIvf` each candidate costs 8 sub-dim folds against a COMPACT
+    * code row instead of a 64-dim dot against the float payload. Same
+    * data-seeded conventions as both parents (16 cells, 16 codes per
+    * subspace from the first 16 vectors), so the oracle composes the
+    * two verified SQL pieces; the ADC integer grid makes the ranking
+    * exact. The candidate probe is an EQUI-join on the cell key —
+    * at 100 TB both sides shuffle (or the 10-row query side
+    * broadcasts) on a compact key, never the vectors. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val encoded = pqEncode(spark, dir)
+    // coarse cells: same first-16 seed as annIvf, collected off the
+    // cached encode (no norm filter — PQ indexes every vector)
+    val cents = encoded.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("v")).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0), v, v.foldLeft(0.0)((a, x) => a + x * x))
+      }.sortBy(_._1).toIndexedSeq
+    val asg = graft.plans.GraftFunctions.graftIvfAssign(spark, "v", cents)
+    val assigned = graft.Artifacts.shared(
+      encoded.withColumn("asg", asg)
+        .withColumn("cell", col("asg")("cell"))
+        .withColumn("cell2", col("asg")("cell2"))
+        .drop("asg"))
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(array(col("cell"), col("cell2"))).as("probe"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_units"), col("vec_id"))
+    assigned.join(broadcast(q),
+        col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_units", adcUnitsCol(pqBooks(spark, dir)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cell"), col("vec_id"), col("rn"),
         (col("adc_units").cast("double") / lit(1048576.0)).as("adc"))
       .orderBy("q_id", "rn")
   }

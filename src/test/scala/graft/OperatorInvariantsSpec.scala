@@ -289,6 +289,29 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(recall > 0.0, "ADC found nothing the exact L2 ranking has")
   }
 
+  test("ivf+pq: pruned ADC agrees bit-for-bit with flat PQ on shared " +
+    "pairs; overlap with the flat ranking logged") {
+    val flat = EmbeddingOps.annPq(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val pruned = EmbeddingOps.annIvfPq(spark, d).collect()
+    assert(pruned.nonEmpty)
+    assert(pruned.groupBy(_.getLong(0)).values.forall(_.size <= 3))
+    assert(pruned.forall(r => r.getLong(0) != r.getLong(2)))
+    // ADC is a property of (query, code word) alone — wherever both
+    // rankings surface the same pair, the distance must be IDENTICAL
+    val shared = pruned.flatMap(r =>
+      flat.get((r.getLong(0), r.getLong(2))).map(_ -> r.getDouble(4)))
+    assert(shared.nonEmpty, "rankings share no pairs — probe likely broken")
+    shared.foreach { case (a, b) =>
+      assert(a == b, f"ADC drifted between faces: $a%.9f vs $b%.9f")
+    }
+    // cell pruning can only LOSE candidates vs the flat scan; measure
+    val prunedSet = pruned.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val overlap = (flat.keySet & prunedSet).size.toDouble / flat.size
+    info(f"IVF+PQ overlap@3 with flat PQ: $overlap%.2f")
+    assert(overlap > 0.0)
+  }
+
   test("source centroids: bit-equal to a driver-computed quantized mean " +
     "for every source; coverage complete") {
     import graft.operators.EmbeddingOps

@@ -252,4 +252,15 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(countIn(p, "Exchange hashpartitioning") == 1,
       s"expected only the window exchange:\n$p")
   }
+
+  test("ivf+pq: candidate probe is an EQUI-join on the cell key " +
+    "(broadcast query side), never a cartesian or nested loop") {
+    val p = plan(EmbeddingOps.annIvfPq(spark, sf()))
+    assert(countIn(p, "BroadcastHashJoin") == 1,
+      "probe must be a hash join on the compact cell key")
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 0)
+    assert(countIn(p, "CartesianProduct") == 0)
+    assert(countIn(p, "Exchange hashpartitioning") == 1,
+      s"expected only the window exchange:\n$p")
+  }
 }
