@@ -406,31 +406,42 @@ object EmbeddingOps {
     * integer grid with HALF_UP round, summed as BIGINTs — the ADC
     * total is an ORDER-INDEPENDENT integer, so ranking (adc asc,
     * vec_id) is exact and the one double division happens at render. */
-  /** Codebooks: subvector slices of the first 16 vectors — bounded
-    * driver state (16×64 doubles, the IVF init-collect class),
-    * memoized per (session, dir) so the encode and ADC faces collect
-    * the seed once. */
-  private[graft] def pqBooks(spark: SparkSession,
-      dir: String): IndexedSeq[IndexedSeq[Seq[Double]]] =
+  /** Codebook seed: the vectors with vec_id < [[PqK]], collected once
+    * per (session, dir) — bounded driver state (≤16×64 doubles, the
+    * IVF init-collect class). A short or non-contiguous id range just
+    * yields a smaller codebook (every face keys codes by the seed's
+    * ACTUAL vec_id — the oracle's `vec_id AS k` — never by position). */
+  private[graft] def pqSeed(spark: SparkSession,
+      dir: String): IndexedSeq[(Long, Seq[Double])] =
     graft.Artifacts.memo(
-      s"pq-books:${System.identityHashCode(spark)}:$dir") {
-      val seed = Tables.embeddingsPar(spark, dir)
+      s"pq-seed:${System.identityHashCode(spark)}:$dir") {
+      val s = Tables.embeddingsPar(spark, dir)
         .filter(col("vec_id") < PqK)
         .select(col("vec_id"), vecD(col("embedding")).as("v")).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toIndexedSeq
-      (0 until PqM).map(m =>
-        seed.map(_._2.slice(m * PqSub, (m + 1) * PqSub)).toIndexedSeq)
+      require(s.nonEmpty, s"PQ needs at least one seed vector (vec_id < $PqK)")
+      s
     }
+
+  /** Per-subspace codebooks keyed by code id (= seed vec_id). */
+  private[graft] def pqBooks(spark: SparkSession,
+      dir: String): IndexedSeq[Map[Long, Seq[Double]]] = {
+    val seed = pqSeed(spark, dir)
+    (0 until PqM).map(m =>
+      seed.map { case (id, v) => id -> v.slice(m * PqSub, (m + 1) * PqSub) }.toMap)
+  }
 
   /** Encoding face: (vec_id, v, c0..c7) with one IvfAssignTop2 pass per
     * subspace — per-row, zero shuffle; shared so the ADC scan and any
     * index build reuse one materialization. */
   private[graft] def pqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val books = pqBooks(spark, dir)
+    val seed = pqSeed(spark, dir)
     // ‖c‖² via the same left fold the oracle's list_reduce performs
     val bookCents: IndexedSeq[Seq[(Long, Seq[Double], Double)]] =
-      (0 until PqM).map(m => (0 until PqK).map(k =>
-        (k.toLong, books(m)(k), books(m)(k).foldLeft(0.0)((a, x) => a + x * x))))
+      (0 until PqM).map(m => seed.map { case (id, v) =>
+        val ck = v.slice(m * PqSub, (m + 1) * PqSub)
+        (id, ck, ck.foldLeft(0.0)((a, x) => a + x * x))
+      })
     val e = Tables.embeddingsPar(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
     val sliced = (0 until PqM).foldLeft(e) { (df, m) =>
@@ -449,10 +460,11 @@ object EmbeddingOps {
     * the oracle-twinned left fold, quantized HALF_UP, and the total is
     * an order-independent BIGINT. Shared by the flat and IVF-pruned
     * ADC scans. */
-  private def adcUnitsCol(books: IndexedSeq[IndexedSeq[Seq[Double]]]): Column =
+  private def adcUnitsCol(books: IndexedSeq[Map[Long, Seq[Double]]]): Column =
     (0 until PqM).map { m =>
       val qm = slice(col("qv"), m * PqSub + 1, PqSub)
-      val cent = element_at(typedLit(books(m)), (col(s"c$m") + 1).cast("int"))
+      // map literal keyed by code id — robust to a short/sparse seed
+      val cent = element_at(typedLit(books(m)), col(s"c$m"))
       round(aggregate(zip_with(qm, cent, (x, c) => (x - c) * (x - c)),
         lit(0.0), (acc, y) => acc + y) * lit(1048576.0)).cast("long")
     }.reduce(_ + _)
@@ -486,14 +498,12 @@ object EmbeddingOps {
     * broadcasts) on a compact key, never the vectors. */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
     val encoded = pqEncode(spark, dir)
-    // coarse cells: same first-16 seed as annIvf, collected off the
-    // cached encode (no norm filter — PQ indexes every vector)
-    val cents = encoded.filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("v")).collect()
-      .map { r =>
-        val v = r.getSeq[Double](1)
-        (r.getLong(0), v, v.foldLeft(0.0)((a, x) => a + x * x))
-      }.sortBy(_._1).toIndexedSeq
+    // coarse cells: same first-16 seed as annIvf (no norm filter — PQ
+    // indexes every vector); the memoized PQ seed already holds the
+    // full vectors, so no extra collect job runs
+    val cents = pqSeed(spark, dir).map { case (id, v) =>
+      (id, v, v.foldLeft(0.0)((a, x) => a + x * x))
+    }
     val asg = graft.plans.GraftFunctions.graftIvfAssign(spark, "v", cents)
     val assigned = graft.Artifacts.shared(
       encoded.withColumn("asg", asg)

@@ -1034,10 +1034,19 @@ object TextOps {
     * struct-accumulator lambda (DuckDB 1.0's list_reduce cannot express
     * it) — spec tier instead, with the classic hand-computed fixture
     * (BpeSpec) pinning every merge exactly. */
-  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
-    import spark.implicits._
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     mergesToDf(spark, trainedMerges(spark, dir, k))
-  }
+
+  /** The corpus word-frequency table — the BPE trainer's input and the
+    * apply phase's vocabulary, built ONCE per (session, dir) as a
+    * shared artifact so both faces (and bench reps) read the same
+    * cached |V| rows. One helper, not two copies: the sharing is
+    * structural, not an accident of plan canonicalization. */
+  private def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.shared(
+      Tables.documentsPar(spark, dir)
+        .select(explode(tokens).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq")))
 
   /** Train-once memo: the merge list is a few KB of driver state, and
     * every consumer (the merges query, the apply phase, bench reps)
@@ -1047,13 +1056,7 @@ object TextOps {
       k: Int): Seq[(Int, String, String, Long)] =
     graft.Artifacts.memo(
       s"bpe-merges:${System.identityHashCode(spark)}:$dir:$k") {
-      // the word-frequency table is the trainer's input artifact —
-      // shared, so the apply phase reads the same cached |V| rows
-      val wordFreq = graft.Artifacts.shared(
-        Tables.documentsPar(spark, dir)
-          .select(explode(tokens).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq")))
-      trainMerges(spark, wordFreq, k)
+      trainMerges(spark, wordFreq(spark, dir), k)
     }
 
   /** Apply an ordered merge list to a (word, …) vocabulary frame:
@@ -1148,12 +1151,7 @@ object TextOps {
     * bpeMerges: the merge fold is not DuckDB-expressible. */
   def bpeSegmentCounts(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val merges = trainedMerges(spark, dir, k).map(m => (m._2, m._3))
-    val segmented = bpeSegmentWords(
-      graft.Artifacts.shared(
-        Tables.documentsPar(spark, dir)
-          .select(explode(tokens).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))),
-      merges)
+    val segmented = bpeSegmentWords(wordFreq(spark, dir), merges)
     Tables.documentsPar(spark, dir)
       .select(col("doc_id"), explode(tokens).as("word"))
       .join(segmented.hint("shuffle_hash"), "word")

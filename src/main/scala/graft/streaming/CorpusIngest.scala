@@ -107,12 +107,28 @@ object CorpusIngest {
     * and batch/stream parity is by construction (CorpusGateSpec pins
     * it anyway).
     *
+    * External input is WHITESPACE-NORMALIZED at the door (runs of any
+    * whitespace → one space, trimmed): the batch tier's signal
+    * formulas assume the synthetic corpus's single-space-joined
+    * invariant (`mean_wl` derives from len(text)−n_words+1), which
+    * arbitrary external documents — newline-separated, tab-indented,
+    * double-spaced — do not satisfy; without the normalization a
+    * legitimately formatted doc tokenizes to one giant "word" and is
+    * wrongly rejected. The signal columns are ADMISSION EVIDENCE,
+    * measured on the normalized pre-redaction text (gating before
+    * redacting keeps the 4-regex scrub off rejected rows — the cheap
+    * order at 100 TB); the stored `text` is the redacted form, so
+    * re-deriving signals from it shifts the PII spans' word counts.
+    *
     * Scale: embarrassingly parallel (zero shuffle); at 100 TB/day the
     * gate runs at source parallelism and drops rejected documents
     * BEFORE anything downstream pays to move them. */
   def gate(docs: DataFrame): DataFrame =
     graft.operators.TextOps.piiRedact(
-      graft.operators.TextOps.gopherSignals(docs).filter(col("gopher_pass")))
+      graft.operators.TextOps.gopherSignals(
+        docs.withColumn("text",
+          trim(regexp_replace(col("text"), "\\s+", " "))))
+        .filter(col("gopher_pass")))
       .select(col("doc_id"), col("lang"), col("source"),
         col("redacted").as("text"), col("n_words"), col("mean_wl"),
         col("frac_alpha"), col("n_stop"),

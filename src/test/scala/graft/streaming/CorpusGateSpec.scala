@@ -43,6 +43,23 @@ class CorpusGateSpec extends SparkSpec {
     assert(out(3L).getAs[String]("text") == goodText, "clean text passes unchanged")
   }
 
+  test("whitespace normalization: newline/tab/double-space formatting is " +
+    "normalized at the door, not mistaken for one giant word") {
+    import spark.implicits._
+    // the same 44 passing words, but newline-separated with tab indents
+    // and a double space — split-on-single-space would see n_words=1
+    val messy = goodText.split(" ").grouped(11).map(_.mkString("\t", " ", ""))
+      .mkString("\n").replaceFirst(" ", "  ")
+    val out = CorpusIngest.gate(
+      Seq((7L, messy, "en", "s")).toDF("doc_id", "text", "lang", "source"))
+      .collect()
+    assert(out.length == 1, "well-formed multi-line doc must be admitted")
+    assert(out.head.getAs[Long]("n_words") == 44L,
+      "words counted on the normalized text")
+    assert(out.head.getAs[String]("text") == goodText,
+      "stored text is the normalized (and here unredacted) form")
+  }
+
   test("batch/stream parity: the same transform gives identical rows " +
     "through a MemoryStream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
