@@ -776,6 +776,39 @@ ORDER BY doc_id, metric""",
     (acc, h) -> (acc * 31 + h) % 1000000007) AS BIGINT) AS fp_roll
 FROM documents ORDER BY doc_id""",
 
+    // Twin of TextOps.winnow: positional 3-token k-grams (NOT the
+    // distinct shingle set), the 28-bit md5-prefix hash idiom repeated
+    // verbatim, min per sliding window of 4, then only order-free
+    // signatures of the selected set (count / min / max / exact BIGINT
+    // sum) so list_distinct's ordering never matters. range(1, n) is
+    // exclusive — matches Spark's inclusive sequence(1, n-1).
+    "doc_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN []
+      ELSE list_transform(range(1, len(toks) - 1),
+        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams
+  FROM t),
+h AS (
+  SELECT doc_id, len(grams) AS n_grams,
+    list_transform(grams, g2 -> CAST(('0x' || substr(md5(g2), 1, 7)) AS BIGINT)) AS hs
+  FROM g),
+s AS (
+  SELECT doc_id, n_grams,
+    CASE WHEN len(hs) = 0 THEN []
+      ELSE list_distinct(list_transform(
+        range(1, greatest(len(hs) - 3, 1) + 1),
+        j -> list_min(list_slice(hs, j, j + 3)))) END AS sel
+  FROM h)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+  CAST(CASE WHEN n_grams = 0 THEN 0 ELSE greatest(n_grams - 3, 1) END AS BIGINT) AS n_windows,
+  CAST(len(sel) AS BIGINT) AS n_selected,
+  CAST(coalesce(list_min(sel), 0) AS BIGINT) AS fp_min,
+  CAST(coalesce(list_max(sel), 0) AS BIGINT) AS fp_max,
+  CAST(coalesce(list_aggregate(sel, 'sum'), 0) AS BIGINT) AS sel_sum
+FROM s ORDER BY doc_id""",
+
     "dedup_canonical" ->
       """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
 w AS (

@@ -96,6 +96,7 @@ object SparkEntry {
     "doc_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "doc_quality" -> ((s, d) => TextOps.quality(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "doc_winnow" -> ((s, d) => TextOps.winnow(s, d)),
     "doc_chunk" -> ((s, d) => TextOps.chunk(s, d)),
     "doc_pack" -> ((s, d) => TextOps.pack(s, d)),
     "doc_contamination" -> ((s, d) => TextOps.contamination(s, d)),

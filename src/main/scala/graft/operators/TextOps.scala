@@ -124,6 +124,52 @@ object TextOps {
       .select("doc_id", "fp_md5", "fp64", "n_shingles", "fp_roll")
       .orderBy("doc_id")
 
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS primitive): hash every positional 3-token
+    * k-gram (the 28-bit md5-prefix idiom of `fingerprint`'s rolling
+    * hash), slide a window of [[WinnowW]] consecutive hashes, and
+    * select each window's MINIMUM — the guarantee is that any match of
+    * at least w+k-1 tokens between two documents shares a selected
+    * fingerprint, at ~2/(w+1) the density of keeping every gram.
+    * Documents with fewer grams than the window winnow the whole gram
+    * list (one window); under 3 tokens have no grams and select
+    * nothing.
+    *
+    * Per-document ARRAY arithmetic only — zero shuffle, embarrassingly
+    * parallel at 100 TB; emitted signature columns are all
+    * order-independent (distinct-count, min, max, and an exact BIGINT
+    * sum of the selected set) so the oracle needs no list-order
+    * assumptions and a cross-doc overlap join keys on any of them. */
+  val WinnowW = 4
+
+  def winnow(spark: SparkSession, dir: String): DataFrame = {
+    val w = WinnowW
+    Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .withColumn("grams",
+        when(size(col("toks")) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+            concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+      .withColumn("hs", transform(col("grams"), g =>
+        conv(substring(md5(g.cast("binary")), 1, 7), 16, 10).cast("long")))
+      .withColumn("sel",
+        when(size(col("hs")) === 0, array().cast("array<long>"))
+          .otherwise(array_distinct(
+            transform(sequence(lit(1), greatest(size(col("hs")) - w + 1, lit(1))),
+              j => array_min(slice(col("hs"), j, lit(w)))))))
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        when(size(col("hs")) === 0, 0L)
+          .otherwise(greatest(size(col("hs")) - w + 1, lit(1)).cast("long"))
+          .as("n_windows"),
+        size(col("sel")).cast("long").as("n_selected"),
+        coalesce(array_min(col("sel")), lit(0L)).as("fp_min"),
+        coalesce(array_max(col("sel")), lit(0L)).as("fp_max"),
+        aggregate(col("sel"), lit(0L), (a, x) => a + x).as("sel_sum"))
+      .orderBy("doc_id")
+  }
+
   /** Exact deduplication: keeper = min doc_id per identical text.
     * The document is reduced to (doc_id, md5 fingerprint) BEFORE the
     * window's exchange, so the shuffle moves two narrow columns instead

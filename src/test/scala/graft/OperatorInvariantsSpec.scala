@@ -289,6 +289,46 @@ class OperatorInvariantsSpec extends SparkSpec {
     assert(recall > 0.0, "ADC found nothing the exact L2 ranking has")
   }
 
+  test("winnow: signatures match an independent driver reference for " +
+    "every document; the any-window guarantee and real compression hold") {
+    val docs = Tables.documentsPar(spark, d).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.winnow(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == docs.keySet)
+    def hash28(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16)
+    }
+    val w = TextOps.WinnowW
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ")
+      val hs =
+        if (toks.length < 3) Array.empty[Long]
+        else (0 to toks.length - 3)
+          .map(i => hash28(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}")).toArray
+      val sel =
+        if (hs.isEmpty) Set.empty[Long]
+        else (0 until math.max(hs.length - w + 1, 1))
+          .map(j => hs.slice(j, j + w).min).toSet
+      val row = got(id)
+      assert(row.getAs[Long]("n_selected") == sel.size, s"count drift, doc $id")
+      assert(row.getAs[Long]("sel_sum") == sel.sum, s"sum drift, doc $id")
+      // the winnowing guarantee: every window of w consecutive gram
+      // hashes contains at least one selected fingerprint
+      if (hs.length >= w)
+        (0 to hs.length - w).foreach { j =>
+          assert(hs.slice(j, j + w).exists(sel.contains),
+            s"window $j of doc $id has no selected fingerprint")
+        }
+    }
+    val totSel = got.values.map(_.getAs[Long]("n_selected")).sum
+    val totGrams = got.values.map(_.getAs[Long]("n_grams")).sum
+    assert(totSel > 0 && totSel < totGrams,
+      s"selection must compress: $totSel of $totGrams grams")
+  }
+
   test("ivf+pq: pruned ADC agrees bit-for-bit with flat PQ on shared " +
     "pairs; overlap with the flat ranking logged") {
     val flat = EmbeddingOps.annPq(spark, d).collect()
