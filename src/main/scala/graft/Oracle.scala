@@ -228,6 +228,26 @@ FROM q2 ORDER BY doc_id"""
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Twin of TextOps.winnowSel: the shared winnow selection —
+    * positional 3-gram 28-bit hashes, min per sliding window of 4,
+    * distinct. range(1, n) is exclusive, matching Spark's inclusive
+    * sequence(1, n-1); list_slice's inclusive (j, j+3) matches
+    * slice(hs, j, 4). Shared by doc_winnow and dedup_winnow_pairs. */
+  private lazy val winnowSelSql: String =
+    s"""SELECT doc_id, len(grams) AS n_grams,
+  CASE WHEN len(grams) = 0 THEN []
+    ELSE list_distinct(list_transform(
+      range(1, greatest(len(grams) - 3, 1) + 1),
+      j -> list_min(list_slice(
+        list_transform(grams, g2 -> CAST(('0x' || substr(md5(g2), 1, 7)) AS BIGINT)),
+        j, j + 3)))) END AS sel
+FROM (
+  SELECT doc_id,
+    CASE WHEN len($tokensExpr) < 3 THEN []
+      ELSE list_transform(range(1, len($tokensExpr) - 1),
+        i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END AS grams
+  FROM documents)"""
+
   /** 8-dim variants over PQ subvector slices — same left fold
     * (list_reduce from the first element; 0.0 + t1 == t1 on the Spark
     * side), twins of the slice folds in EmbeddingOps.annPq */
@@ -780,27 +800,9 @@ FROM documents ORDER BY doc_id""",
     // distinct shingle set), the 28-bit md5-prefix hash idiom repeated
     // verbatim, min per sliding window of 4, then only order-free
     // signatures of the selected set (count / min / max / exact BIGINT
-    // sum) so list_distinct's ordering never matters. range(1, n) is
-    // exclusive — matches Spark's inclusive sequence(1, n-1).
+    // sum) so list_distinct's ordering never matters.
     "doc_winnow" ->
-      s"""WITH t AS (SELECT doc_id, $tokensExpr AS toks FROM documents),
-g AS (
-  SELECT doc_id,
-    CASE WHEN len(toks) < 3 THEN []
-      ELSE list_transform(range(1, len(toks) - 1),
-        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams
-  FROM t),
-h AS (
-  SELECT doc_id, len(grams) AS n_grams,
-    list_transform(grams, g2 -> CAST(('0x' || substr(md5(g2), 1, 7)) AS BIGINT)) AS hs
-  FROM g),
-s AS (
-  SELECT doc_id, n_grams,
-    CASE WHEN len(hs) = 0 THEN []
-      ELSE list_distinct(list_transform(
-        range(1, greatest(len(hs) - 3, 1) + 1),
-        j -> list_min(list_slice(hs, j, j + 3)))) END AS sel
-  FROM h)
+      s"""WITH s AS ($winnowSelSql)
 SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
   CAST(CASE WHEN n_grams = 0 THEN 0 ELSE greatest(n_grams - 3, 1) END AS BIGINT) AS n_windows,
   CAST(len(sel) AS BIGINT) AS n_selected,
@@ -808,6 +810,28 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
   CAST(coalesce(list_max(sel), 0) AS BIGINT) AS fp_max,
   CAST(coalesce(list_aggregate(sel, 'sum'), 0) AS BIGINT) AS sel_sum
 FROM s ORDER BY doc_id""",
+
+    // Twin of TextOps.winnowPairs: the shared winnow selection unnested
+    // into fingerprint postings, the same 1000-df-cut as the n-gram
+    // sweep (the caps MUST move together), containment scoring
+    // (common / min) with the deterministic (containment desc, d1, d2)
+    // top-100 cut.
+    "dedup_winnow_pairs" ->
+      s"""WITH s AS ($winnowSelSql),
+sl AS (
+  SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_sel, unnest(sel) AS fp
+  FROM s WHERE len(sel) > 0),
+e AS (
+  SELECT doc_id, n_sel, fp FROM sl
+  QUALIFY count(*) OVER (PARTITION BY fp) <= 1000),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.n_sel AS n1, b.n_sel AS n2,
+    CAST(count(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT d1, d2, common, n1, n2,
+  CAST(common AS DOUBLE) / least(n1, n2) AS containment
+FROM p ORDER BY containment DESC, d1, d2 LIMIT 100""",
 
     "dedup_canonical" ->
       """WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),

@@ -97,6 +97,7 @@ object SparkEntry {
     "doc_quality" -> ((s, d) => TextOps.quality(s, d)),
     "doc_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "doc_winnow" -> ((s, d) => TextOps.winnow(s, d)),
+    "dedup_winnow_pairs" -> ((s, d) => TextOps.winnowPairs(s, d)),
     "doc_chunk" -> ((s, d) => TextOps.chunk(s, d)),
     "doc_pack" -> ((s, d) => TextOps.pack(s, d)),
     "doc_contamination" -> ((s, d) => TextOps.contamination(s, d)),

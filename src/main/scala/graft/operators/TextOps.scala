@@ -142,32 +142,76 @@ object TextOps {
     * assumptions and a cross-doc overlap join keys on any of them. */
   val WinnowW = 4
 
+  /** The shared (doc_id, n_grams, sel) winnow frame — cached because
+    * both consumers (the per-doc signature report and the cross-doc
+    * overlap pairs) would otherwise re-run the per-row gram/hash/
+    * window derivation. */
+  private[graft] def winnowSel(spark: SparkSession, dir: String): DataFrame = {
+    val w = WinnowW
+    graft.Artifacts.shared(
+      Tables.documentsPar(spark, dir)
+        .withColumn("toks", tokens)
+        .withColumn("grams",
+          when(size(col("toks")) < 3, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
+              concat_ws(" ", element_at(col("toks"), i),
+                element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+        .withColumn("hs", transform(col("grams"), g =>
+          conv(substring(md5(g.cast("binary")), 1, 7), 16, 10).cast("long")))
+        .withColumn("sel",
+          when(size(col("hs")) === 0, array().cast("array<long>"))
+            .otherwise(array_distinct(
+              transform(sequence(lit(1), greatest(size(col("hs")) - w + 1, lit(1))),
+                j => array_min(slice(col("hs"), j, lit(w)))))))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"), col("sel")))
+  }
+
   def winnow(spark: SparkSession, dir: String): DataFrame = {
     val w = WinnowW
-    Tables.documentsPar(spark, dir)
-      .withColumn("toks", tokens)
-      .withColumn("grams",
-        when(size(col("toks")) < 3, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(col("toks")) - 2), i =>
-            concat_ws(" ", element_at(col("toks"), i),
-              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
-      .withColumn("hs", transform(col("grams"), g =>
-        conv(substring(md5(g.cast("binary")), 1, 7), 16, 10).cast("long")))
-      .withColumn("sel",
-        when(size(col("hs")) === 0, array().cast("array<long>"))
-          .otherwise(array_distinct(
-            transform(sequence(lit(1), greatest(size(col("hs")) - w + 1, lit(1))),
-              j => array_min(slice(col("hs"), j, lit(w)))))))
-      .select(col("doc_id"),
-        size(col("grams")).cast("long").as("n_grams"),
-        when(size(col("hs")) === 0, 0L)
-          .otherwise(greatest(size(col("hs")) - w + 1, lit(1)).cast("long"))
+    winnowSel(spark, dir)
+      .select(col("doc_id"), col("n_grams"),
+        when(col("n_grams") === 0L, 0L)
+          .otherwise(greatest(col("n_grams") - (w - 1), lit(1L)))
           .as("n_windows"),
         size(col("sel")).cast("long").as("n_selected"),
         coalesce(array_min(col("sel")), lit(0L)).as("fp_min"),
         coalesce(array_max(col("sel")), lit(0L)).as("fp_max"),
         aggregate(col("sel"), lit(0L), (a, x) => a + x).as("sel_sum"))
       .orderBy("doc_id")
+  }
+
+  /** Cross-document winnow overlap — what the MOSS selection is FOR:
+    * two documents sharing any sufficiently long token run share a
+    * selected fingerprint, so the fingerprint postings join surfaces
+    * local-match candidates the whole-document measures (Jaccard over
+    * the full shingle set, SimHash) dilute away. Scored by CONTAINMENT
+    * (common / min(n1, n2)): a short document wholly embedded in a
+    * long one scores 1.0 where Jaccard would score near 0.
+    *
+    * Same scale shape as the n-gram pair sweep: postings-driven pair
+    * generation (no self-join of the corpus), the two-pass df-cut
+    * dropping fingerprints hotter than DfCap before any collect_list,
+    * pairs bounded per group by construction. The exploded postings
+    * are (doc_id, n_sel, fp) — three scalars, never text. */
+  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = winnowSel(spark, dir)
+      .withColumn("n_sel", size(col("sel")).cast("long"))
+      .filter(col("n_sel") > 0)
+      .select(col("doc_id"), col("n_sel"), explode(col("sel")).as("fp"))
+    val pairs = dfCut(e, Seq("fp"), DfCap)
+      .groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sel")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+    pairs.groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
+        col("l.n_sel").as("n1"), col("r.n_sel").as("n2"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("containment",
+        col("common").cast("double") / least(col("n1"), col("n2")))
+      .select("d1", "d2", "common", "n1", "n2", "containment")
+      .orderBy(col("containment").desc, col("d1"), col("d2"))
+      .limit(100)
   }
 
   /** Exact deduplication: keeper = min doc_id per identical text.

@@ -329,6 +329,22 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"selection must compress: $totSel of $totGrams grams")
   }
 
+  test("winnow pairs: ordered pairs, containment bounded, overlap never " +
+    "exceeds either selection, and the near-dup plants surface") {
+    val rows = TextOps.winnowPairs(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be (d1 < d2)")
+      val (common, n1, n2, c) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(common >= 1 && common <= math.min(n1, n2),
+        s"common $common vs selections $n1/$n2")
+      assert(c > 0.0 && c <= 1.0, s"containment out of range: $c")
+    }
+    assert(rows.exists(_.getDouble(5) >= 0.5),
+      "the corpus's planted near-dups must surface as high containment")
+  }
+
   test("ivf+pq: pruned ADC agrees bit-for-bit with flat PQ on shared " +
     "pairs; overlap with the flat ranking logged") {
     val flat = EmbeddingOps.annPq(spark, d).collect()
