@@ -253,6 +253,15 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"expected only the window exchange:\n$p")
   }
 
+  test("winnow pairs: postings-driven pair generation — no corpus " +
+    "self-join, no cartesian, pairs from the generator") {
+    val p = plan(TextOps.winnowPairs(spark, sf()))
+    assert(countIn(p, "CartesianProduct") == 0)
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 0)
+    assert(p.contains("graft_pairs_gen"),
+      "pairs must come from the per-group generator, not a self-join")
+  }
+
   test("ivf+pq: candidate probe is an EQUI-join on the cell key " +
     "(broadcast query side), never a cartesian or nested loop") {
     val p = plan(EmbeddingOps.annIvfPq(spark, sf()))
