@@ -234,19 +234,23 @@ FROM q2 ORDER BY doc_id"""
     * sequence(1, n-1); list_slice's inclusive (j, j+3) matches
     * slice(hs, j, 4). Shared by doc_winnow and dedup_winnow_pairs. */
   private lazy val winnowSelSql: String =
-    s"""SELECT doc_id, len(grams) AS n_grams,
-  CASE WHEN len(grams) = 0 THEN []
+    s"""SELECT doc_id, n_grams,
+  CASE WHEN n_grams = 0 THEN []
     ELSE list_distinct(list_transform(
-      range(1, greatest(len(grams) - 3, 1) + 1),
-      j -> list_min(list_slice(
-        list_transform(grams, g2 -> CAST(('0x' || substr(md5(g2), 1, 7)) AS BIGINT)),
-        j, j + 3)))) END AS sel
+      range(1, greatest(n_grams - 3, 1) + 1),
+      j -> list_min(list_slice(hs, j, j + 3)))) END AS sel
 FROM (
-  SELECT doc_id,
-    CASE WHEN len($tokensExpr) < 3 THEN []
-      ELSE list_transform(range(1, len($tokensExpr) - 1),
-        i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END AS grams
-  FROM documents)"""
+  -- hashes hoisted to a per-document column (the Spark side's `hs`):
+  -- inside the per-window lambda they would recompute ALL G md5s per
+  -- window — O(G²) md5 calls per document
+  SELECT doc_id, len(grams) AS n_grams,
+    list_transform(grams, g2 -> CAST(('0x' || substr(md5(g2), 1, 7)) AS BIGINT)) AS hs
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len($tokensExpr) < 3 THEN []
+        ELSE list_transform(range(1, len($tokensExpr) - 1),
+          i -> $tokensExpr[i] || ' ' || $tokensExpr[i+1] || ' ' || $tokensExpr[i+2]) END AS grams
+    FROM documents))"""
 
   /** 8-dim variants over PQ subvector slices — same left fold
     * (list_reduce from the first element; 0.0 + t1 == t1 on the Spark

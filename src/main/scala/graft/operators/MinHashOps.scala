@@ -154,11 +154,8 @@ object MinHashOps {
     * same cap, and same oracle twin as TextOps.ngramJaccardPairsFrame. */
   private[graft] def pairsFromPostings(spark: SparkSession,
       docsGrams: DataFrame, exploded: DataFrame, dfCap: Int): DataFrame = {
-    val cand = TextOps.dfCut(exploded, Seq("lang", "band_idx", "band_hash"), dfCap)
-      .groupBy("lang", "band_idx", "band_hash")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+    val cand = TextOps.postingsPairs(spark, exploded,
+        Seq("lang", "band_idx", "band_hash"), col("doc_id"), dfCap)
       .select(col("l").as("d1"), col("r").as("d2"))
       .distinct()
     verifyJaccard(cand, docsGrams, docsGrams)
@@ -369,11 +366,8 @@ object MinHashOps {
       .select(col("doc_id"), explode(bandArr).as("bp"))
       .select(col("doc_id"), col("bp.band_idx").as("band_idx"),
         col("bp.probe").as("probe"))
-    val cand = TextOps.dfCut(probes, Seq("band_idx", "probe"), dfCap)
-      .groupBy("band_idx", "probe")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+    val cand = TextOps.postingsPairs(spark, probes,
+        Seq("band_idx", "probe"), col("doc_id"), dfCap)
       .select(col("l").as("d1"), col("r").as("d2"))
       .distinct()
     val s1 = sh.select(col("doc_id").as("d1"), col("sh").as("sh1"))

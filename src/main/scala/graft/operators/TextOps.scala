@@ -195,15 +195,12 @@ object TextOps {
     * pairs bounded per group by construction. The exploded postings
     * are (doc_id, n_sel, fp) — three scalars, never text. */
   def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    // no size>0 filter: explode already drops empty-selection docs
     val e = winnowSel(spark, dir)
       .withColumn("n_sel", size(col("sel")).cast("long"))
-      .filter(col("n_sel") > 0)
       .select(col("doc_id"), col("n_sel"), explode(col("sel")).as("fp"))
-    val pairs = dfCut(e, Seq("fp"), DfCap)
-      .groupBy("fp")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sel")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+    val pairs = postingsPairs(spark, e, Seq("fp"),
+      struct(col("doc_id"), col("n_sel")), DfCap)
     pairs.groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
         col("l.n_sel").as("n1"), col("r.n_sel").as("n2"))
       .agg(count(lit(1)).as("common"))
@@ -930,6 +927,22 @@ object TextOps {
     e.join(hot, keys, "left_anti")
   }
 
+  /** The shared postings pair sweep — the ONE shape every pair-based
+    * dedup query uses (n-gram Jaccard, MinHash bands, SimHash probes,
+    * winnow overlap): df-cut the exploded postings on `keys` so hot
+    * groups drop BEFORE any collect_list bounds every aggregation
+    * buffer, group the surviving postings, sort for deterministic
+    * (l < r) emission, and generate each group's pairs. The caller
+    * provides the per-posting `payload` (a bare doc_id or a struct
+    * carrying sizes for the score) and scores the emitted pairs. */
+  private[graft] def postingsPairs(spark: SparkSession, e: DataFrame,
+      keys: Seq[String], payload: Column, dfCap: Int): DataFrame =
+    dfCut(e, keys, dfCap)
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(payload)).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+
   /** N-gram Jaccard near-duplicate detection, the scalable way: explode
     * distinct shingles, build the postings list per (lang, shingle), emit
     * pairs straight from each postings list, count common shingles per
@@ -975,11 +988,8 @@ object TextOps {
     // (lang, gram) replaces two plus a broadcast. Hot stopword-grams are
     // dropped by the two-pass df-cut BEFORE the collect, so the
     // aggregation buffer is bounded at dfCap postings per group.
-    val pairs = dfCut(e, Seq("lang", "gram"), dfCap)
-      .groupBy("lang", "gram")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(GraftFunctions.graftPairsGen(spark, "ds"))
+    val pairs = postingsPairs(spark, e, Seq("lang", "gram"),
+      struct(col("doc_id"), col("n_grams")), dfCap)
     pairs.groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
         col("l.n_grams").as("n1"), col("r.n_grams").as("n2"))
       .agg(count(lit(1)).as("common"))

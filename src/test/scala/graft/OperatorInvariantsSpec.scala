@@ -303,7 +303,8 @@ class OperatorInvariantsSpec extends SparkSpec {
     }
     val w = TextOps.WinnowW
     docs.foreach { case (id, text) =>
-      val toks = text.split(" ")
+      // limit -1: keep trailing empty tokens, matching Spark's split()
+      val toks = text.split(" ", -1)
       val hs =
         if (toks.length < 3) Array.empty[Long]
         else (0 to toks.length - 3)
