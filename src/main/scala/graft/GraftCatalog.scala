@@ -62,7 +62,8 @@ object GraftCatalog {
     "kll_daily_merge",    // daily sketch collect + driver merge
     "doc_bpe_segment",    // trains (collects) the merges first
     "emb_ann_pq",         // collected codebook seed vectors
-    "emb_ann_ivfpq")      // collected codebooks + coarse cells
+    "emb_ann_ivfpq",      // collected codebooks + coarse cells
+    "emb_ann_pq2")        // codebook seed + integer Lloyd sums
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

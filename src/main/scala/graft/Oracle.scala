@@ -1335,6 +1335,70 @@ SELECT q_id, vec_id,
   adc_units / 1048576e0 AS adc
 FROM adc QUALIFY rn <= 3 ORDER BY q_id, rn""",
 
+    // Twin of EmbeddingOps.annPqRefined: seed-book encode (emb_ann_pq's
+    // CTEs), then ONE Lloyd step per codebook with the refinement mean
+    // INTEGER-EXACT on the 2^20 grid (the emb_ann_ivf2 convention:
+    // order-independent BIGINT sums per (subspace, code, dim), one
+    // fixed-order division) — both engines land on bit-identical
+    // refined codebooks; empty codes keep their seed slice. Re-encode
+    // and ADC repeat the flat-PQ tokens against the refined books.
+    "emb_ann_pq2" ->
+      s"""WITH m8 AS (SELECT unnest(generate_series(0, 7)) AS m),
+sub AS (
+  SELECT vec_id, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS vm
+  FROM embeddings, m8),
+cb AS (
+  SELECT vec_id AS k, m, list_slice(embedding, m * 8 + 1, m * 8 + 8) AS ck
+  FROM embeddings, m8 WHERE vec_id < 16),
+cbd AS (SELECT k, m, ck, ${dot8Sql("ck", "ck")} AS c_dot FROM cb),
+scored0 AS (
+  SELECT s.vec_id, s.m, c.k,
+    ${dot8Sql("s.vm", "c.ck")} - 5e-1 * c.c_dot AS score
+  FROM sub s JOIN cbd c ON c.m = s.m),
+codes0 AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, k) AS crn
+    FROM scored0) WHERE crn = 1),
+dims AS (
+  SELECT c.m, c.code, generate_subscripts(s.vm, 1) AS dim,
+    CAST(round(CAST(unnest(s.vm) AS DOUBLE) * 1048576e0) AS BIGINT) AS q
+  FROM codes0 c JOIN sub s ON s.vec_id = c.vec_id AND s.m = c.m),
+cm AS (
+  SELECT m, code, dim, CAST(sum(q) AS BIGINT) AS sq,
+    CAST(count(*) AS BIGINT) AS n
+  FROM dims GROUP BY 1, 2, 3),
+c1m AS (
+  SELECT m, code, list(CAST(sq AS DOUBLE) / (n * 1048576e0) ORDER BY dim) AS ck
+  FROM cm GROUP BY 1, 2),
+c1 AS (
+  SELECT b.k, b.m,
+    COALESCE(c1m.ck, list_transform(b.ck, x -> CAST(x AS DOUBLE))) AS ck
+  FROM cbd b LEFT JOIN c1m ON c1m.m = b.m AND c1m.code = b.k),
+c1d AS (SELECT k, m, ck, ${dot8Sql("ck", "ck")} AS c_dot FROM c1),
+scored1 AS (
+  SELECT s.vec_id, s.m, c.k,
+    ${dot8Sql("s.vm", "c.ck")} - 5e-1 * c.c_dot AS score
+  FROM sub s JOIN c1d c ON c.m = s.m),
+codes1 AS (
+  SELECT vec_id, m, k AS code FROM (
+    SELECT vec_id, m, k,
+      row_number() OVER (PARTITION BY vec_id, m ORDER BY score DESC, k) AS crn
+    FROM scored1) WHERE crn = 1),
+q AS (SELECT vec_id AS q_id, m, vm AS qm FROM sub WHERE vec_id < 5),
+parts AS (
+  SELECT q.q_id, c.vec_id,
+    CAST(round(${l28Sql("q.qm", "b.ck")} * 1048576e0) AS BIGINT) AS d2u
+  FROM q JOIN codes1 c ON c.m = q.m AND c.vec_id <> q.q_id
+  JOIN c1d b ON b.m = q.m AND b.k = c.code),
+adc AS (
+  SELECT q_id, vec_id, CAST(sum(d2u) AS BIGINT) AS adc_units
+  FROM parts GROUP BY 1, 2)
+SELECT q_id, vec_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_units, vec_id) AS INT) AS rn,
+  adc_units / 1048576e0 AS adc
+FROM adc QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
     // Twin of EmbeddingOps.annIvfPq: emb_ann_ivf's coarse-cell CTEs
     // (minus the norm filter — PQ indexes every vector, c_dot from the
     // same 64-dim fold) composed with emb_ann_pq's codebook/code/ADC

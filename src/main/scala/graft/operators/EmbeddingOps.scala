@@ -483,6 +483,81 @@ object EmbeddingOps {
       .orderBy("q_id", "rn")
   }
 
+  /** PQ with ONE Lloyd refinement of every codebook (`emb_ann_pq2`) —
+    * the actual PQ TRAINING step (seed → encode → re-center each code
+    * as the mean of its assigned subvectors → re-encode), completing
+    * the quantizer story the way `annIvfRefined` completes IVF's.
+    *
+    * The re-centering is INTEGER-EXACT on the 2^20 grid (round each
+    * element, sum per (subspace, code, dim) as BIGINTs — immune to
+    * distributed partial-sum reordering — one fixed-order division),
+    * so the oracle lands on bit-identical refined codebooks. Codes
+    * with no assigned vectors keep their seed centroid. Scale shape:
+    * ONE posexplode pass over the cached encode (N×64 slim integer
+    * rows, map-side combinable into ≤ 8×16×8 = 1024 groups — bounded
+    * driver state, the Lloyd-sums class); re-encode and ADC are the
+    * flat-PQ per-row shapes. */
+  def annPqRefined(spark: SparkSession, dir: String): DataFrame = {
+    val seed = pqSeed(spark, dir)
+    val encoded = pqEncode(spark, dir)
+    // per (subspace, code, dim) integer-grid sums in ONE pass: the
+    // 64 positions fold to (m = pos div 8, dim = pos mod 8) and each
+    // row's code for m comes from its own c0..c7 slot
+    val sums = encoded
+      .select(col("vec_id") +: posexplode(col("v")).as(Seq("p", "x")) +:
+        (0 until PqM).map(i => col(s"c$i")): _*)
+      .withColumn("m", expr("p div 8").cast("int"))
+      .withColumn("dim", (col("p") % 8).cast("int"))
+      .withColumn("code",
+        element_at(array((0 until PqM).map(i => col(s"c$i")): _*), col("m") + 1))
+      .withColumn("q", round(col("x") * lit(1048576.0)).cast("long"))
+      .groupBy("m", "code", "dim")
+      .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), (r.getInt(2), r.getLong(3), r.getLong(4))))
+      .groupBy(_._1)
+    val books1: IndexedSeq[Map[Long, Seq[Double]]] = (0 until PqM).map { m =>
+      seed.map { case (id, v) =>
+        val nv = sums.get((m, id)) match {
+          case Some(rows) =>
+            val arr = v.slice(m * PqSub, (m + 1) * PqSub).toArray
+            rows.foreach { case (_, (dim, sq, n)) =>
+              arr(dim) = sq.toDouble / (n * 1048576.0)
+            }
+            arr.toIndexedSeq
+          case None => v.slice(m * PqSub, (m + 1) * PqSub) // empty code
+        }
+        id -> (nv: Seq[Double])
+      }.toMap
+    }
+    val bookCents1: IndexedSeq[Seq[(Long, Seq[Double], Double)]] =
+      (0 until PqM).map(m => seed.map { case (id, _) =>
+        val ck = books1(m)(id)
+        (id, ck, ck.foldLeft(0.0)((a, x) => a + x * x))
+      })
+    // re-encode under the refined books, then the flat ADC scan
+    val sliced = (0 until PqM).foldLeft(
+      Tables.embeddingsPar(spark, dir)
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))) { (df, m) =>
+      df.withColumn(s"s$m", slice(col("v"), m * PqSub + 1, PqSub))
+    }
+    val encoded1 = (0 until PqM).foldLeft(sliced) { (df, m) =>
+      df.withColumn(s"c$m", graft.plans.GraftFunctions
+        .graftIvfAssign(spark, s"s$m", bookCents1(m))("cell"))
+    }.select(col("vec_id") +: col("v") +:
+      (0 until PqM).map(m => col(s"c$m")): _*)
+    val q = encoded1.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_units"), col("vec_id"))
+    encoded1.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("adc_units", adcUnitsCol(books1))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id"), col("rn"),
+        (col("adc_units").cast("double") / lit(1048576.0)).as("adc"))
+      .orderBy("q_id", "rn")
+  }
+
   /** IVF+PQ (`emb_ann_ivfpq`) — the composition production vector
     * indexes actually ship (FAISS's IVFPQ): the coarse quantizer
     * prunes the search to the query's top-2 cells, and within them

@@ -287,6 +287,19 @@ class OperatorInvariantsSpec extends SparkSpec {
     val recall = (exact & got).size.toDouble / exact.size
     info(f"PQ ADC recall@3 vs exact L2: $recall%.2f")
     assert(recall > 0.0, "ADC found nothing the exact L2 ranking has")
+
+    // one Lloyd refinement of the codebooks: same structural laws;
+    // recall must not collapse vs the seed books (re-centering tightens
+    // cells on this data — the annIvfRefined precedent and bound)
+    val pq2 = EmbeddingOps.annPqRefined(spark, d).collect()
+    assert(pq2.nonEmpty)
+    assert(pq2.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(pq2.forall(_.getDouble(3) >= 0.0))
+    val got2 = pq2.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall2 = (exact & got2).size.toDouble / exact.size
+    info(f"PQ+Lloyd ADC recall@3 vs exact L2: $recall2%.2f")
+    assert(recall2 >= recall - 0.34,
+      f"one Lloyd step collapsed PQ recall: $recall2%.2f vs $recall%.2f")
   }
 
   test("winnow: signatures match an independent driver reference for " +
