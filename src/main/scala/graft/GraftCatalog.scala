@@ -63,7 +63,8 @@ object GraftCatalog {
     "doc_bpe_segment",    // trains (collects) the merges first
     "emb_ann_pq",         // collected codebook seed vectors
     "emb_ann_ivfpq",      // collected codebooks + coarse cells
-    "emb_ann_pq2")        // codebook seed + integer Lloyd sums
+    "emb_ann_pq2",        // codebook seed + integer Lloyd sums
+    "emb_semdedup")       // collected centroids + the bits count
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

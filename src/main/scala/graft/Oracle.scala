@@ -1069,6 +1069,44 @@ FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) > 2e-1
 ORDER BY sim DESC, d1, d2 LIMIT 100""",
 
+    // Twin of EmbeddingOps.semDedup: emb_ann_ivf's assignment CTEs give
+    // each vector its cell; the LSH prologue gives the N-derived bucket
+    // shard; the greedy order is row_number per (cell, bucket) on
+    // (csim asc, vec_id); max-prior cosine comes from the rnk_b < rnk
+    // self-join. τ = 0.2 mirrors EmbeddingOps.SemTau — move together.
+    "emb_semdedup" ->
+      s"""WITH $lshCtes,
+c AS (SELECT vec_id AS c_id, embedding AS cemb, dot_self AS c_dot
+  FROM e0 WHERE vec_id < 16),
+scored AS (
+  SELECT e.vec_id, c.c_id,
+    ${dotSql("e.embedding", "c.cemb")} - 5e-1 * c.c_dot AS score
+  FROM e CROSS JOIN c),
+assign AS (
+  SELECT vec_id, c_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_id) AS crn
+  FROM scored),
+cellv AS (SELECT vec_id, c_id AS cell FROM assign WHERE crn = 1),
+m AS (
+  SELECT e.vec_id, cv.cell, e.bucket, e.embedding, e.dot_self,
+    ${dotSql("e.embedding", "c.cemb")} / (sqrt(e.dot_self) * sqrt(c.c_dot)) AS csim
+  FROM e JOIN cellv cv USING (vec_id) JOIN c ON c.c_id = cv.cell),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY cell, bucket
+    ORDER BY csim, vec_id) AS rnk FROM m),
+prior AS (
+  SELECT a.vec_id,
+    max(${dotSql("a.embedding", "b.embedding")}
+        / (sqrt(a.dot_self) * sqrt(b.dot_self))) AS max_prior
+  FROM rk a JOIN rk b ON b.cell = a.cell AND b.bucket = a.bucket
+    AND b.rnk < a.rnk
+  GROUP BY 1)
+SELECT rk.cell, rk.bucket, rk.vec_id, CAST(rk.rnk AS INT) AS rnk, rk.csim,
+  COALESCE(p.max_prior, -1e0) AS max_prior,
+  COALESCE(p.max_prior, -1e0) < 2e-1 AS keep
+FROM rk LEFT JOIN prior p USING (vec_id)
+ORDER BY vec_id""",
+
     "dedup_minhash_lsh" -> {
       import graft.operators.MinHashOps.{P, K, Bands, RowsPerBand, hashParams}
       val gid = "(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % " + P + ")"

@@ -598,4 +598,64 @@ object EmbeddingOps {
         (col("adc_units").cast("double") / lit(1048576.0)).as("adc"))
       .orderBy("q_id", "rn")
   }
+
+  /** SemDeDup keep threshold: a doc is dropped when some group-mate
+    * EARLIER in the greedy order has cosine ≥ τ with it. Mirrored as a
+    * literal in the oracle twin — move both together. */
+  val SemTau = 0.2
+
+  /** SEMANTIC DEDUPLICATION (`emb_semdedup`) — the SemDeDup pipeline op
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster the embedding space
+    * with the k-means coarse quantizer, then within each cluster run the
+    * greedy keep sweep — members are ordered by similarity to their own
+    * centroid ASCENDING (the paper's "keep the examples farthest from
+    * the centroid" policy, i.e. the most diverse representative of each
+    * duplicate group survives), and a member is dropped iff some
+    * already-kept-ordered predecessor is within cosine ≥ τ.
+    *
+    * Scale shape: clusters alone don't bound the pair sweep (a cell is
+    * O(N/k)), so each cell is SHARDED by the N-derived LSH bucket — the
+    * same sub-quadratic candidate rule as `cosineNearDup` (vectors that
+    * disagree on any hyperplane sign can't be near-duplicates at the τ
+    * this op targets), composed with the cluster key. Pairs therefore
+    * ride ONE (cell, bucket) equi-join whose group population stays
+    * ~TargetBucket at any N; assignment and csim are per-row expression
+    * work over the shared normalized artifact, and the greedy rank is
+    * one window on the same compact key. Output: one row per vector
+    * with its group rank, centroid similarity, max-prior similarity and
+    * the keep verdict.
+    *
+    * Determinism: csim and pair cosines are the fold-dot / fixed-order
+    * division conventions (bit-identical in DuckDB), so ranks, max()
+    * and the τ compare agree exactly. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = withNorm(Tables.embeddingsPar(spark, dir))
+    val cents = initCentroids(e0)
+    val cVec = typedLit(cents.map { case (cid, cv, _) => cid -> cv }.toMap)
+    val cDot = typedLit(cents.map { case (cid, _, cd) => cid -> cd }.toMap)
+    val grp = Window.partitionBy("cell", "bucket")
+      .orderBy(col("csim"), col("vec_id"))
+    // shared: the pair join reads this frame as BOTH sides
+    val assigned = graft.Artifacts.shared(
+      e0.withColumn("cell",
+          graft.plans.GraftFunctions.graftIvfAssign(spark, "v", cents)("cell"))
+        .withColumn("bucket", lshBucket(col("v"), bitsFor(spark, dir, e0)))
+        .withColumn("csim", dot(col("v"), element_at(cVec, col("cell")))
+          / (sqrt(col("dot_self")) * sqrt(element_at(cDot, col("cell")))))
+        .withColumn("rnk", row_number().over(grp)))
+    val a = assigned.select(col("cell"), col("bucket"), col("vec_id"),
+      col("v").as("va"), col("dot_self").as("na"), col("rnk"))
+    val b = assigned.select(col("cell"), col("bucket"),
+      col("v").as("vb"), col("dot_self").as("nb"), col("rnk").as("rnk_b"))
+    val prior = a.join(b, Seq("cell", "bucket"))
+      .filter(col("rnk_b") < col("rnk"))
+      .withColumn("s", dot(col("va"), col("vb"))
+        / (sqrt(col("na")) * sqrt(col("nb"))))
+      .groupBy("vec_id").agg(max("s").as("max_prior"))
+    assigned.join(prior, Seq("vec_id"), "left")
+      .withColumn("max_prior", coalesce(col("max_prior"), lit(-1.0)))
+      .withColumn("keep", col("max_prior") < lit(SemTau))
+      .select("cell", "bucket", "vec_id", "rnk", "csim", "max_prior", "keep")
+      .orderBy("vec_id")
+  }
 }

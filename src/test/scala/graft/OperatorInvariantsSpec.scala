@@ -302,6 +302,50 @@ class OperatorInvariantsSpec extends SparkSpec {
       f"one Lloyd step collapsed PQ recall: $recall2%.2f vs $recall%.2f")
   }
 
+  test("semdedup: keep set matches an independent greedy driver sweep; " +
+    "rank-1 rows always survive; drops have a prior within tau") {
+    val rows = EmbeddingOps.semDedup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    // structural laws
+    rows.groupBy(t => (t._1, t._2)).foreach { case (_, g) =>
+      assert(g.map(_._4).sorted.toSeq == (1 to g.length),
+        "group ranks must be contiguous 1..n")
+    }
+    assert(rows.filter(_._4 == 1).forall(t => t._7 && t._6 == -1.0),
+      "greedy head of every group must be kept with no prior")
+    assert(rows.filter(!_._7).forall(_._6 >= EmbeddingOps.SemTau),
+      "a dropped doc must have a prior neighbor within tau")
+    // independent driver reference: re-run the greedy sweep from raw
+    // vectors (same fold-dot), compare the FULL keep verdict per vec
+    val e = Tables.embeddingsPar(spark, d)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => x.cast("double")).as("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2)
+    // the operator compares each member against ALL earlier-ranked
+    // group-mates (kept or not) — mirror exactly that sweep
+    val expected = rows.toSeq.groupBy(t => (t._1, t._2)).flatMap { case (_, g) =>
+      val ids = g.sortBy(t => (t._5, t._3)).map(_._3) // (csim, vec_id)
+      ids.zipWithIndex.map { case (id, i) =>
+        val v = e(id)
+        val mp = ids.take(i).map { pid =>
+          val pv = e(pid)
+          dot(v, pv) / (math.sqrt(dot(v, v)) * math.sqrt(dot(pv, pv)))
+        }.maxOption.getOrElse(-1.0)
+        id -> (mp < EmbeddingOps.SemTau)
+      }
+    }
+    rows.foreach { t =>
+      assert(expected(t._3) == t._7,
+        s"vec ${t._3}: driver greedy says keep=${expected(t._3)}, op says ${t._7}")
+    }
+    val dropped = rows.count(!_._7)
+    info(s"semdedup: ${rows.length} vecs, $dropped dropped at tau=${EmbeddingOps.SemTau}")
+  }
+
   test("winnow: signatures match an independent driver reference for " +
     "every document; the any-window guarantee and real compression hold") {
     val docs = Tables.documentsPar(spark, d).select("doc_id", "text").collect()

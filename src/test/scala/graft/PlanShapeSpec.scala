@@ -262,6 +262,28 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "pairs must come from the per-group generator, not a self-join")
   }
 
+  test("pq+lloyd: final ADC scan keeps the flat-PQ shape — broadcast " +
+    "query side, one window exchange (Lloyd sums are plan-time state)") {
+    val p = plan(EmbeddingOps.annPqRefined(spark, sf()))
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 1,
+      "5-row query side must broadcast (non-equi self-exclusion join)")
+    assert(countIn(p, "CartesianProduct") == 0)
+    assert(countIn(p, "Exchange hashpartitioning") == 1,
+      s"expected only the window exchange:\n$p")
+  }
+
+  test("semdedup: pairs ride the (cell, bucket) equi-join over the " +
+    "shared assigned artifact — no cartesian, no nested loop") {
+    val p = plan(EmbeddingOps.semDedup(spark, sf()))
+    assert(countIn(p, "CartesianProduct") == 0)
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 0,
+      "prior-pair candidates must come from the (cell, bucket) equi-join")
+    // both pair sides read the cached assignment (cell+bucket+rank
+    // computed once), not recomputed per side
+    assert(countIn(p, "InMemoryTableScan") >= 2,
+      s"both pair sides must hit the cached assigned frame:\n$p")
+  }
+
   test("ivf+pq: candidate probe is an EQUI-join on the cell key " +
     "(broadcast query side), never a cartesian or nested loop") {
     val p = plan(EmbeddingOps.annIvfPq(spark, sf()))
