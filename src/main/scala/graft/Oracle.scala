@@ -739,6 +739,30 @@ SELECT doc_id, n_pairs, lm_grid,
   CAST(lm_grid AS DOUBLE) / (n_pairs * 1048576) AS lm_score
 FROM a ORDER BY doc_id""",
 
+    // Twin of TextOps.classifierFrame: same lowercased unigram+bigram
+    // feature set, same md5₂₈ bucket (mod 4096) and md5₂₈ weight grid
+    // (mod 2^16 - 2^15), BIGINT feature-weight sum, one final division.
+    // ClsBuckets=4096 and the 65536/32768 grid mirror TextOps — move
+    // together.
+    "doc_classifier_score" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_transform($tokensExpr, w -> lower(w)) AS toks
+  FROM documents),
+f AS (
+  SELECT doc_id, unnest(list_concat(toks, list_transform(range(1, len(toks)),
+    i -> toks[i] || ' ' || toks[i+1]))) AS feat FROM t),
+w AS (
+  SELECT doc_id,
+    (CAST('0x' || substr(md5('cls#' || CAST(
+        CAST('0x' || substr(md5(feat), 1, 7) AS BIGINT) % 4096 AS VARCHAR)),
+      1, 7) AS BIGINT) % 65536) - 32768 AS wt
+  FROM f)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+  CAST(sum(wt) AS BIGINT) AS score_units,
+  CAST(sum(wt) AS DOUBLE) / (count(*) * 65536e0) AS score,
+  CAST(sum(wt) AS BIGINT) > 0 AS label_keep
+FROM w GROUP BY doc_id ORDER BY doc_id""",
+
     "doc_top_tokens" ->
       s"""WITH t AS (SELECT unnest($tokensExpr) AS token FROM documents)
 SELECT token, CAST(count(*) AS BIGINT) AS n

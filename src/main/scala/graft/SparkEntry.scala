@@ -118,6 +118,7 @@ object SparkEntry {
     "vocab_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "doc_bpe_segment" -> ((s, d) => TextOps.bpeSegmentCounts(s, d)),
     "doc_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
+    "doc_classifier_score" -> ((s, d) => TextOps.classifierScore(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),
     "dedup_normalized" -> ((s, d) => TextOps.dedupNormalized(s, d)),

@@ -1374,4 +1374,58 @@ object TextOps {
       .select(col("doc_id"), col("n_pairs"), col("lm_grid"),
         (col("lm_grid").cast("double") / (col("n_pairs") * G)).as("lm_score"))
   }
+
+  // --- hashed-feature linear quality classifier ------------------------
+
+  /** Feature-hash bucket count and weight grid of the linear classifier
+    * — mirrored literally in the oracle twin; move together. */
+  val ClsBuckets = 4096L
+
+  /** Model-based quality scoring (`doc_classifier_score`) — the
+    * fastText/hash-kernel linear classifier face of corpus filtering
+    * (the pattern behind CCNet's and LLaMA's "page quality" filters):
+    * every document is scored by a linear model over HASHED sparse
+    * features — lowercased word unigrams + adjacent bigrams, each
+    * hashed into one of 4096 weight buckets (the hashing trick: the
+    * model is a fixed-size dense weight vector no matter how large the
+    * vocabulary grows).
+    *
+    * The weight table is a deterministic stand-in for trained
+    * parameters: w(b) = md5₂₈("cls#" + b) mod 2^16 - 2^15, integers in
+    * [-32768, 32767] derived in-plan from the bucket id — exactly how a
+    * real scorer would look weights up from a broadcast model array,
+    * but reproducible token-for-token in the oracle. Scoring is
+    * INTEGER-EXACT: score_units = Σ w(bucket(f)) accumulates BIGINTs
+    * inside one array fold (order-independent by integrality), and only
+    * the final normalized score divides once.
+    *
+    * Shape at 100 TB: ZERO shuffle — tokenize, hash, look up and fold
+    * entirely inside per-row array expressions (all codegen'd); the
+    * only exchange in the query is the presentation sort. This is the
+    * classifier-inference shape that lets a quality model run inside
+    * the ingest scan itself. */
+  def classifierScore(spark: SparkSession, dir: String): DataFrame =
+    classifierFrame(Tables.documentsPar(spark, dir)).orderBy("doc_id")
+
+  private[graft] def classifierFrame(docs: DataFrame): DataFrame = {
+    def h28(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+    val bis = when(size(col("toks")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("toks")) - 1), i =>
+        concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1))))
+    docs
+      .withColumn("toks", transform(tokens, t => lower(t)))
+      .withColumn("feats", concat(col("toks"), bis))
+      .withColumn("wts", transform(col("feats"), f =>
+        pmod(h28(concat(lit("cls#"), (h28(f) % lit(ClsBuckets)).cast("string"))),
+          lit(65536L)) - lit(32768L)))
+      .withColumn("n_feat", size(col("feats")).cast("long"))
+      .filter(col("n_feat") > 0)
+      .withColumn("score_units", aggregate(col("wts"), lit(0L), (a, x) => a + x))
+      .select(col("doc_id"), col("n_feat"), col("score_units"),
+        (col("score_units").cast("double") / (col("n_feat") * lit(65536.0)))
+          .as("score"),
+        (col("score_units") > 0L).as("label_keep"))
+  }
 }

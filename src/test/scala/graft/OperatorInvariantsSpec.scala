@@ -346,6 +346,37 @@ class OperatorInvariantsSpec extends SparkSpec {
     info(s"semdedup: ${rows.length} vecs, $dropped dropped at tau=${EmbeddingOps.SemTau}")
   }
 
+  test("classifier score: matches an independent driver reference " +
+    "(java MD5) on sampled docs; label law; both labels present") {
+    val out = TextOps.classifierScore(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (n, units, score, keep) =>
+      assert(keep == (units > 0), "label must be sign(score_units)")
+      assert(math.abs(score - units.toDouble / (n * 65536.0)) == 0.0)
+      assert(math.abs(score) <= 0.5, "mean weight cannot leave the grid")
+    }
+    assert(out.values.exists(_._4) && out.values.exists(!_._4),
+      "stand-in model should split the corpus, not constant-label it")
+    // independent reference: java.security MD5, no Spark expressions
+    def h28(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 7), 16)
+    val docs = Tables.documentsPar(spark, d)
+      .select("doc_id", "text").limit(20).collect()
+    docs.foreach { r =>
+      val toks = r.getString(1).split(" ", -1).map(_.toLowerCase).toSeq
+      val feats = toks ++ toks.lazyZip(toks.drop(1)).map(_ + " " + _)
+      val units = feats.map(f =>
+        h28("cls#" + (h28(f) % TextOps.ClsBuckets)) % 65536L - 32768L).sum
+      val (n, u, _, _) = out(r.getLong(0))
+      assert(n == feats.length && u == units,
+        s"doc ${r.getLong(0)}: driver says ($n, $units), op says ($n, $u)")
+    }
+  }
+
   test("winnow: signatures match an independent driver reference for " +
     "every document; the any-window guarantee and real compression hold") {
     val docs = Tables.documentsPar(spark, d).select("doc_id", "text").collect()

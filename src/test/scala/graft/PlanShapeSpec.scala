@@ -262,6 +262,15 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "pairs must come from the per-group generator, not a self-join")
   }
 
+  test("classifier score: zero-shuffle per-row inference — hash, look " +
+    "up and fold inside one scan's expressions") {
+    val p = plan(TextOps.classifierFrame(Tables.documentsPar(spark, sf())))
+    assert(countIn(p, "Exchange hashpartitioning") == 0,
+      s"classifier inference must not shuffle:\n$p")
+    assert(!p.contains("Join"))
+    assert(countIn(p, "FileScan parquet") == 1)
+  }
+
   test("pq+lloyd: final ADC scan keeps the flat-PQ shape — broadcast " +
     "query side, one window exchange (Lloyd sums are plan-time state)") {
     val p = plan(EmbeddingOps.annPqRefined(spark, sf()))
