@@ -1381,6 +1381,18 @@ object TextOps {
     * — mirrored literally in the oracle twin; move together. */
   val ClsBuckets = 4096L
 
+  /** The stand-in trained weight for bucket b: md5₂₈("cls#" + b) mod
+    * 2^16 - 2^15. Computed ONCE driver-side (java MD5 ≡ Spark md5 ≡
+    * DuckDB md5 on the same bytes) and shipped as a plan-time array
+    * literal — the broadcast-model-array shape of real classifier
+    * inference. The oracle twin derives the identical integer from the
+    * same formula in SQL. */
+  private[graft] def clsWeight(b: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"cls#$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16) % 65536L - 32768L
+  }
+
   /** Model-based quality scoring (`doc_classifier_score`) — the
     * fastText/hash-kernel linear classifier face of corpus filtering
     * (the pattern behind CCNet's and LLaMA's "page quality" filters):
@@ -1392,9 +1404,10 @@ object TextOps {
     *
     * The weight table is a deterministic stand-in for trained
     * parameters: w(b) = md5₂₈("cls#" + b) mod 2^16 - 2^15, integers in
-    * [-32768, 32767] derived in-plan from the bucket id — exactly how a
-    * real scorer would look weights up from a broadcast model array,
-    * but reproducible token-for-token in the oracle. Scoring is
+    * [-32768, 32767] (`clsWeight`), precomputed once and shipped as a
+    * 4096-entry plan-time array — exactly how a real scorer looks
+    * weights up from a broadcast model array, and reproducible
+    * integer-for-integer in the oracle's SQL md5. Scoring is
     * INTEGER-EXACT: score_units = Σ w(bucket(f)) accumulates BIGINTs
     * inside one array fold (order-independent by integrality), and only
     * the final normalized score divides once.
@@ -1418,8 +1431,8 @@ object TextOps {
       .withColumn("toks", transform(tokens, t => lower(t)))
       .withColumn("feats", concat(col("toks"), bis))
       .withColumn("wts", transform(col("feats"), f =>
-        pmod(h28(concat(lit("cls#"), (h28(f) % lit(ClsBuckets)).cast("string"))),
-          lit(65536L)) - lit(32768L)))
+        element_at(typedLit((0 until ClsBuckets.toInt).map(b => clsWeight(b))),
+          (h28(f) % lit(ClsBuckets)).cast("int") + 1)))
       .withColumn("n_feat", size(col("feats")).cast("long"))
       .filter(col("n_feat") > 0)
       .withColumn("score_units", aggregate(col("wts"), lit(0L), (a, x) => a + x))
