@@ -95,6 +95,70 @@ case class MinHashSignature(child: Expression)
   override def prettyName: String = "graft_minhash"
 }
 
+/** `graft_cls_score(tokens)` — the hashed-feature linear classifier's
+  * score_units in ONE pass over the raw token array: lowercase, form
+  * unigram + adjacent-bigram features, md5-hash each into one of
+  * `TextOps.ClsBuckets` weight buckets and fold the bucket weights as a
+  * BIGINT sum. Matches TextOps.classifierFrameComposed exactly (same
+  * lower(), same "a b" bigram join, same first-7-hex-chars 28-bit md5
+  * id, same weight table) — asserted by ExpressionParitySpec and the
+  * shared DuckDB oracle.
+  *
+  * Why: the composed form runs 2n−1 interpreted lambda frames + one md5
+  * Column-expression per FEATURE per row (higher-order functions never
+  * codegen); measured 6.4 s warm of a 29.8 s 91-query bench at sf0.1 —
+  * 21% of the whole suite, far over the r2 doGenCode gate's 20% line.
+  * This loop hashes the same features in plain JVM code, one eval per
+  * row. The weight table is a per-JVM constant (the broadcast-model
+  * shape); lowercase is `UTF8String.toLowerCase`, the exact kernel
+  * Spark's `lower()` uses under the default UTF8_BINARY collation. */
+case class ClassifierScoreUnits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val w = ClassifierScoreUnits.weights
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sp = UTF8String.fromString(" ")
+
+    def bucketWeight(f: UTF8String): Long = {
+      md.reset()
+      val d = md.digest(f.getBytes)
+      // first 7 hex chars of the digest = bytes 0-2 + high nibble of 3
+      val id = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+      w((id % graft.operators.TextOps.ClsBuckets).toInt)
+    }
+
+    val low = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { low(i) = arr.getUTF8String(i).toLowerCase; i += 1 }
+    var units = 0L
+    i = 0
+    while (i < n) {
+      units += bucketWeight(low(i))
+      if (i < n - 1) units += bucketWeight(UTF8String.concat(low(i), sp, low(i + 1)))
+      i += 1
+    }
+    units
+  }
+
+  override protected def withNewChildInternal(c: Expression): ClassifierScoreUnits = copy(c)
+  override def prettyName: String = "graft_cls_score"
+}
+
+object ClassifierScoreUnits {
+  /** The 4096-entry stand-in weight table, derived once per JVM from the
+    * same md5 formula the oracle twin evaluates in SQL. */
+  private lazy val weights: Array[Long] =
+    Array.tabulate(graft.operators.TextOps.ClsBuckets.toInt)(b =>
+      graft.operators.TextOps.clsWeight(b.toLong))
+}
+
 /** `graft_pairs(arr)` — all unordered index pairs (i < j) of an array, as
   * array<struct<l, r>> with the element type preserved.
   *

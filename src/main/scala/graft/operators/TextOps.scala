@@ -1413,32 +1413,53 @@ object TextOps {
     * the final normalized score divides once.
     *
     * Shape at 100 TB: ZERO shuffle — tokenize, hash, look up and fold
-    * entirely inside per-row array expressions (all codegen'd); the
-    * only exchange in the query is the presentation sort. This is the
-    * classifier-inference shape that lets a quality model run inside
-    * the ingest scan itself. */
+    * entirely inside per-row expressions; the only exchange in the
+    * query is the presentation sort. This is the classifier-inference
+    * shape that lets a quality model run inside the ingest scan itself.
+    * Scoring runs as ONE custom-expression pass per row
+    * (`ClassifierScoreUnits` — the composed transform/aggregate form
+    * ran every feature through interpreted lambda frames, 21% of the
+    * whole 91-query bench; kept as `classifierFrameComposed` for the
+    * parity spec). */
   def classifierScore(spark: SparkSession, dir: String): DataFrame =
     classifierFrame(Tables.documentsPar(spark, dir)).orderBy("doc_id")
 
-  private[graft] def classifierFrame(docs: DataFrame): DataFrame = {
+  private[graft] def classifierFrame(docs: DataFrame): DataFrame =
+    classifierRender(docs
+      .withColumn("toks", tokens)
+      // one custom-expression pass: lowercase, unigram+bigram features,
+      // md5 bucket, weight fold — the composed twin below is the spec's
+      // parity reference (ExpressionParitySpec) and the oracle's shape
+      .withColumn("n_feat", when(size(col("toks")) < 2, size(col("toks")))
+        .otherwise(size(col("toks")) * 2 - 1).cast("long"))
+      .withColumn("score_units",
+        graft.plans.GraftFunctions.graftClsScore(docs.sparkSession, "toks")))
+
+  /** The composed built-in form of the classifier — the shape the oracle
+    * twin mirrors token-for-token; `ClassifierScoreUnits` must stay a
+    * drop-in replacement for it (ExpressionParitySpec). */
+  private[graft] def classifierFrameComposed(docs: DataFrame): DataFrame = {
     def h28(c: Column): Column =
       conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
     val bis = when(size(col("toks")) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(col("toks")) - 1), i =>
         concat_ws(" ", element_at(col("toks"), i),
           element_at(col("toks"), i + 1))))
-    docs
+    classifierRender(docs
       .withColumn("toks", transform(tokens, t => lower(t)))
       .withColumn("feats", concat(col("toks"), bis))
       .withColumn("wts", transform(col("feats"), f =>
         element_at(typedLit((0 until ClsBuckets.toInt).map(b => clsWeight(b))),
           (h28(f) % lit(ClsBuckets)).cast("int") + 1)))
       .withColumn("n_feat", size(col("feats")).cast("long"))
+      .withColumn("score_units", aggregate(col("wts"), lit(0L), (a, x) => a + x)))
+  }
+
+  private def classifierRender(scored: DataFrame): DataFrame =
+    scored
       .filter(col("n_feat") > 0)
-      .withColumn("score_units", aggregate(col("wts"), lit(0L), (a, x) => a + x))
       .select(col("doc_id"), col("n_feat"), col("score_units"),
         (col("score_units").cast("double") / (col("n_feat") * lit(65536.0)))
           .as("score"),
         (col("score_units") > 0L).as("label_keep"))
-  }
 }

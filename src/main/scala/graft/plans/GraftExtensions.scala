@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayPairs, MinHashSignature, PairsGenerator, TrigramShingles}
+import graft.functions.{ArrayPairs, ClassifierScoreUnits, MinHashSignature, PairsGenerator, TrigramShingles}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.expr
 
@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[PairsGenerator].getName, "graft_pairs_gen"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         PairsGenerator(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cls_score"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ClassifierScoreUnits].getName, "graft_cls_score"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ClassifierScoreUnits(exprs.head)))
   }
 }
 
@@ -97,6 +103,8 @@ object GraftFunctions {
       "graft_pairs", exprs => ArrayPairs(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_pairs_gen", exprs => PairsGenerator(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cls_score", exprs => ClassifierScoreUnits(exprs.head), "built-in")
   }
 
   /** column faces over named columns (register first, then `expr`) */
@@ -112,6 +120,9 @@ object GraftFunctions {
   /** generator form: select(...) plans a Generate emitting (l, r) rows */
   def graftPairsGen(spark: SparkSession, arrCol: String): Column = {
     register(spark); expr(s"graft_pairs_gen($arrCol)")
+  }
+  def graftClsScore(spark: SparkSession, tokensCol: String): Column = {
+    register(spark); expr(s"graft_cls_score($tokensCol)")
   }
 
   /** IVF top-2 centroid assignment over plan-time centroid constants.

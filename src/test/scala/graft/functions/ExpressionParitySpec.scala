@@ -57,6 +57,27 @@ class ExpressionParitySpec extends SparkSpec {
     assert(one.filter(col("a1.cell") =!= cents.head._1).count() == 0)
   }
 
+  test("graft_cls_score frame == composed transform/aggregate frame, " +
+    "bit-identically, on the full documents corpus") {
+    val docs = Tables.documents(spark, sf())
+    val custom = TextOps.classifierFrame(docs)
+    val composed = TextOps.classifierFrameComposed(docs)
+    assert(custom.schema == composed.schema)
+    assert(custom.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(custom).count() == 0)
+    assert(custom.count() == composed.count())
+    // empty-token edge: a single empty-string token still scores (one
+    // unigram feature, no bigram)
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "One"), (3L, "a  b"))
+      .toDF("doc_id", "text")
+    val ce = TextOps.classifierFrame(edge).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pe = TextOps.classifierFrameComposed(edge).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ce == pe)
+  }
+
   test("SQL registration via extensions entry point") {
     new graft.plans.GraftExtensions() // construct: the --conf path exists
     GraftFunctions.register(spark)
