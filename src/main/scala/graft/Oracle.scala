@@ -262,6 +262,17 @@ FROM (
 
   private val dotSelfSql = dotSql("embedding", "embedding")
 
+  /** Twin of annBinary's sign signature: ascending-bit CASE sum. Bits
+    * 0..62 are positive BIGINT constants (partial sums peak at 2^63−1,
+    * in range for DuckDB's checked +); bit 63 is Long.MinValue, which
+    * DuckDB can neither shift into nor parse as a literal — spelled
+    * (-9223372036854775807 - 1) like the Java idiom. */
+  private def signSigSql(emb: String): String =
+    (0 until 64).map { i =>
+      val pow = if (i == 63) "(-9223372036854775807 - 1)" else (1L << i).toString
+      s"(CASE WHEN CAST($emb[${i + 1}] AS DOUBLE) >= 0e0 THEN $pow ELSE 0 END)"
+    }.mkString("CAST(", " + ", " AS BIGINT)")
+
   /** twin of EmbeddingOps.lshBucket with the N-DERIVED bit width
     * (EmbeddingOps.defaultBits): 16 unrolled plane terms, each gated by
     * `j < bits`, where `bits` comes from the nb CTE below — the same
@@ -1084,6 +1095,35 @@ sims AS (
 SELECT q_id, vec_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
 FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""",
+
+    // Twin of EmbeddingOps.annBinary: the sign signature repeats the
+    // Spark side's ascending-bit sum (bit 63 is the one negative
+    // constant — DuckDB's checked `<<` cannot produce it, so it is
+    // spelled as (-max - 1); the partial sums stay in range by the
+    // same argument as the Spark scaladoc), Hamming is
+    // bit_count(xor), the top-32 cut mirrors EmbeddingOps.BinR, and
+    // the rerank cosine is the shared fold-dot convention.
+    "emb_ann_binary" ->
+      s"""WITH e0 AS (
+  SELECT vec_id, embedding, $dotSelfSql AS dot_self
+  FROM embeddings WHERE $dotSelfSql > 0e0),
+e AS (SELECT vec_id, ${signSigSql("embedding")} AS sig FROM e0),
+q AS (SELECT vec_id AS q_id, sig AS q_sig FROM e WHERE vec_id < 5),
+ham AS (
+  SELECT q.q_id, e.vec_id, CAST(bit_count(xor(e.sig, q.q_sig)) AS BIGINT) AS hamming
+  FROM e, q WHERE e.vec_id <> q.q_id),
+cand AS (
+  SELECT q_id, vec_id, hamming,
+    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrn
+  FROM ham),
+sims AS (
+  SELECT c.q_id, c.vec_id, c.hamming,
+    ${dotSql("a.embedding", "b.embedding")} / (sqrt(a.dot_self) * sqrt(b.dot_self)) AS sim
+  FROM cand c JOIN e0 a ON a.vec_id = c.q_id JOIN e0 b ON b.vec_id = c.vec_id
+  WHERE c.hrn <= ${graft.operators.EmbeddingOps.BinR})
+SELECT q_id, vec_id, hamming,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
+FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
 
     "emb_cosine_neardup" ->
       s"""WITH $lshCtes

@@ -143,6 +143,7 @@ object SparkEntry {
     "emb_ann_pq" -> ((s, d) => EmbeddingOps.annPq(s, d)),
     "emb_ann_ivfpq" -> ((s, d) => EmbeddingOps.annIvfPq(s, d)),
     "emb_ann_pq2" -> ((s, d) => EmbeddingOps.annPqRefined(s, d)),
+    "emb_ann_binary" -> ((s, d) => EmbeddingOps.annBinary(s, d)),
     "emb_semdedup" -> ((s, d) => EmbeddingOps.semDedup(s, d)),
     "emb_quantize" -> ((s, d) => EmbeddingOps.quantize(s, d)),
     "emb_source_centroids" -> ((s, d) => EmbeddingOps.sourceCentroids(s, d)),

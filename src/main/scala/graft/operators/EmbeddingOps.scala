@@ -599,6 +599,64 @@ object EmbeddingOps {
       .orderBy("q_id", "rn")
   }
 
+  /** Hamming-candidate pool per query for the binary rerank stage.
+    * Mirrored as a literal in the oracle twin — move both together. */
+  val BinR = 32
+
+  /** BINARY (sign-bit) QUANTIZATION ANN (`emb_ann_binary`) — the
+    * fourth leg of the quantization family (int8 scalar `quantize`, PQ
+    * codes, and now 1-bit): each 64-dim vector compresses to the SIGNS
+    * of its elements packed into ONE BIGINT (bit i set iff v[i] ≥ 0) —
+    * 32× smaller than the float payload — and candidate generation is
+    * a pure popcount scan: hamming(sig, q_sig) = bit_count(xor). The
+    * top-[[BinR]] Hamming candidates per query are then re-ranked by
+    * EXACT cosine, the standard binary-index + refine pattern (the
+    * sign of the dot with a random-rotation-free identity basis; cf.
+    * FAISS IndexBinaryFlat + refine).
+    *
+    * Scale shape: packing is per-row expression work — zero shuffle;
+    * the Hamming scan carries only (q_id, vec_id, sig⊕q_sig popcount)
+    * — 8-byte signatures instead of 256-byte float rows, so the scan
+    * is I/O-bound on 1/32 of the data; the top-R cut shuffles slim
+    * (q_id, vec_id, hamming) triples; float payloads move ONLY for
+    * the ≤ 5·[[BinR]] rerank winners (two broadcast joins back into
+    * the cached normalized artifact). At 100 TB the signature column
+    * is the index you'd persist beside the parquet.
+    *
+    * Determinism: the signature is an exact integer (ascending-bit
+    * sum, the partial sums never overflow: bits 0..62 total 2^63−1,
+    * then the bit-63 term is the one negative constant — the oracle
+    * repeats the same order); Hamming is an integer; ties break on
+    * vec_id; the rerank cosine is the fold-dot convention. */
+  def annBinary(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = withNorm(Tables.embeddingsPar(spark, dir))
+    val sigCol = (0 until 64).map { i =>
+      when(element_at(col("v"), i + 1) >= 0.0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = e0.withColumn("sig", sigCol).select("vec_id", "sig")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"))
+    val ham = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .withColumn("hamming",
+        bit_count(col("sig").bitwiseXOR(col("q_sig"))).cast("long"))
+    val wh = Window.partitionBy("q_id").orderBy(col("hamming"), col("vec_id"))
+    val cands = ham.withColumn("hrn", row_number().over(wh))
+      .filter(col("hrn") <= BinR)
+      .select("q_id", "vec_id", "hamming")
+    val qv = e0.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("dot_self").as("q_dot"))
+    val sims = e0.join(broadcast(cands), Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v"))
+        / (sqrt(col("q_dot")) * sqrt(col("dot_self"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "vec_id", "hamming", "rn", "sim")
+      .orderBy("q_id", "rn")
+  }
+
   /** SemDeDup keep threshold: a doc is dropped when some group-mate
     * EARLIER in the greedy order has cosine ≥ τ with it. Mirrored as a
     * literal in the oracle twin — move both together. */

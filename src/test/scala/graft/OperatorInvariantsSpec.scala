@@ -302,6 +302,43 @@ class OperatorInvariantsSpec extends SparkSpec {
       f"one Lloyd step collapsed PQ recall: $recall2%.2f vs $recall%.2f")
   }
 
+  test("binary ann: output matches an independent driver rerank " +
+    "(signature, Hamming top-R, exact-cosine top-3); recall logged") {
+    val out = EmbeddingOps.annBinary(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+
+    // fully independent driver reference: same definitions, plain Scala
+    val norm = Tables.embeddings(spark, d).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toIndexedSeq))
+      .map { case (id, v) => (id, v, v.foldLeft(0.0)((a, x) => a + x * x)) }
+      .filter(_._3 > 0.0)
+    def sigOf(v: IndexedSeq[Double]): Long =
+      (0 until 64).map(i => if (v(i) >= 0.0) 1L << i else 0L).foldLeft(0L)(_ + _)
+    val sigs = norm.map { case (id, v, _) => id -> sigOf(v) }.toMap
+    val expect = norm.filter(_._1 < 5).flatMap { case (qid, qv, qd) =>
+      val cands = norm.filter(_._1 != qid)
+        .map { case (id, v, dd) =>
+          (id, java.lang.Long.bitCount(sigs(id) ^ sigs(qid)).toLong, v, dd) }
+        .sortBy { case (id, h, _, _) => (h, id) }
+        .take(EmbeddingOps.BinR)
+      cands.map { case (id, h, v, dd) =>
+        val dotv = qv.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+        (id, h, dotv / (math.sqrt(qd) * math.sqrt(dd)))
+      }.sortBy { case (id, _, s) => (-s, id) }.take(3).zipWithIndex
+        .map { case ((id, h, s), i) => (qid, id, h, i + 1, s) }
+    }
+    assert(out.toSet == expect.toSet,
+      s"binary-ANN rerank diverged from the driver reference")
+
+    // how much the 1-bit index loses vs the exact ranking — informative
+    val exact = EmbeddingOps.cosineTopK(spark, d).filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = out.map(t => (t._1, t._2)).toSet
+    info(f"binary-ANN recall@3 vs exact: ${(exact & got).size.toDouble / exact.size}%.2f")
+    assert((exact & got).nonEmpty)
+  }
+
   test("semdedup: keep set matches an independent greedy driver sweep; " +
     "rank-1 rows always survive; drops have a prior within tau") {
     val rows = EmbeddingOps.semDedup(spark, d).collect()

@@ -281,6 +281,19 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"expected only the window exchange:\n$p")
   }
 
+  test("binary ann: popcount scan broadcasts the 5-row query side; " +
+    "float payloads move only through the two candidate broadcasts") {
+    val p = plan(EmbeddingOps.annBinary(spark, sf()))
+    assert(countIn(p, "CartesianProduct") == 0)
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 1,
+      "the Hamming scan must broadcast the 5-row signature side")
+    assert(countIn(p, "BroadcastHashJoin") == 2,
+      "rerank must fetch payloads via broadcast joins on vec_id/q_id")
+    // two slim window exchanges (hamming top-R, sim top-3) and nothing else
+    assert(countIn(p, "Exchange hashpartitioning") == 2,
+      s"expected exactly the two ranking-window exchanges:\n$p")
+  }
+
   test("semdedup: pairs ride the (cell, bucket) equi-join over the " +
     "shared assigned artifact — no cartesian, no nested loop") {
     val p = plan(EmbeddingOps.semDedup(spark, sf()))
