@@ -774,6 +774,46 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
   CAST(sum(wt) AS BIGINT) > 0 AS label_keep
 FROM w GROUP BY doc_id ORDER BY doc_id""",
 
+    // Twin of TextOps.importanceDsir: same eval-split key (md5 #g1
+    // bucket 0), same lowercased-bigram md5₂₈ bucket (mod 4096),
+    // Laplace likelihood-ratio in the SAME fixed division order
+    // quantized to the 2^20 grid, BIGINT per-doc sums, one final mean
+    // division. DsirBuckets=4096 mirrors TextOps — move together.
+    "doc_importance_dsir" ->
+      s"""WITH t AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7)) AS BIGINT) % 10 = 0 AS is_eval,
+    list_transform($tokensExpr, w -> lower(w)) AS tk
+  FROM documents),
+g0 AS (
+  SELECT doc_id, is_eval,
+    CASE WHEN len(tk) < 2 THEN [] ELSE
+      list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS bgs
+  FROM t),
+gr AS (
+  SELECT doc_id, is_eval,
+    CAST('0x' || substr(md5(g), 1, 7) AS BIGINT) % 4096 AS b
+  FROM (SELECT doc_id, is_eval, unnest(bgs) AS g FROM g0)),
+cnt AS (
+  SELECT b,
+    CAST(sum(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT) AS t,
+    CAST(sum(CASE WHEN is_eval THEN 0 ELSE 1 END) AS BIGINT) AS r
+  FROM gr GROUP BY 1),
+w AS (
+  SELECT b, CAST(round(
+    (CAST(t + 1 AS DOUBLE) / CAST(sum(t) OVER () + 4096 AS DOUBLE))
+    / (CAST(r + 1 AS DOUBLE) / CAST(sum(r) OVER () + 4096 AS DOUBLE))
+    * 1048576e0) AS BIGINT) AS qlr
+  FROM cnt),
+sc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    CAST(sum(qlr) AS BIGINT) AS units
+  FROM gr JOIN w USING (b) WHERE NOT is_eval GROUP BY 1)
+SELECT doc_id, n_bigrams, units,
+  CAST(units AS DOUBLE) / (n_bigrams * 1048576e0) AS score,
+  units > n_bigrams * 1048576 AS keep
+FROM sc ORDER BY doc_id""",
+
     "doc_top_tokens" ->
       s"""WITH t AS (SELECT unnest($tokensExpr) AS token FROM documents)
 SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -1462,4 +1462,73 @@ object TextOps {
         (col("score_units").cast("double") / (col("n_feat") * lit(65536.0)))
           .as("score"),
         (col("score_units") > 0L).as("label_keep"))
+
+  // --- DSIR importance weighting ---------------------------------------
+
+  /** Hash-bucket count of the DSIR importance estimate — mirrored
+    * literally in the oracle twin; move together. */
+  val DsirBuckets = 4096L
+
+  /** DSIR-style IMPORTANCE WEIGHTING (`doc_importance_dsir`) — Data
+    * Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169), the UNSUPERVISED counterpart of
+    * `doc_classifier_score`: instead of trained weights, each hashed
+    * bigram bucket gets the Laplace-smoothed LIKELIHOOD RATIO between a
+    * TARGET distribution (here the deterministic eval split — the same
+    * `sampleBucket = 0` population the contamination sweep treats as
+    * the benchmark stand-in) and the RAW distribution (everything
+    * else). A raw document's importance is the mean per-bigram ratio;
+    * resampling keeps documents whose mass leans toward the target.
+    *
+    * Exactness: the ratio estimate for bucket b is
+    * ((t+1)/(T+B)) / ((r+1)/(R+B)) — three IEEE divisions in a fixed
+    * order (correctly rounded, identical in DuckDB) — quantized to the
+    * 2^20 integer grid with HALF_UP round; per-document totals are
+    * BIGINT sums of those integers, order-independent under
+    * distributed partial aggregation, and only the final mean divides
+    * once at render.
+    *
+    * Scale shape: the gram frame is a slim (doc_id, is_eval, bucket)
+    * triple — cached, since the counting pass and the scoring pass
+    * both read it; bucket counts collapse map-side into ≤[[DsirBuckets]]
+    * rows; the totals ride ONE single-partition window over that tiny
+    * frame (never the corpus); the weight table re-joins as a
+    * broadcast; scoring is one groupBy(doc_id). At 100 TB nothing but
+    * the gram triples and the doc-id aggregate ever shuffles — the
+    * estimator state is 4096 rows no matter the corpus size. */
+  def importanceDsir(spark: SparkSession, dir: String): DataFrame = {
+    def h28(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+    val bis = when(size(col("tk")) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(col("tk")) - 1), i =>
+        concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+    val gr = graft.Artifacts.shared(Tables.documentsPar(spark, dir)
+      .withColumn("tk", transform(tokens, t => lower(t)))
+      .withColumn("is_eval", sampleBucket === 0)
+      .select(col("doc_id"), col("is_eval"), explode(bis).as("g"))
+      .withColumn("b", h28(col("g")) % lit(DsirBuckets))
+      .select("doc_id", "is_eval", "b"))
+    val cnt = gr.groupBy("b").agg(
+      sum(when(col("is_eval"), 1L).otherwise(0L)).as("t"),
+      sum(when(col("is_eval"), 0L).otherwise(1L)).as("r"))
+    // totals over the ≤4096-row count frame — a deliberate single-
+    // partition window on bounded state, the semdedup-note class
+    val wAll = Window.partitionBy()
+    val wts = cnt
+      .withColumn("tt", sum("t").over(wAll))
+      .withColumn("rr", sum("r").over(wAll))
+      .select(col("b"), round(
+        ((col("t") + 1L).cast("double") / (col("tt") + lit(DsirBuckets)).cast("double"))
+          / ((col("r") + 1L).cast("double") / (col("rr") + lit(DsirBuckets)).cast("double"))
+          * lit(1048576.0)).cast("long").as("qlr"))
+    gr.filter(!col("is_eval"))
+      .join(broadcast(wts), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("qlr").as("units"))
+      .select(col("doc_id"), col("n_bigrams"), col("units"),
+        (col("units").cast("double") / (col("n_bigrams") * lit(1048576.0)))
+          .as("score"),
+        (col("units") > col("n_bigrams") * lit(1048576L)).as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -302,6 +302,47 @@ class OperatorInvariantsSpec extends SparkSpec {
       f"one Lloyd step collapsed PQ recall: $recall2%.2f vs $recall%.2f")
   }
 
+  test("dsir importance: matches an independent driver recompute of " +
+    "the hashed-bigram likelihood-ratio estimate; eval split excluded") {
+    val out = TextOps.importanceDsir(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(out.nonEmpty)
+
+    // independent reference in plain Scala
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h28(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(7), 16)
+    val docs = Tables.documents(spark, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val grams = docs.flatMap { case (id, text) =>
+      val tk = text.split(" ", -1).map(_.toLowerCase)
+      val isEval = h28(s"$id#g1") % 10 == 0
+      tk.sliding(2).filter(_.length == 2)
+        .map(p => (id, isEval, h28(p.mkString(" ")) % TextOps.DsirBuckets))
+        .toSeq
+    }
+    val byB = grams.groupBy(_._3)
+    val tOf = byB.map { case (b, g) => b -> g.count(_._2).toLong }
+    val rOf = byB.map { case (b, g) => b -> g.count(!_._2).toLong }
+    val (tt, rr) = (tOf.values.sum, rOf.values.sum)
+    val qlr = byB.keys.map { b =>
+      b -> math.round(((tOf(b) + 1).toDouble / (tt + TextOps.DsirBuckets))
+        / ((rOf(b) + 1).toDouble / (rr + TextOps.DsirBuckets)) * 1048576.0)
+    }.toMap
+    val expect = grams.filter(!_._2).groupBy(_._1).map { case (id, g) =>
+      val units = g.map(t => qlr(t._3)).sum
+      val n = g.size.toLong
+      (id, n, units, units.toDouble / (n * 1048576.0), units > n * 1048576L)
+    }.toSet
+    // math.round is HALF_UP toward +inf on positive values = Spark/DuckDB
+    // HALF_UP away-from-zero (ratios are always > 0 here)
+    assert(out.toSet == expect,
+      "DSIR scores diverged from the driver reference")
+    info(s"dsir: ${out.length} raw docs scored, ${out.count(_._5)} kept")
+  }
+
   test("binary ann: output matches an independent driver rerank " +
     "(signature, Hamming top-R, exact-cosine top-3); recall logged") {
     val out = EmbeddingOps.annBinary(spark, d).collect()

@@ -281,6 +281,17 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"expected only the window exchange:\n$p")
   }
 
+  test("dsir importance: weight table joins as a broadcast; both " +
+    "passes read the cached gram triples; no cartesian") {
+    val p = plan(TextOps.importanceDsir(spark, sf()))
+    assert(countIn(p, "CartesianProduct") == 0)
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 0)
+    assert(countIn(p, "BroadcastHashJoin") == 1,
+      "the 4096-row weight table must broadcast onto the gram scan")
+    assert(countIn(p, "InMemoryTableScan") >= 2,
+      s"count pass and scoring pass must share the cached gram frame:\n$p")
+  }
+
   test("binary ann: popcount scan broadcasts the 5-row query side; " +
     "float payloads move only through the two candidate broadcasts") {
     val p = plan(EmbeddingOps.annBinary(spark, sf()))
