@@ -404,6 +404,42 @@ SELECT coalesce(c_custkey, user_id) AS merge_key, c_name, c_acctbal,
 FROM base FULL OUTER JOIN latest ON c_custkey = user_id
 ORDER BY merge_key""",
 
+    // SCD type-2 history — twin of CdcRoute.scd2History. Gaps-and-
+    // islands: lag change mark (IS DISTINCT FROM ≡ Spark's !(a <=> b)),
+    // running-sum version, per-run aggregate (last_value via rn=1, the
+    // SQL face of Spark's max(struct(ts,eid,value)) argmax — value is a
+    // pass-through double, no arithmetic), lead() closes each version.
+    "cdc_scd2" ->
+      """WITH ev AS (
+  SELECT user_id, event_type, value,
+    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN lag(event_type) OVER
+      (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_change
+  FROM ev),
+versioned AS (
+  SELECT *, CAST(SUM(is_change) OVER (PARTITION BY user_id
+    ORDER BY ts_ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM marked),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, version
+    ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM versioned),
+runs AS (
+  SELECT user_id, version, max(event_type) AS state,
+    CAST(min(ts_ms) AS BIGINT) AS valid_from_ms,
+    CAST(count(*) AS BIGINT) AS n_events,
+    max(CASE WHEN rn = 1 THEN value END) AS last_value
+  FROM ranked GROUP BY 1, 2)
+SELECT user_id, version, state, valid_from_ms,
+  lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_ms,
+  n_events, last_value,
+  (lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version) IS NULL) AS is_current
+FROM runs ORDER BY user_id, version""",
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -58,6 +58,7 @@ object SparkEntry {
     "cdc_outbox_route" -> ((s, d) =>
       CdcRoute.outboxEvents(s, Tables.events(s, d)).orderBy("aggregate_id")),
     "cdc_snapshot_merge" -> ((s, d) => CdcRoute.snapshotMerge(s, d)),
+    "cdc_scd2" -> ((s, d) => CdcRoute.scd2History(s, d)),
     // --- relational suite (SURVEY §2.11 — free with Spark, still verified) ---
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),

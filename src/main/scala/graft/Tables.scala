@@ -32,16 +32,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default. Read nanos as raw longs (runtime SQLConf, set
-    * idempotently here so every entry point works under any session), then
-    * rebuild a micros `ts` — the same ns→µs truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, keeping oracle parity. */
+  /** events.parquet's `ts` has shipped in two physical layouts across
+    * driver testdata generations: TIMESTAMP(NANOS) — which Spark's
+    * parquet reader rejects by default, so it is read as raw nanos longs
+    * (runtime SQLConf, set idempotently here so every entry point works
+    * under any session) and rebuilt as a micros `ts`, the same ns→µs
+    * truncation DuckDB applies casting TIMESTAMP_NS to TIMESTAMP — and
+    * plain TIMESTAMP micros without a UTC flag, which Spark surfaces as
+    * TIMESTAMP_NTZ and DuckDB as naive TIMESTAMP. Dispatch on the type
+    * actually read so both generations keep oracle parity: every graft
+    * session pins the UTC session timezone, under which the NTZ→TZ cast
+    * is the identity on the wall-clock DuckDB's epoch_ms sees. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     val raw = table(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

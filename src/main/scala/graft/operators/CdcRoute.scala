@@ -101,6 +101,67 @@ object CdcRoute {
     * same key once (with a bucketed/partitioned snapshot table even
     * that exchange drops — BucketingSpec shows the layout), and AQE
     * splits any hot key. No driver-side state, no collect. */
+  /** SCD TYPE-2 HISTORY — the other canonical CDC consumer beside the
+    * latest-wins snapshot (`snapshotMerge` keeps ONE row per key; a
+    * type-2 dimension keeps EVERY tracked-state run as a versioned row
+    * with a validity interval — the warehouse pattern the reference's
+    * outbox topic feeds when consumers materialize history instead of
+    * current state, README.md:96-104).
+    *
+    * Input: a change stream (user_id, event_type, value, ts_ms,
+    * event_id). The tracked SCD attribute is `event_type`: consecutive
+    * events with the same type extend the open version (change
+    * suppression), a differing type CLOSES it (valid_to = the new
+    * version's valid_from) and opens the next. Gaps-and-islands:
+    *  1. lag(event_type) per key in (ts_ms, event_id) order marks
+    *     change points (`IS DISTINCT FROM`, so the first event opens
+    *     version 1);
+    *  2. a running sum of change marks numbers the versions;
+    *  3. one aggregate per (key, version) folds the run — valid_from =
+    *     first ts, n_events, last value by (ts_ms, event_id) argmax;
+    *  4. lead(valid_from) per key closes each version; the last stays
+    *     open (valid_to NULL, is_current).
+    *
+    * Scale shape: ONE hash exchange on user_id serves everything — the
+    * two window passes re-sort within unchanged partitions, and the
+    * (user_id, version) aggregate's clustering requirement is already
+    * satisfied by the user_id partitioning (plan-pinned). History size
+    * is O(state changes), not O(events): the per-run aggregation is the
+    * compression. No driver state, no collect. */
+  def scd2FromChanges(changes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"), col("event_id"))
+    val runs = changes
+      .withColumn("is_change",
+        when(!(lag(col("event_type"), 1).over(byKey) <=> col("event_type")),
+          1L).otherwise(0L))
+      .withColumn("version", sum(col("is_change")).over(
+        byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(
+        max(col("event_type")).as("state"), // constant within a run
+        min(col("ts_ms")).as("valid_from_ms"),
+        count(lit(1)).cast("long").as("n_events"),
+        max(struct(col("ts_ms"), col("event_id"), col("value")))
+          .getField("value").as("last_value"))
+    val byVersion = Window.partitionBy("user_id").orderBy(col("version"))
+    runs
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(byVersion))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .select("user_id", "version", "state", "valid_from_ms", "valid_to_ms",
+        "n_events", "last_value", "is_current")
+  }
+
+  /** The `cdc_scd2` query: type-2 history of the events change stream
+    * (each event is a change record for its user's state). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2FromChanges(
+      graft.Tables.events(spark, dir).select(
+        col("user_id"), col("event_type"), col("value"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id")))
+      .orderBy("user_id", "version")
+
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.Tables.customer(spark, dir)
       .filter(col("c_custkey") % 2 === 0)

@@ -77,10 +77,10 @@ object SnapshotMaintain {
         col("top.value").as("last_value"), col("top.ts_ms").as("last_ts_ms"),
         col("top.event_id").as("last_event_id"), col("n_events"))
 
-  private def bucketOf(numBuckets: Int) =
+  private[streaming] def bucketOf(numBuckets: Int) =
     pmod(hash(col("user_id")), lit(numBuckets))
 
-  private def storeExists(spark: SparkSession, store: String): Boolean = {
+  private[streaming] def storeExists(spark: SparkSession, store: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(store)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p).exists { s =>
@@ -188,7 +188,7 @@ object SnapshotMaintain {
     * always wins. (A marker-less store from this round's earlier
     * builds falls back to the caller's value — the pre-marker
     * contract.) */
-  private def storedBuckets(spark: SparkSession, store: String,
+  private[streaming] def storedBuckets(spark: SparkSession, store: String,
       fallback: Int): Int = {
     val p = new org.apache.hadoop.fs.Path(s"$store/_graft_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -201,7 +201,7 @@ object SnapshotMaintain {
     }
   }
 
-  private def writeBucketMarker(spark: SparkSession, store: String,
+  private[streaming] def writeBucketMarker(spark: SparkSession, store: String,
       numBuckets: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$store/_graft_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

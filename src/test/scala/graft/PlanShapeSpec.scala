@@ -327,4 +327,20 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(countIn(p, "Exchange hashpartitioning") == 1,
       s"expected only the window exchange:\n$p")
   }
+
+  test("scd2: one user_id exchange serves both window passes and the " +
+    "(user_id, version) run aggregate") {
+    // before the presentation orderBy (that adds a range exchange)
+    val ev = Tables.events(spark, sf()).select(
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.col("event_type"),
+      org.apache.spark.sql.functions.col("value"),
+      org.apache.spark.sql.functions.unix_millis(
+        org.apache.spark.sql.functions.col("ts")).as("ts_ms"),
+      org.apache.spark.sql.functions.col("event_id"))
+    val p = plan(graft.operators.CdcRoute.scd2FromChanges(ev))
+    assert(countIn(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 hash exchange (hash(user_id) satisfies the " +
+        s"(user_id, version) clustering):\n$p")
+  }
 }

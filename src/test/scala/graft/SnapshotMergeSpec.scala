@@ -102,4 +102,71 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(mis.isEmpty, "rank ordering violates (score desc, token asc)")
     t.unpersist()
   }
+
+  test("scd2: version/interval laws — contiguous versions, one open row " +
+    "per key, intervals chain, change suppression real") {
+    val h = CdcRoute.scd2History(spark, sf()).cache()
+    val perKey = h.groupBy("user_id").agg(
+      count(lit(1)).as("n"), min("version").as("lo"), max("version").as("hi"),
+      sum(col("is_current").cast("long")).as("open"),
+      sum("n_events").as("ev"))
+    assert(perKey.filter(col("lo") =!= 1 || col("hi") =!= col("n")).isEmpty,
+      "versions not dense 1..k")
+    assert(perKey.filter(col("open") =!= 1).isEmpty,
+      "a key must have exactly one open (is_current) version")
+    // per-key event totals conserve: every event lands in exactly one run
+    val evCounts = Tables.events(spark, sf())
+      .groupBy("user_id").agg(count(lit(1)).as("n_raw"))
+    assert(perKey.join(evCounts, "user_id")
+      .filter(col("ev") =!= col("n_raw")).isEmpty,
+      "per-key n_events must sum to the key's raw event count")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val chained = h
+      .withColumn("p_state", lag("state", 1).over(w))
+      .withColumn("p_to", lag("valid_to_ms", 1).over(w))
+    assert(chained.filter(col("p_state").isNotNull &&
+      col("p_state") === col("state")).isEmpty,
+      "consecutive versions share a state — change suppression failed")
+    assert(chained.filter(col("p_to").isNotNull &&
+      col("p_to") =!= col("valid_from_ms")).isEmpty,
+      "valid_to of version v must equal valid_from of v+1")
+    assert(h.filter(col("valid_to_ms").isNotNull &&
+      col("valid_to_ms") <= col("valid_from_ms")).isEmpty,
+      "closed interval must be non-empty")
+    h.unpersist()
+  }
+
+  test("scd2: matches an independent per-key driver fold") {
+    val rows = Tables.events(spark, sf())
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // independent reference: imperative run-length fold per key
+    val expected = rows.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.sortBy(e => (e._3, e._4))
+      val runs = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)] // state, valid_from, n
+      sorted.foreach { case (_, tpe, ts, _) =>
+        if (runs.isEmpty || runs.last._1 != tpe) runs += ((tpe, ts, 1L))
+        else { val l = runs.last; runs(runs.size - 1) = (l._1, l._2, l._3 + 1) }
+      }
+      runs.zipWithIndex.map { case ((state, from, n), i) =>
+        val to = if (i + 1 < runs.size) Some(runs(i + 1)._2) else None
+        (uid, i + 1L, state, from, to, n, to.isEmpty)
+      }
+    }.toSet
+    val got = CdcRoute.scd2History(spark, sf())
+      .select("user_id", "version", "state", "valid_from_ms", "valid_to_ms",
+        "n_events", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5),
+        r.getBoolean(6)))
+      .toSet
+    assert(got == expected,
+      s"scd2 mismatch: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+  }
 }
