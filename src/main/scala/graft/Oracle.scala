@@ -791,6 +791,40 @@ FROM a ORDER BY doc_id""",
     // (mod 2^16 - 2^15), BIGINT feature-weight sum, one final division.
     // ClsBuckets=4096 and the 65536/32768 grid mirror TextOps — move
     // together.
+    // Twin of TextOps.hashEmbed: same lowercased-token md5₂₈, dim =
+    // h % 64, sign = (h // 64) % 2 (≡ bit 6, the expression's h & 64),
+    // signed counts summed as BIGINTs (order-independent by
+    // integrality), dense 64-dim reconstruction via a range join.
+    // EmbedDims=64 mirrors TextOps — move together.
+    "doc_hash_embed" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_transform($tokensExpr, w -> lower(w)) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+g AS (
+  SELECT doc_id, h % 64 AS dim,
+    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM h GROUP BY 1, 2),
+dense AS (
+  SELECT t.doc_id, d.dim, CAST(coalesce(g.v, 0) AS BIGINT) AS v
+  FROM t CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+  LEFT JOIN g ON g.doc_id = t.doc_id AND g.dim = d.dim),
+n AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+agg AS (
+  SELECT dense.doc_id, max(n.n_tokens) AS n_tokens,
+    list(v ORDER BY dim) AS emb,
+    CAST(SUM(v * v) AS BIGINT) AS norm_sq
+  FROM dense JOIN n ON dense.doc_id = n.doc_id
+  GROUP BY dense.doc_id)
+SELECT doc_id, n_tokens,
+  array_to_string(list_transform(emb, x -> CAST(x AS VARCHAR)), ',')
+    AS embedding_csv,
+  norm_sq
+FROM agg ORDER BY doc_id""",
+
     "doc_classifier_score" ->
       s"""WITH t AS (
   SELECT doc_id, list_transform($tokensExpr, w -> lower(w)) AS toks

@@ -159,6 +159,45 @@ object ClassifierScoreUnits {
       graft.operators.TextOps.clsWeight(b.toLong))
 }
 
+/** `graft_hash_embed(tokens)` — the feature-hashing document embedding
+  * (TextOps.hashEmbed): every lowercased token lands in ONE of 64
+  * dimensions (md5₂₈ mod 64) with a ±1 sign from the next md5 bit
+  * ((h div 64) mod 2), accumulated as BIGINTs. One digest + one slot
+  * update per token in a plain JVM loop; the composed
+  * transform(sequence(0,63), aggregate(...)) twin re-walks the token
+  * array 64 times through interpreted lambda frames (the
+  * doc_classifier_score lesson — ExpressionParitySpec pins bit-parity
+  * between the two forms). */
+case class HashEmbedUnits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val dims = graft.operators.TextOps.EmbedDims.toInt
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val slots = new Array[Long](dims)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).toLowerCase.getBytes)
+      // first 7 hex chars of the digest = bytes 0-2 + high nibble of 3
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+      val sign = if (((h / dims) % 2L) == 0L) 1L else -1L
+      slots((h % dims).toInt) += sign
+      i += 1
+    }
+    new GenericArrayData(slots)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashEmbedUnits = copy(c)
+  override def prettyName: String = "graft_hash_embed"
+}
+
 /** `graft_pairs(arr)` — all unordered index pairs (i < j) of an array, as
   * array<struct<l, r>> with the element type preserved.
   *

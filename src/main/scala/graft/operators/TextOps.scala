@@ -1463,6 +1463,77 @@ object TextOps {
           .as("score"),
         (col("score_units") > 0L).as("label_keep"))
 
+  // --- feature-hashed document embeddings ------------------------------
+
+  /** Dimension count of the hashed document embedding — mirrored
+    * literally in the oracle twin; move together. */
+  val EmbedDims = 64L
+
+  /** Feature-hashed document embeddings (`doc_hash_embed`) — the
+    * hashing-trick sparse random projection (Weinberger et al. 2009,
+    * the vectorizer behind fastText/VW-style text models): every
+    * lowercased token is assigned ONE of 64 dimensions by md5₂₈ mod 64
+    * and a ±1 sign by the next md5 bit, and the document's embedding is
+    * the signed count vector — an INTEGER-EXACT, order-independent
+    * fold, so the DuckDB twin lands on bit-identical arrays. This is
+    * the bridge between the text tier and the vector tier: it
+    * manufactures an embedding column from raw text with zero training,
+    * and its output is directly consumable by the ANN family (cosine /
+    * LSH / IVF / PQ all take any fixed-width numeric array).
+    *
+    * Shape at 100 TB: ZERO shuffle — tokenize, hash and accumulate run
+    * inside ONE custom-expression pass per row (`HashEmbedUnits`; the
+    * composed transform(sequence(0,63), aggregate(...)) form re-walks
+    * every token array 64 times through interpreted lambda frames — the
+    * doc_classifier_score lesson, kept below as the parity reference).
+    * The only exchange is the presentation sort; embedding production
+    * runs inside the ingest scan like classifier inference. */
+  def hashEmbed(spark: SparkSession, dir: String): DataFrame =
+    hashEmbedFrame(Tables.documentsPar(spark, dir)).orderBy("doc_id")
+
+  private[graft] def hashEmbedFrame(docs: DataFrame): DataFrame =
+    hashEmbedRender(docs
+      .withColumn("toks", tokens)
+      .withColumn("emb",
+        graft.plans.GraftFunctions.graftHashEmbed(docs.sparkSession, "toks")))
+
+  /** The composed built-in form — the shape the oracle twin mirrors
+    * token-for-token; `HashEmbedUnits` must stay a drop-in replacement
+    * for it (ExpressionParitySpec). */
+  private[graft] def hashEmbedFrameComposed(docs: DataFrame): DataFrame = {
+    def h28(c: Column): Column =
+      conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+    hashEmbedRender(docs
+      .withColumn("toks", tokens)
+      .withColumn("hs", transform(col("toks"), t => h28(lower(t))))
+      .withColumn("emb", transform(sequence(lit(0L), lit(EmbedDims - 1)), d =>
+        aggregate(col("hs"), lit(0L), (a, h) =>
+          // (h div 64) % 2 == bit 6 of h == h & 64 (dims is a power of 2)
+          a + when(pmod(h, lit(EmbedDims)) === d,
+            when(h.bitwiseAND(lit(EmbedDims)) === 0L, lit(1L))
+              .otherwise(lit(-1L))).otherwise(lit(0L))))))
+  }
+
+  /** The embedding rides the compare as a canonical CSV string (the
+    * sig_decisions convention — the hash-compare harness is scalar-
+    * column based), plus an integer norm; the array form stays
+    * available to the ANN tier via `hashEmbedVectors`. */
+  private def hashEmbedRender(embedded: DataFrame): DataFrame =
+    embedded.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      array_join(col("emb").cast("array<string>"), ",").as("embedding_csv"),
+      aggregate(col("emb"), lit(0L), (a, x) => a + x * x).as("norm_sq"))
+
+  /** The array-typed face for vector-tier composition: (doc_id,
+    * vec: array<double>) — directly consumable by the ANN family. */
+  def hashEmbedVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.graftHashEmbed(spark, "toks")
+          .cast("array<double>").as("vec"))
+
   // --- DSIR importance weighting ---------------------------------------
 
   /** Hash-bucket count of the DSIR importance estimate — mirrored

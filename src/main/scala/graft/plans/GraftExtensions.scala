@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayPairs, ClassifierScoreUnits, MinHashSignature, PairsGenerator, TrigramShingles}
+import graft.functions.{ArrayPairs, ClassifierScoreUnits, HashEmbedUnits, MinHashSignature, PairsGenerator, TrigramShingles}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.expr
 
@@ -56,6 +56,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[ClassifierScoreUnits].getName, "graft_cls_score"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ClassifierScoreUnits(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hash_embed"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HashEmbedUnits].getName, "graft_hash_embed"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HashEmbedUnits(exprs.head)))
   }
 }
 
@@ -105,6 +111,8 @@ object GraftFunctions {
       "graft_pairs_gen", exprs => PairsGenerator(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cls_score", exprs => ClassifierScoreUnits(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hash_embed", exprs => HashEmbedUnits(exprs.head), "built-in")
   }
 
   /** column faces over named columns (register first, then `expr`) */
@@ -120,6 +128,9 @@ object GraftFunctions {
   /** generator form: select(...) plans a Generate emitting (l, r) rows */
   def graftPairsGen(spark: SparkSession, arrCol: String): Column = {
     register(spark); expr(s"graft_pairs_gen($arrCol)")
+  }
+  def graftHashEmbed(spark: SparkSession, tokensCol: String): Column = {
+    register(spark); expr(s"graft_hash_embed($tokensCol)")
   }
   def graftClsScore(spark: SparkSession, tokensCol: String): Column = {
     register(spark); expr(s"graft_cls_score($tokensCol)")

@@ -78,6 +78,49 @@ class ExpressionParitySpec extends SparkSpec {
     assert(ce == pe)
   }
 
+  test("graft_hash_embed frame == composed transform/aggregate frame, " +
+    "bit-identically, on the full documents corpus") {
+    val docs = Tables.documents(spark, sf())
+    val custom = TextOps.hashEmbedFrame(docs)
+    val composed = TextOps.hashEmbedFrameComposed(docs)
+    // same names and types (nullability differs: custom expression
+    // declares containsNull=false, higher-order builtins keep true)
+    assert(custom.schema.map(f => (f.name, f.dataType)) ==
+      composed.schema.map(f => (f.name, f.dataType)))
+    assert(custom.exceptAll(composed).count() == 0)
+    assert(composed.exceptAll(custom).count() == 0)
+    assert(custom.count() == composed.count())
+    // embedding laws + an independent per-token driver fold on a fixture
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "One"), (3L, "a  b"), (4L, "x y x y x"))
+      .toDF("doc_id", "text")
+    val got = TextOps.hashEmbedFrame(edge).collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        r.getString(2).split(",", -1).toSeq.map(_.toLong), r.getLong(3))
+    }
+    got.foreach { case (_, nTok, emb, normSq) =>
+      assert(emb.size == 64)
+      assert(normSq == emb.map(v => v * v).sum)
+      assert(emb.map(math.abs).sum <= nTok, "mass exceeds token count")
+    }
+    def ref(text: String): Seq[Long] = {
+      val slots = new Array[Long](64)
+      text.split(" ", -1).foreach { t =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(t.toLowerCase.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 7)
+        val h = java.lang.Long.parseLong(hex, 16)
+        slots((h % 64).toInt) += (if (((h / 64) % 2) == 0) 1L else -1L)
+      }
+      slots.toSeq
+    }
+    Seq((1L, ""), (2L, "One"), (3L, "a  b"), (4L, "x y x y x")).foreach {
+      case (id, text) =>
+        val row = got.find(_._1 == id).get
+        assert(row._3 == ref(text), s"doc $id embedding != independent fold")
+    }
+  }
+
   test("SQL registration via extensions entry point") {
     new graft.plans.GraftExtensions() // construct: the --conf path exists
     GraftFunctions.register(spark)
