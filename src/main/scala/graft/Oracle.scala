@@ -786,11 +786,35 @@ SELECT doc_id, n_pairs, lm_grid,
   CAST(lm_grid AS DOUBLE) / (n_pairs * 1048576) AS lm_score
 FROM a ORDER BY doc_id""",
 
-    // Twin of TextOps.classifierFrame: same lowercased unigram+bigram
-    // feature set, same md5₂₈ bucket (mod 4096) and md5₂₈ weight grid
-    // (mod 2^16 - 2^15), BIGINT feature-weight sum, one final division.
-    // ClsBuckets=4096 and the 65536/32768 grid mirror TextOps — move
-    // together.
+    // Twin of TextOps.pplBuckets: the bigram-LM score CTEs verbatim
+    // from doc_bigram_lm, lang joined from the corpus metadata,
+    // rank-tercile per language (ntile over the total order
+    // (lm_score DESC, doc_id) — rank-based, no float interpolation
+    // crosses the engines).
+    "doc_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $tokensExpr AS toks FROM documents),
+b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+    i -> toks[i] || ' ' || toks[i+1])) AS bg FROM t),
+cb AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM b GROUP BY 1),
+cp AS (SELECT string_split(bg, ' ')[1] AS w1, CAST(SUM(cb) AS BIGINT) AS cp
+  FROM cb GROUP BY 1),
+sc AS (SELECT bg, (cb * 1048576) // cp AS g
+  FROM cb JOIN cp ON string_split(cb.bg, ' ')[1] = cp.w1),
+a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(SUM(g) AS BIGINT) AS lm_grid
+  FROM b JOIN sc USING (bg) GROUP BY 1),
+s AS (SELECT a.doc_id, d.lang,
+    CAST(a.lm_grid AS DOUBLE) / (a.n_pairs * 1048576) AS lm_score
+  FROM a JOIN documents d ON a.doc_id = d.doc_id),
+r AS (SELECT doc_id, lang, lm_score,
+    CAST(ntile(3) OVER (PARTITION BY lang
+      ORDER BY lm_score DESC, doc_id) AS BIGINT) AS tercile
+  FROM s)
+SELECT doc_id, lang, lm_score, tercile,
+  CASE WHEN tercile = 1 THEN 'head' WHEN tercile = 2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM r ORDER BY doc_id""",
+
     // Twin of TextOps.hashEmbed: same lowercased-token md5₂₈, dim =
     // h % 64, sign = (h // 64) % 2 (≡ bit 6, the expression's h & 64),
     // signed counts summed as BIGINTs (order-independent by
@@ -825,6 +849,11 @@ SELECT doc_id, n_tokens,
   norm_sq
 FROM agg ORDER BY doc_id""",
 
+    // Twin of TextOps.classifierFrame: same lowercased unigram+bigram
+    // feature set, same md5₂₈ bucket (mod 4096) and md5₂₈ weight grid
+    // (mod 2^16 - 2^15), BIGINT feature-weight sum, one final division.
+    // ClsBuckets=4096 and the 65536/32768 grid mirror TextOps — move
+    // together.
     "doc_classifier_score" ->
       s"""WITH t AS (
   SELECT doc_id, list_transform($tokensExpr, w -> lower(w)) AS toks

@@ -1463,6 +1463,44 @@ object TextOps {
           .as("score"),
         (col("score_units") > 0L).as("label_keep"))
 
+  /** CCNet-style perplexity bucketing (`doc_ppl_buckets`) — the
+    * head/middle/tail split CCNet (Wenzek et al. 2020) applies per
+    * language before training-set mixing: documents are ranked by LM
+    * fluency WITHIN their language and cut into rank terciles (ntile —
+    * rank-based, so no float interpolation crosses the engines; ties
+    * broken by doc_id make the ordering total and the twin's ntile
+    * land identically). Score = the bigram-LM fluency (`bigramLm`,
+    * grid-exact doubles), language = the corpus's own lang column (the
+    * metadata join CCNet's pipeline does against its langID output).
+    *
+    * Scale shape: the LM frame arrives hash-partitioned on doc_id from
+    * its aggregate, the metadata join co-partitions on the same key,
+    * and the tercile window shuffles once on lang. The honest caveat:
+    * an exact rank tercile is one sorted window PER LANGUAGE —
+    * parallelism bounded by the language count (each sort spills via
+    * UnsafeExternalSorter, so it completes, just wide-task). The 100 TB
+    * variant keeps this frame for the assignment but derives the two
+    * cut scores per language from the mergeable quantile machinery
+    * (`kllDailyMerge` / `quantilesByValueCounts`) and assigns by
+    * threshold — embarrassingly parallel, at the price of sketch-
+    * boundary ties; this query ships the exact-rank face the oracle
+    * can pin. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val lm = bigramLmFrame(Tables.documentsPar(spark, dir))
+      .select(col("doc_id"), col("lm_score"))
+    val meta = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("lm_score").desc, col("doc_id"))
+    lm.join(meta, "doc_id")
+      .withColumn("tercile", ntile(3).over(byLang).cast("long"))
+      .withColumn("bucket",
+        when(col("tercile") === 1L, lit("head"))
+          .when(col("tercile") === 2L, lit("middle"))
+          .otherwise(lit("tail")))
+      .select("doc_id", "lang", "lm_score", "tercile", "bucket")
+      .orderBy("doc_id")
+  }
+
   // --- feature-hashed document embeddings ------------------------------
 
   /** Dimension count of the hashed document embedding — mirrored

@@ -173,4 +173,29 @@ class CurationSpec extends SparkSpec {
     // at least one doc is kept and at least one dropped (decision bites)
     assert(c.exists(_.getBoolean(6)) && c.exists(!_.getBoolean(6)))
   }
+
+  test("ppl buckets: balanced rank terciles per language, labels follow " +
+    "the tercile, and every head doc outscores every tail doc in-language") {
+    val b = TextOps.pplBuckets(spark, sf()).cache()
+    // tercile sizes within a language differ by at most 1 (ntile law)
+    val sizes = b.groupBy("lang", "tercile").count()
+      .groupBy("lang").agg(max("count").as("mx"), min("count").as("mn"),
+        countDistinct("tercile").as("nt"))
+    assert(sizes.filter(col("mx") - col("mn") > 1).isEmpty,
+      "tercile sizes unbalanced within a language")
+    assert(sizes.filter(col("nt") =!= 3).isEmpty,
+      "a language is missing a tercile at this SF")
+    assert(b.filter(
+      (col("tercile") === 1 && col("bucket") =!= "head") ||
+        (col("tercile") === 2 && col("bucket") =!= "middle") ||
+        (col("tercile") === 3 && col("bucket") =!= "tail")).isEmpty,
+      "bucket label does not follow the tercile")
+    // rank semantics: min head score >= max tail score per language
+    val agg = b.groupBy("lang").agg(
+      min(when(col("bucket") === "head", col("lm_score"))).as("h_min"),
+      max(when(col("bucket") === "tail", col("lm_score"))).as("t_max"))
+    assert(agg.filter(col("h_min") < col("t_max")).isEmpty,
+      "a tail doc outscores a head doc within its language")
+    b.unpersist()
+  }
 }
