@@ -64,7 +64,8 @@ object GraftCatalog {
     "emb_ann_pq",         // collected codebook seed vectors
     "emb_ann_ivfpq",      // collected codebooks + coarse cells
     "emb_ann_pq2",        // codebook seed + integer Lloyd sums
-    "emb_semdedup")       // collected centroids + the bits count
+    "emb_semdedup",       // collected centroids + the bits count
+    "events_overlap_theta") // per-partition sketch collect + driver algebra
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

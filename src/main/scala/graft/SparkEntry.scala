@@ -87,6 +87,7 @@ object SparkEntry {
     "approx_percentiles" -> ((s, d) => Relational.approxPercentiles(s, d)),
     "hll_daily_merge" -> ((s, d) => Relational.hllDailyMerge(s, d)),
     "kll_daily_merge" -> ((s, d) => Relational.kllDailyMerge(s, d)),
+    "events_overlap_theta" -> ((s, d) => Relational.eventsOverlapTheta(s, d)),
     "dq_report" -> ((s, d) => Relational.dqReport(s, d)),
     // --- LLM-data-pipeline tier: text analysis ---
     "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),

@@ -156,6 +156,36 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"merged sketch estimate $merged too far from exact $exact")
   }
 
+  test("theta overlap: every pair's exact overlap sits inside the " +
+    "sketch bounds, and estimates are EXACT below the sampling threshold") {
+    val rows = Relational.eventsOverlapTheta(spark, d).collect()
+    assert(rows.nonEmpty, "no audience pairs emitted")
+    val sets = Tables.events(spark, d)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(1)).toSet
+      }
+    val nPairs = sets.size * (sets.size - 1) / 2
+    assert(rows.length == nPairs, s"expected $nPairs pairs, got ${rows.length}")
+    rows.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      assert(ta < tb, "pairs must be unordered (a < b) with no dups")
+      val exact = (sets(ta) intersect sets(tb)).size.toDouble
+      assert(r.getDouble(5) <= exact && exact <= r.getDouble(6),
+        s"($ta,$tb): exact $exact outside [${r.getDouble(5)}, ${r.getDouble(6)}]")
+      // below 2^lgK distinct keys a theta sketch never samples → exact
+      if (sets(ta).size < 4096 && sets(tb).size < 4096) {
+        assert(r.getDouble(2) == sets(ta).size.toDouble &&
+          r.getDouble(3) == sets(tb).size.toDouble,
+          s"($ta,$tb): per-audience estimate not exact in exact mode")
+        assert(r.getDouble(4) == exact,
+          s"($ta,$tb): overlap estimate ${r.getDouble(4)} != exact $exact " +
+            "in exact mode")
+        assert(r.getDouble(7) == (sets(ta) union sets(tb)).size.toDouble)
+      }
+    }
+  }
+
   test("sessions are gap-consistent: no intra-session gap >= 30min, " +
     "consecutive sessions separated by >= 30min") {
     val s = Relational.sessionize(spark, d).collect()
