@@ -440,6 +440,32 @@ SELECT user_id, version, state, valid_from_ms,
   (lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version) IS NULL) AS is_current
 FROM runs ORDER BY user_id, version""",
 
+
+    // Twin of SignalOps.outliers: the same two windowed robust
+    // statistics over the shared signals CTE (median and MAD both
+    // interpolate over the integer cents grid), the same fixed
+    // division order for the modified z, the same 3.5 gate; MAD=0 →
+    // NULL z → never flagged, in both engines.
+    "sig_outliers" ->
+      s"""WITH $signalsCte,
+st AS (
+  SELECT symbol, event_id, ts_ms, price, price_c,
+    quantile_cont(price_c, 5e-1) OVER (PARTITION BY symbol) AS med_c
+  FROM signals),
+dv AS (
+  SELECT *, abs(price_c - med_c) AS dev FROM st),
+md AS (
+  SELECT *, quantile_cont(dev, 5e-1) OVER (PARTITION BY symbol) AS mad_c
+  FROM dv),
+z AS (
+  SELECT *, CASE WHEN mad_c > 0e0
+    THEN 6.745e-1 * (price_c - med_c) / mad_c END AS z_mod
+  FROM md)
+SELECT symbol, event_id, ts_ms, price,
+  med_c / 1e2 AS med_price, mad_c / 1e2 AS mad_price, z_mod
+FROM z WHERE z_mod IS NOT NULL AND abs(z_mod) > 3.5e0
+ORDER BY symbol, event_id""",
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- reference pipeline (SURVEY §2.2-§2.8) ---
     "sig_parse_enrich" -> ((s, d) => SignalOps.parseEnrich(Tables.events(s, d))),
+    "sig_outliers" -> ((s, d) => SignalOps.outliers(s, d)),
     "sig_union_merge" -> ((s, d) => SignalOps.unionMerge(Tables.events(s, d))),
     "sig_window_agg" -> ((s, d) =>
       WindowAgg.windowAgg(Tables.events(s, d)).orderBy("w_start", "symbol")),

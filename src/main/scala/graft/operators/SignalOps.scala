@@ -49,6 +49,41 @@ object SignalOps {
       col("props")
     ).withColumn("w_start", expr(s"(ts_ms div ${WindowMs}L) * ${WindowMs}L"))
 
+  /** ROBUST per-symbol anomaly detection (`sig_outliers`) — the
+    * monitoring face of the signal pipeline: flag prices whose modified
+    * z-score |0.6745·(x − median)/MAD| exceeds 3.5 (Iglewicz-Hoaglin),
+    * the standard robust rule a trading monitor runs because mean/σ are
+    * themselves dragged by the outliers they should flag.
+    *
+    * Scale shape: ONE hash exchange on symbol serves everything — both
+    * robust statistics are unordered window aggregates over the same
+    * partitioning (median via percentile, then MAD as the median of
+    * the deviations in a second window pass that reuses the exchange),
+    * so no join, no second shuffle, plan-pinned. `percentile` buffers
+    * one symbol's values per window partition — the exact-tier memory
+    * ceiling; at 100 TB swap the window percentiles for the value-count
+    * rank machinery (`quantilesByValueCounts`), same bracketing
+    * semantics, bounded memory. A zero MAD (>50% of a symbol at one
+    * price) yields NULL z and never flags — the degenerate case the
+    * rule defines away. Prices ride the cents grid so the medians
+    * interpolate over integers identically in both engines. */
+  def outliers(spark: SparkSession, dir: String): DataFrame =
+    signals(graft.Tables.events(spark, dir))
+      .withColumn("price_c", round(col("price") * 100).cast("long"))
+      .withColumn("med_c",
+        expr("percentile(price_c, 0.5) OVER (PARTITION BY symbol)"))
+      .withColumn("dev", abs(col("price_c") - col("med_c")))
+      .withColumn("mad_c",
+        expr("percentile(dev, 0.5) OVER (PARTITION BY symbol)"))
+      .withColumn("z_mod", when(col("mad_c") > 0.0,
+        lit(0.6745) * (col("price_c") - col("med_c")) / col("mad_c")))
+      .filter(col("z_mod").isNotNull && abs(col("z_mod")) > 3.5)
+      .select(col("symbol"), col("event_id"), col("ts_ms"), col("price"),
+        (col("med_c") / 100.0).as("med_price"),
+        (col("mad_c") / 100.0).as("mad_price"),
+        col("z_mod"))
+      .orderBy("symbol", "event_id")
+
   /** P1 (JSON parse-or-drop) + P2 (enrich) + strength derivation
     * (Signal.kt:23-29: weight 1/2/3 by timeframe, 0 otherwise).
     * `get_json_object` returns null on corrupt JSON → filter reproduces the

@@ -156,6 +156,36 @@ class OperatorInvariantsSpec extends SparkSpec {
       s"merged sketch estimate $merged too far from exact $exact")
   }
 
+  test("outliers: flagged iff |modified z| > 3.5 against an independent " +
+    "per-symbol median/MAD recompute; MAD=0 symbols never flag") {
+    val got = graft.operators.SignalOps.outliers(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(6))).toSet
+    // independent reference: driver-side exact median/MAD per symbol
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      val pos = (n - 1) * 0.5
+      val lo = pos.toInt
+      if (lo + 1 < n) s(lo) + (s(lo + 1) - s(lo)) * (pos - lo) else s(lo)
+    }
+    val rows = Tables.events(spark, d)
+      .select(concat(lit("U"), col("user_id").cast("string")).as("symbol"),
+        col("event_id"), round(col("value") * 100).cast("long").as("pc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).flatMap { case (sym, evs) =>
+      val med = median(evs.map(_._3.toDouble).toSeq)
+      val mad = median(evs.map(e => math.abs(e._3 - med)).toSeq)
+      if (mad == 0.0) Seq.empty[(String, Long, Double)]
+      else evs.toSeq.flatMap { case (_, eid, pc) =>
+        val z = 0.6745 * (pc - med) / mad
+        if (math.abs(z) > 3.5) Some((sym, eid, z)) else None
+      }
+    }.toSet
+    assert(got == expected,
+      s"outlier set mismatch: extra=${(got -- expected).take(3)} " +
+        s"missing=${(expected -- got).take(3)}")
+    assert(got.nonEmpty, "no outliers at this SF — rule never bites")
+  }
+
   test("theta overlap: every pair's exact overlap sits inside the " +
     "sketch bounds, and estimates are EXACT below the sampling threshold") {
     val rows = Relational.eventsOverlapTheta(spark, d).collect()

@@ -328,6 +328,15 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"expected only the window exchange:\n$p")
   }
 
+  test("outliers: both robust-statistic window passes share one symbol " +
+    "exchange — no join, no second shuffle") {
+    // the presentation orderBy adds a RANGE exchange; the hash count
+    // pins the median+MAD computation to a single symbol shuffle
+    val p = plan(graft.operators.SignalOps.outliers(spark, sf()))
+    assert(countIn(p, "Exchange hashpartitioning") == 1,
+      s"expected exactly 1 hash exchange for median+MAD:\n$p")
+  }
+
   test("scd2: one user_id exchange serves both window passes and the " +
     "(user_id, version) run aggregate") {
     // before the presentation orderBy (that adds a range exchange)
