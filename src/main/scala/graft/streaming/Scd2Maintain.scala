@@ -126,6 +126,48 @@ object Scd2Maintain {
     applied
   }
 
+  /** KEYED DELETION for the history store — the compliance face
+    * (right-to-erasure): a type-2 store holds the subject's FULL
+    * timeline, so forgetting a key must purge BOTH faces — the event
+    * log (the durable state) and the derived history — in the touched
+    * buckets only. Log first: if a crash intervenes before the history
+    * rewrite, the stale history rows reference a key whose log is gone,
+    * and the next merge touching the bucket (or `refreshHistory`)
+    * recomputes history from the purged log — the deletion can only
+    * become MORE complete, never resurrect (same convergence direction
+    * as the append crash window). Idempotent; returns events removed
+    * from the log. */
+  def forgetKeys(spark: SparkSession, store: String, keys: Seq[Long]): Long = {
+    if (keys.isEmpty ||
+      !SnapshotMaintain.storeExists(spark, logDir(store))) return 0L
+    resumePendingCompact(spark, store)
+    val buckets = SnapshotMaintain.storedBuckets(spark, store, DefaultBuckets)
+    val touched = SnapshotMaintain.touchedBucketsOf(spark, keys, buckets)
+    val curLog = spark.read.parquet(logDir(store))
+      .filter(col("bucket").isin(touched: _*))
+      .localCheckpoint(true)
+    val keptLog = curLog.filter(!col("user_id").isin(keys: _*))
+      .localCheckpoint(true)
+    val removed = curLog.count() - keptLog.count()
+    if (removed == 0L) return 0L
+    keptLog.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(logDir(store))
+    val present = keptLog.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    SnapshotMaintain.dropEmptiedBuckets(spark, logDir(store), touched, present)
+    // touched buckets' history re-derives from the purged log
+    CdcRoute.scd2FromChanges(keptLog.drop("bucket"))
+      .withColumn("bucket", SnapshotMaintain.bucketOf(buckets))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(histDir(store))
+    SnapshotMaintain.dropEmptiedBuckets(spark, histDir(store), touched, present)
+    removed
+  }
+
   /** Rebuild EVERY bucket's history from the log — O(store), for
     * checkpoint-loss recovery or after a manual log edit. */
   def refreshHistory(spark: SparkSession, store: String): Unit = {

@@ -285,6 +285,62 @@ object SnapshotMaintain {
     changed
   }
 
+  /** KEYED DELETION — the compliance face (right-to-erasure / GDPR
+    * forget) every keyed store eventually needs: remove the given keys'
+    * state, touching ONLY the buckets that can hold them. Same pruning
+    * arithmetic as `mergeBatch`: compute each key's bucket from the
+    * store's marker, read just those partitions, rewrite them without
+    * the keys via dynamic partition overwrite — O(touched buckets),
+    * untouched buckets never opened. Returns the number of rows
+    * removed. Deletion is idempotent (a second call is a no-op) and
+    * convergent with the merge stream: a later event for a deleted key
+    * simply re-inserts fresh state, which is the CDC-correct reading
+    * (the deletion forgets history, it does not tombstone the future —
+    * emit an explicit tombstone event upstream for that). */
+  def deleteKeys(spark: SparkSession, store: String, keys: Seq[Long]): Long = {
+    if (keys.isEmpty || !storeExists(spark, store)) return 0L
+    val buckets = storedBuckets(spark, store, DefaultBuckets)
+    val touched = touchedBucketsOf(spark, keys, buckets)
+    val cur = spark.read.parquet(store)
+      .filter(col("bucket").isin(touched: _*))
+      .localCheckpoint(true)
+    val remaining = cur.filter(!col("user_id").isin(keys: _*))
+      .localCheckpoint(true)
+    val removed = cur.count() - remaining.count()
+    if (removed == 0L) return 0L
+    remaining
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(store)
+    // dynamic overwrite only replaces partitions PRESENT in the write;
+    // a bucket whose every row was deleted writes nothing and would
+    // silently keep its old files — drop those directories explicitly
+    dropEmptiedBuckets(spark, store, touched,
+      remaining.select("bucket").distinct().collect().map(_.getInt(0)).toSet)
+    removed
+  }
+
+  /** The touched-bucket set of a key list, computed with the SAME
+    * `pmod(hash(key), B)` expression the store layout uses (a tiny
+    * local job — no hand-rolled hash that could drift from Spark's). */
+  private[streaming] def touchedBucketsOf(spark: SparkSession,
+      keys: Seq[Long], buckets: Int): Seq[Int] = {
+    import spark.implicits._
+    keys.toDF("user_id").select(bucketOf(buckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+  }
+
+  private[streaming] def dropEmptiedBuckets(spark: SparkSession,
+      store: String, touched: Seq[Int], stillPresent: Set[Int]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(stillPresent).foreach { b =>
+      val dir = new org.apache.hadoop.fs.Path(s"$store/bucket=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+  }
+
   /** Streaming entry: JSON change-event directory → snapshot store. */
   def maintain(spark: SparkSession, srcDir: String, store: String,
       checkpoint: String,

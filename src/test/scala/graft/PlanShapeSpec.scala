@@ -328,6 +328,40 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"expected only the window exchange:\n$p")
   }
 
+  test("runtime bloom-filter join pruning: a selective dim predicate " +
+    "injects might_contain on the fact scan side (the 100 TB semi-join " +
+    "reduction knob)") {
+    // Spark's InjectRuntimeFilter is on by default but gated by size
+    // thresholds sized for production tables; lower them to demonstrate
+    // the 100 TB plan shape at test SF. Broadcast disabled so the join
+    // is the shuffle join the bloom path serves (broadcast joins get
+    // DPP/bloom on the stream side only in other forms).
+    val keys = Map(
+      // creation side must be SMALLER than this cap (raise it), the
+      // application side scan must be LARGER than this floor (drop it)
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true",
+      "runtime bloom filters must be on by default")
+    val saved = keys.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      val o = Tables.orders(spark, sf())
+        .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+      val l = Tables.lineitem(spark, sf())
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val p = plan(j)
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom runtime filter on the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("outliers: both robust-statistic window passes share one symbol " +
     "exchange — no join, no second shuffle") {
     // the presentation orderBy adds a RANGE exchange; the hash count

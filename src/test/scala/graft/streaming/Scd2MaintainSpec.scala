@@ -159,6 +159,28 @@ class Scd2MaintainSpec extends SparkSpec {
     assert(histBefore.subsetOf(histSet(store)))
   }
 
+  test("forgetKeys: purges log AND history for the keys, keeps every " +
+    "other key's history bit-identical, and a post-forget event starts " +
+    "a fresh version 1") {
+    val store = Files.createTempDirectory("scd2g").toString + "/store"
+    Scd2Maintain.mergeBatch(spark, df(all), store)
+    assert(Scd2Maintain.forgetKeys(spark, store, Seq(1L)) == 4L,
+      "key 1 has 4 logged events")
+    assert(Scd2Maintain.changeLog(spark, store)
+      .filter("user_id = 1").isEmpty, "key 1 events survive in the log")
+    assert(Scd2Maintain.history(spark, store)
+      .filter("user_id = 1").isEmpty, "key 1 rows survive in the history")
+    assert(histSet(store) == refSet(all.filterNot(_._1 == 1L)),
+      "other keys' history changed under the forget")
+    assert(Scd2Maintain.forgetKeys(spark, store, Seq(1L)) == 0L, "not idempotent")
+    // the future is not tombstoned: a new event opens version 1 afresh
+    Scd2Maintain.mergeBatch(spark, df(Seq(ev(1, "n", 5.0, 999, 99))), store)
+    val k1 = Scd2Maintain.history(spark, store).filter("user_id = 1").collect()
+    assert(k1.length == 1 && k1.head.getLong(1) == 1L &&
+      k1.head.getString(2) == "n" && k1.head.getBoolean(7),
+      s"post-forget state must be a fresh version 1: ${k1.mkString(";")}")
+  }
+
   test("streaming maintain: two file batches + checkpointed restart " +
     "converge to the batch fold") {
     val base = Files.createTempDirectory("scd2f").toString

@@ -289,4 +289,43 @@ class SnapshotMaintainSpec extends SparkSpec {
       k1.getAs[Long]("last_ts_ms") == 900 && k1.getAs[Long]("n_events") == 2,
       s"restart lost or double-applied an update: $k1")
   }
+
+  test("deleteKeys: forgets only the given keys, removes emptied bucket " +
+    "dirs, leaves untouched buckets byte-identical, and a later event " +
+    "re-inserts fresh state") {
+    val store = Files.createTempDirectory("snapdel").toString + "/store"
+    val b1 = df(Seq(
+      ev(1, "click", 1.0, 100, 1), ev(2, "view", 2.0, 200, 2),
+      ev(3, "signup", 3.0, 300, 3)))
+    SnapshotMaintain.mergeBatch(spark, b1, store)
+    import scala.jdk.CollectionConverters._
+    def files(): Map[String, Long] =
+      Files.walk(Paths.get(store)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    val before = files()
+    val b2bucket = spark.range(1).selectExpr(
+      "pmod(hash(CAST(2 AS BIGINT)), 64) b").head().getInt(0)
+    assert(SnapshotMaintain.deleteKeys(spark, store, Seq(2L)) == 1L)
+    val s1 = SnapshotMaintain.snapshot(spark, store)
+    assert(s1.count() == 2 && s1.filter("user_id = 2").isEmpty,
+      "key 2 must be forgotten, others kept")
+    // key 2 was alone in its bucket -> the partition dir must be GONE
+    assert(!Files.exists(Paths.get(store, s"bucket=$b2bucket")),
+      "an emptied bucket directory survived the delete")
+    // buckets not holding key 2 were never rewritten
+    val after = files()
+    before.filterNot(_._1.contains(s"bucket=$b2bucket")).foreach {
+      case (path, t) => assert(after.get(path).contains(t),
+        s"untouched bucket file rewritten: $path")
+    }
+    // idempotent
+    assert(SnapshotMaintain.deleteKeys(spark, store, Seq(2L)) == 0L)
+    // deletion forgets history, not the future: a fresh event re-inserts
+    assert(SnapshotMaintain.mergeBatch(spark,
+      df(Seq(ev(2, "return", 9.0, 900, 9))), store) == 1)
+    val k2 = SnapshotMaintain.snapshot(spark, store).filter("user_id = 2").head()
+    assert(k2.getAs[String]("last_event_type") == "return" &&
+      k2.getAs[Long]("n_events") == 1, s"re-inserted state wrong: $k2")
+  }
 }
