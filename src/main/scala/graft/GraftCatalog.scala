@@ -65,7 +65,9 @@ object GraftCatalog {
     "emb_ann_ivfpq",      // collected codebooks + coarse cells
     "emb_ann_pq2",        // codebook seed + integer Lloyd sums
     "emb_semdedup",       // collected centroids + the bits count
-    "events_overlap_theta") // per-partition sketch collect + driver algebra
+    "events_overlap_theta", // per-partition sketch collect + driver algebra
+    "vocab_unigram",      // EM training: seed + per-round usage collects
+    "doc_unigram_segment") // trains (collects) the piece table first
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

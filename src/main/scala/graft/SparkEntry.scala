@@ -120,6 +120,8 @@ object SparkEntry {
     // records the weaker rows-only check, like the sketch queries
     "vocab_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "doc_bpe_segment" -> ((s, d) => TextOps.bpeSegmentCounts(s, d)),
+    "vocab_unigram" -> ((s, d) => TextOps.unigramVocab(s, d)),
+    "doc_unigram_segment" -> ((s, d) => TextOps.unigramSegmentCounts(s, d)),
     "doc_bigram_lm" -> ((s, d) => TextOps.bigramLm(s, d)),
     "doc_classifier_score" -> ((s, d) => TextOps.classifierScore(s, d)),
     "doc_hash_embed" -> ((s, d) => TextOps.hashEmbed(s, d)),

@@ -1262,6 +1262,172 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // --- unigram-LM (SentencePiece) tokenizer ----------------------------
+
+  /** Max candidate piece length and the cost grid of the unigram
+    * trainer. Costs are −log-likelihoods QUANTIZED to the 2^20 integer
+    * grid (floor of StrictMath.log — bit-stable across JVMs), so
+    * Viterbi compares BIGINTs: segmentation is exactly reproducible,
+    * order-independent, and spec-checkable against a driver fold, the
+    * same determinism discipline as the mixture/bigram grids. */
+  val UniMaxPieceLen = 4
+  val UniGrid = 1048576L
+
+  /** Viterbi segmentation of one word under integer piece costs —
+    * minimal total cost; ties prefer the LONGER piece at each boundary
+    * (deterministic). Returns empty for the empty word; every word is
+    * segmentable because the trainer always keeps the full alphabet. */
+  private[graft] def uniViterbi(word: String,
+      costs: scala.collection.Map[String, Long]): Seq[String] = {
+    val n = word.length
+    if (n == 0) return Seq.empty
+    val INF = Long.MaxValue / 4
+    val best = Array.fill(n + 1)(INF)
+    val bl = Array.fill(n + 1)(0) // chosen piece length ending at i
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(UniMaxPieceLen, i)) {
+        if (best(i - l) < INF) {
+          val c = costs.get(word.substring(i - l, i))
+          if (c.isDefined) {
+            val cand = best(i - l) + c.get
+            if (cand < best(i) || (cand == best(i) && l > bl(i))) {
+              best(i) = cand; bl(i) = l
+            }
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    require(best(n) < INF, s"unsegmentable word '$word' — alphabet lost")
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var j = n
+    while (j > 0) { out.prepend(word.substring(j - bl(j), j)); j -= bl(j) }
+    out.toList
+  }
+
+  /** UNIGRAM-LM tokenizer-vocabulary training (`vocab_unigram`) — the
+    * SentencePiece algorithm (Kudo 2018), the second real tokenizer
+    * trainer beside BPE and the one modern LLM vocabularies actually
+    * ship: pieces are not grown bottom-up by merges but SELECTED — seed
+    * a large candidate set, then alternate (E) Viterbi-segment the
+    * corpus under current piece likelihoods and (M) re-estimate piece
+    * probabilities from usage, pruning low-usage pieces toward the
+    * target vocabulary. This implementation keeps the algorithm's
+    * shape with two deterministic simplifications, both documented:
+    * hard-EM (Viterbi counts, not lattice marginals) and prune-by-count
+    * (not leave-one-out loss).
+    *
+    * Scale shape — the trainer is CORPUS-SIZE-INDEPENDENT like BPE:
+    *  - the corpus appears only through the shared |V|-row word-
+    *    frequency artifact (one corpus scan, already paid);
+    *  - seeding explodes each distinct word into ≤ 4·len substrings,
+    *    aggregates freq-weighted occurrence counts (one |V|-bounded
+    *    shuffle), and keeps the top candidates (bounded collect:
+    *    4·vocabSize rows + the alphabet);
+    *  - each EM round maps the |V| words through `uniViterbi` with the
+    *    piece table BROADCAST (mapPartitions, no shuffle of the words),
+    *    aggregates piece-usage counts map-side, and collects the
+    *    ≤|pieces| totals — bounded driver state per round, exactly the
+    *    Lloyd-sums class;
+    *  - Laplace-smoothed likelihoods land on the integer grid, so
+    *    every round and the final ranking are bit-deterministic. */
+  private[graft] def unigramTrainFromWordFreq(spark: SparkSession,
+      wf: DataFrame, vocabSize: Int,
+      rounds: Int): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    val words = wf.select(col("word"), col("freq")).as[(String, Long)]
+    // seed: freq-weighted substring occurrence counts
+    val subCounts = words.flatMap { case (w, f) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(UniMaxPieceLen, w.length - i)
+      } yield (w.substring(i, i + l), f)
+    }.groupBy(col("_1").as("piece")).agg(sum(col("_2")).as("c"))
+    val alphabet = subCounts.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multis = subCounts.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece").asc)
+      .limit(4 * vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def costsOf(counts: Seq[(String, Long)]): Map[String, Long] = {
+      val total = counts.map(_._2).sum.toDouble + counts.size
+      counts.map { case (p, c) =>
+        p -> -math.floor(StrictMath.log((c + 1).toDouble / total) * UniGrid).toLong
+      }.toMap
+    }
+    def prune(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val (singles, rest) = counts.partition(_._1.length == 1)
+      val keep = rest.sortBy { case (p, c) => (-c, p) }
+        .take(math.max(0, vocabSize - singles.size))
+      singles ++ keep
+    }
+    var pieces: Seq[(String, Long)] = prune(alphabet.toSeq ++ multis.toSeq)
+    for (_ <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(costsOf(pieces))
+      val used = words.flatMap { case (w, f) =>
+        uniViterbi(w, bc.value).map(p => (p, f))
+      }.groupBy(col("_1").as("piece")).agg(sum(col("_2")).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // singles survive at zero usage (segmentability floor)
+      pieces = prune(pieces.map { case (p, _) => p -> used.getOrElse(p, 0L) })
+    }
+    val finalCosts = costsOf(pieces)
+    pieces.sortBy { case (p, c) => (-c, p) }
+      .map { case (p, c) => (p, c, finalCosts(p)) }
+  }
+
+  private[graft] def trainedUnigram(spark: SparkSession, dir: String,
+      vocabSize: Int, rounds: Int): Seq[(String, Long, Long)] =
+    graft.Artifacts.memo(
+      s"uni-vocab:${System.identityHashCode(spark)}:$dir:$vocabSize:$rounds") {
+      unigramTrainFromWordFreq(spark, wordFreq(spark, dir), vocabSize, rounds)
+    }
+
+  /** The `vocab_unigram` query: the trained piece table, ranked by
+    * final Viterbi usage. Spec tier like `vocab_bpe_merges` — the
+    * EM/Viterbi fold is not DuckDB-expressible; UnigramSpec pins the
+    * fixture behavior and the corpus laws instead. */
+  def unigramVocab(spark: SparkSession, dir: String, vocabSize: Int = 200,
+      rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    trainedUnigram(spark, dir, vocabSize, rounds).zipWithIndex
+      .map { case ((p, c, g), i) => (i + 1L, p, p.length.toLong, c, g) }
+      .toDF("rank", "piece", "n_chars", "viterbi_count", "cost_grid")
+      .orderBy("rank")
+  }
+
+  /** Unigram APPLICATION (`doc_unigram_segment`) — segment the corpus
+    * with the learned pieces, the `bpeSegmentCounts` twin for the
+    * unigram tokenizer: per-distinct-word Viterbi over the |V|-row
+    * vocabulary (broadcast piece table, mapPartitions, zero shuffle),
+    * then the corpus joins each token to its piece count — application
+    * cost independent of corpus size, same hinted shuffle-hash probe
+    * as the BPE face. */
+  def unigramSegmentCounts(spark: SparkSession, dir: String,
+      vocabSize: Int = 200, rounds: Int = 3): DataFrame = {
+    import spark.implicits._
+    val costs = trainedUnigram(spark, dir, vocabSize, rounds)
+      .map { case (p, _, g) => p -> g }.toMap
+    val bc = spark.sparkContext.broadcast(costs)
+    val segmented = wordFreq(spark, dir).select(col("word")).as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, uniViterbi(w, bc.value).size.toLong))
+      }.toDF("word", "n_pieces")
+    Tables.documentsPar(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("word"))
+      .join(segmented.hint("shuffle_hash"), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_pieces")).as("n_uni_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_uni_tokens"),
+        (col("n_uni_tokens").cast("double") / col("n_words"))
+          .as("uni_fertility"))
+      .orderBy("doc_id")
+  }
+
   // --- PII redaction ---------------------------------------------------
 
   /** PII patterns in the Java/RE2 COMMON dialect (plain classes,
