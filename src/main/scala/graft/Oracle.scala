@@ -875,6 +875,47 @@ SELECT doc_id, n_tokens,
   norm_sq
 FROM agg ORDER BY doc_id""",
 
+
+    // Twin of TextOps.hashEmbedTopK: the doc_hash_embed dense-vector
+    // CTEs verbatim, the DSIR eval-split rule for the query side,
+    // INTEGER dot folds (order-independent), one final cosine division
+    // in the same token order, (sim DESC, c_id) rank.
+    "emb_hash_topk" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_transform($tokensExpr, w -> lower(w)) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+g AS (
+  SELECT doc_id, h % 64 AS dim,
+    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM h GROUP BY 1, 2),
+dense AS (
+  SELECT t.doc_id, d.dim, CAST(coalesce(g.v, 0) AS BIGINT) AS v
+  FROM t CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+  LEFT JOIN g ON g.doc_id = t.doc_id AND g.dim = d.dim),
+agg AS (
+  SELECT doc_id, list(v ORDER BY dim) AS emb,
+    CAST(SUM(v * v) AS BIGINT) AS norm_sq
+  FROM dense GROUP BY doc_id),
+e AS (
+  SELECT doc_id, emb, norm_sq,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7) AS BIGINT) % 10 = 0 AS is_eval
+  FROM agg WHERE norm_sq > 0),
+q AS (SELECT doc_id AS q_id, emb AS qemb, norm_sq AS qn FROM e WHERE is_eval),
+c AS (SELECT doc_id AS c_id, emb AS cemb, norm_sq AS cn FROM e WHERE NOT is_eval),
+sims AS (
+  SELECT q_id, c_id,
+    CAST(list_reduce(list_transform(range(1, 65), i -> qemb[i] * cemb[i]),
+      (x, y) -> x + y) AS DOUBLE)
+      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+  FROM c, q)
+SELECT q_id, c_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rn,
+  sim
+FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
     // Twin of TextOps.classifierFrame: same lowercased unigram+bigram
     // feature set, same md5₂₈ bucket (mod 4096) and md5₂₈ weight grid
     // (mod 2^16 - 2^15), BIGINT feature-weight sum, one final division.

@@ -126,6 +126,7 @@ object SparkEntry {
     "doc_classifier_score" -> ((s, d) => TextOps.classifierScore(s, d)),
     "doc_hash_embed" -> ((s, d) => TextOps.hashEmbed(s, d)),
     "doc_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(s, d)),
+    "emb_hash_topk" -> ((s, d) => TextOps.hashEmbedTopK(s, d)),
     "doc_importance_dsir" -> ((s, d) => TextOps.importanceDsir(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),

@@ -1738,6 +1738,48 @@ object TextOps {
         graft.plans.GraftFunctions.graftHashEmbed(spark, "toks")
           .cast("array<double>").as("vec"))
 
+  /** The composed text→vector→search query (`emb_hash_topk`): cosine
+    * top-k over the HASHED embeddings — eval-split docs (the same md5
+    * bucket rule as DSIR/curation) query the raw corpus, proving the
+    * manufactured embedding column drops straight into the ANN family.
+    * The dot products are INTEGER-exact (BIGINT folds over the signed
+    * counts — order-independent), so only the final cosine division
+    * touches floats, with the token order the oracle repeats.
+    *
+    * Scale shape: the query side is the tiny eval split — broadcast —
+    * so candidate scoring is a per-row loop over the corpus scan (one
+    * BroadcastNestedLoopJoin, the brute-force baseline shape); the
+    * top-k cut is one window exchange on q_id. The scale path for big
+    * query sets is the LSH/IVF/PQ family over `hashEmbedVectors`. */
+  def hashEmbedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val base = graft.Artifacts.shared(
+      Tables.documentsPar(spark, dir)
+        .withColumn("toks", tokens)
+        .select(col("doc_id"),
+          graft.plans.GraftFunctions.graftHashEmbed(spark, "toks").as("emb"))
+        .withColumn("norm_sq", aggregate(col("emb"), lit(0L), (a, x) => a + x * x))
+        .filter(col("norm_sq") > 0L)
+        .withColumn("is_eval", sampleBucket === 0))
+    val q = base.filter(col("is_eval"))
+      .select(col("doc_id").as("q_id"), col("emb").as("qemb"),
+        col("norm_sq").as("q_nsq"))
+    val c = base.filter(!col("is_eval"))
+      .select(col("doc_id").as("c_id"), col("emb").as("cemb"),
+        col("norm_sq").as("c_nsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    c.join(broadcast(q))
+      .withColumn("dot", aggregate(
+        zip_with(col("qemb"), col("cemb"), (a, b) => a * b),
+        lit(0L), (s, x) => s + x))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_nsq").cast("double")) * sqrt(col("c_nsq").cast("double"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rn"), col("sim"))
+      .orderBy("q_id", "rn")
+  }
+
   // --- DSIR importance weighting ---------------------------------------
 
   /** Hash-bucket count of the DSIR importance estimate — mirrored

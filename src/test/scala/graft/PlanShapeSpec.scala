@@ -328,6 +328,16 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"expected only the window exchange:\n$p")
   }
 
+  test("hash-embed top-k: broadcast query side (one nested-loop over " +
+    "the corpus scan), one window exchange, no cartesian") {
+    val p = plan(graft.operators.TextOps.hashEmbedTopK(spark, sf()))
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 1,
+      s"expected the broadcast brute-force shape:\n$p")
+    assert(countIn(p, "CartesianProduct") == 0)
+    assert(countIn(p, "Exchange hashpartitioning") == 1,
+      s"expected only the q_id rank exchange:\n$p")
+  }
+
   test("runtime bloom-filter join pruning: a selective dim predicate " +
     "injects might_contain on the fact scan side (the 100 TB semi-join " +
     "reduction knob)") {
