@@ -72,6 +72,21 @@ object DecompProbe {
     println(f"[decomp] assign custom/composed ${custom - norm}%.3f/${composed - norm}%.3f s; " +
       f"custom share: ivf ${(custom - norm) / ivf * 100}%.1f%% " +
       f"ivf2 ${(custom - norm) / ivf2 * 100}%.1f%%")
+    // ---- hash-embed top-k dot share (round 6 LongDot decision) ----
+    // same pair scan, dot = composed aggregate(zip_with) fold vs the
+    // LongDot JVM loop — the measurement behind using LongDot in
+    // hashEmbedTopK (the r2 doGenCode gate discipline).
+    import graft.operators.TextOps
+    val dotComposed = time("hashtopk: composed dot") {
+      TextOps.hashEmbedTopKProbe(spark, sfDir, composedDot = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val dotCustom = time("hashtopk: LongDot") {
+      TextOps.hashEmbedTopKProbe(spark, sfDir, composedDot = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"[decomp] hashtopk dot composed ${dotComposed}%.3f s vs " +
+      f"LongDot ${dotCustom}%.3f s (${dotComposed / dotCustom}%.1fx)")
     spark.stop()
   }
 }

@@ -159,6 +159,44 @@ object ClassifierScoreUnits {
       graft.operators.TextOps.clsWeight(b.toLong))
 }
 
+/** `graft_dot_long(a, b)` — BIGINT dot product of two long arrays
+  * (zipped to the shorter length, matching zip_with). The composed
+  * `aggregate(zip_with(a, b, *), 0L, +)` form runs 2·n interpreted
+  * lambda frames per row; in the hash-embed top-k scan that fold IS
+  * the query (DecompProbe: 1.81 s → 0.50 s on the sf0.1 pair scan,
+  * 3.6× — over the r2 doGenCode gate, like IvfAssignTop2). One JVM
+  * loop, bit-identical (integer arithmetic — ExpressionParitySpec). */
+case class LongDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_dot_long needs two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
+    copy(l, r)
+  override def prettyName: String = "graft_dot_long"
+}
+
 /** `graft_hash_embed(tokens)` — the feature-hashing document embedding
   * (TextOps.hashEmbed): every lowercased token lands in ONE of 64
   * dimensions (md5₂₈ mod 64) with a ±1 sign from the next md5 bit

@@ -1769,15 +1769,40 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     c.join(broadcast(q))
-      .withColumn("dot", aggregate(
-        zip_with(col("qemb"), col("cemb"), (a, b) => a * b),
-        lit(0L), (s, x) => s + x))
+      // one JVM-loop dot per pair (LongDot) — the composed
+      // aggregate(zip_with(...)) fold ran 128 interpreted lambda frames
+      // per candidate and was the whole query (the classifier lesson;
+      // parity pinned in ExpressionParitySpec)
+      .withColumn("dot",
+        graft.plans.GraftFunctions.graftDotLong(spark, "qemb", "cemb"))
       .withColumn("sim", col("dot").cast("double") /
         (sqrt(col("q_nsq").cast("double")) * sqrt(col("c_nsq").cast("double"))))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("rn"), col("sim"))
       .orderBy("q_id", "rn")
+  }
+
+  /** DecompProbe face of the top-k scan: the same pair scoring with the
+    * dot either composed (aggregate∘zip_with) or the LongDot loop —
+    * the measurement behind the production choice. */
+  private[graft] def hashEmbedTopKProbe(spark: SparkSession, dir: String,
+      composedDot: Boolean): DataFrame = {
+    val base = Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"),
+        graft.plans.GraftFunctions.graftHashEmbed(spark, "toks").as("emb"))
+      .withColumn("is_eval", sampleBucket === 0)
+    val q = base.filter(col("is_eval"))
+      .select(col("doc_id").as("q_id"), col("emb").as("qemb"))
+    val c = base.filter(!col("is_eval"))
+      .select(col("doc_id").as("c_id"), col("emb").as("cemb"))
+    val dot =
+      if (composedDot)
+        aggregate(zip_with(col("qemb"), col("cemb"), (a, b) => a * b),
+          lit(0L), (s, x) => s + x)
+      else graft.plans.GraftFunctions.graftDotLong(spark, "qemb", "cemb")
+    c.join(broadcast(q)).select(col("q_id"), col("c_id"), dot.as("dot"))
   }
 
   // --- DSIR importance weighting ---------------------------------------

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayPairs, ClassifierScoreUnits, HashEmbedUnits, MinHashSignature, PairsGenerator, TrigramShingles}
+import graft.functions.{ArrayPairs, ClassifierScoreUnits, HashEmbedUnits, LongDot, MinHashSignature, PairsGenerator, TrigramShingles}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.expr
 
@@ -62,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[HashEmbedUnits].getName, "graft_hash_embed"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HashEmbedUnits(exprs.head)))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_long"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LongDot].getName, "graft_dot_long"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LongDot(exprs.head, exprs(1))))
   }
 }
 
@@ -113,6 +119,8 @@ object GraftFunctions {
       "graft_cls_score", exprs => ClassifierScoreUnits(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_hash_embed", exprs => HashEmbedUnits(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_long", exprs => LongDot(exprs.head, exprs(1)), "built-in")
   }
 
   /** column faces over named columns (register first, then `expr`) */
@@ -131,6 +139,9 @@ object GraftFunctions {
   }
   def graftHashEmbed(spark: SparkSession, tokensCol: String): Column = {
     register(spark); expr(s"graft_hash_embed($tokensCol)")
+  }
+  def graftDotLong(spark: SparkSession, aCol: String, bCol: String): Column = {
+    register(spark); expr(s"graft_dot_long($aCol, $bCol)")
   }
   def graftClsScore(spark: SparkSession, tokensCol: String): Column = {
     register(spark); expr(s"graft_cls_score($tokensCol)")

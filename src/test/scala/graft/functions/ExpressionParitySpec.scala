@@ -121,6 +121,38 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("graft_dot_long == composed aggregate(zip_with) fold, " +
+    "bit-identically, on real embedding pairs and edges") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val pairs = Seq(
+      (Array(1L, -2L, 3L), Array(4L, 5L, -6L)),
+      (Array.fill(64)(3L), Array.fill(64)(-7L)),
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(Long.MaxValue / 4, 2L), Array(2L, 3L)))
+      .toDF("a", "b")
+    val both = pairs
+      .withColumn("custom", expr("graft_dot_long(a, b)"))
+      .withColumn("composed",
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x))
+    assert(both.filter(col("custom") =!= col("composed")).isEmpty)
+    // and over the full hash-embed pair scan at test SF
+    val base = Tables.documents(spark, sf())
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        GraftFunctions.graftHashEmbed(spark, "toks").as("emb"))
+      .limit(50)
+    val q = base.select(col("doc_id").as("qid"), col("emb").as("qemb"))
+    val c = base.select(col("doc_id").as("cid"), col("emb").as("cemb"))
+    val x = c.join(broadcast(q))
+      .withColumn("custom", expr("graft_dot_long(qemb, cemb)"))
+      .withColumn("composed",
+        aggregate(zip_with(col("qemb"), col("cemb"), (a, b) => a * b),
+          lit(0L), (s, x) => s + x))
+    assert(x.filter(col("custom") =!= col("composed")).isEmpty)
+  }
+
   test("SQL registration via extensions entry point") {
     new graft.plans.GraftExtensions() // construct: the --conf path exists
     GraftFunctions.register(spark)
