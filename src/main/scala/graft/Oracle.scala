@@ -466,6 +466,49 @@ SELECT symbol, event_id, ts_ms, price,
 FROM z WHERE z_mod IS NOT NULL AND abs(z_mod) > 3.5e0
 ORDER BY symbol, event_id""",
 
+
+    // Twin of CdcRoute.scd2AsOf: the cdc_scd2 islands CTEs verbatim,
+    // as-of instant = integer midpoint of the event-time range, the
+    // half-open [valid_from, valid_to) probe.
+    "cdc_scd2_asof" ->
+      """WITH ev AS (
+  SELECT user_id, event_type, value,
+    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_id
+  FROM events),
+marked AS (
+  SELECT *, CASE WHEN lag(event_type) OVER
+      (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_change
+  FROM ev),
+versioned AS (
+  SELECT *, CAST(SUM(is_change) OVER (PARTITION BY user_id
+    ORDER BY ts_ms, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+  FROM marked),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, version
+    ORDER BY ts_ms DESC, event_id DESC) AS rn
+  FROM versioned),
+runs AS (
+  SELECT user_id, version, max(event_type) AS state,
+    CAST(min(ts_ms) AS BIGINT) AS valid_from_ms,
+    CAST(count(*) AS BIGINT) AS n_events,
+    max(CASE WHEN rn = 1 THEN value END) AS last_value
+  FROM ranked GROUP BY 1, 2),
+hist AS (
+  SELECT *, lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY version)
+    AS valid_to_ms
+  FROM runs),
+bounds AS (
+  SELECT CAST(min(ts_ms) + (max(ts_ms) - min(ts_ms)) // 2 AS BIGINT)
+    AS as_of_ms FROM ev)
+SELECT user_id, as_of_ms, version, state, valid_from_ms, valid_to_ms,
+  n_events, last_value
+FROM hist CROSS JOIN bounds
+WHERE valid_from_ms <= as_of_ms
+  AND (valid_to_ms IS NULL OR as_of_ms < valid_to_ms)
+ORDER BY user_id""",
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -60,6 +60,7 @@ object SparkEntry {
       CdcRoute.outboxEvents(s, Tables.events(s, d)).orderBy("aggregate_id")),
     "cdc_snapshot_merge" -> ((s, d) => CdcRoute.snapshotMerge(s, d)),
     "cdc_scd2" -> ((s, d) => CdcRoute.scd2History(s, d)),
+    "cdc_scd2_asof" -> ((s, d) => CdcRoute.scd2AsOf(s, d)),
     // --- relational suite (SURVEY §2.11 — free with Spark, still verified) ---
     "q1_pricing" -> ((s, d) => Relational.q1Pricing(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),

@@ -162,6 +162,34 @@ object CdcRoute {
         unix_millis(col("ts")).as("ts_ms"), col("event_id")))
       .orderBy("user_id", "version")
 
+  /** POINT-IN-TIME (time-travel) read over the type-2 history
+    * (`cdc_scd2_asof`) — the query a versioned dimension exists to
+    * answer: each key's state AS OF an instant T, i.e. the unique
+    * version with valid_from ≤ T < valid_to (open versions unbounded).
+    * T here is the midpoint of the observed event-time range (integer
+    * arithmetic, so both engines derive the same instant and the query
+    * is self-contained). The probe is one tiny cross join of the
+    * single-row bounds aggregate (broadcast) against the history —
+    * at scale the same filter serves any literal T, and a history
+    * table PARTITIONED on validity-period boundaries prunes it to one
+    * partition. One row per key that existed by T. */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val changes = graft.Tables.events(spark, dir).select(
+      col("user_id"), col("event_type"), col("value"),
+      unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+    val bounds = changes.agg(
+      min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      .select(expr("lo + (hi - lo) div 2").as("as_of_ms")) // integer div
+    scd2FromChanges(changes)
+      .crossJoin(broadcast(bounds))
+      .filter(col("valid_from_ms") <= col("as_of_ms") &&
+        (col("valid_to_ms").isNull || col("as_of_ms") < col("valid_to_ms")))
+      .select(col("user_id"), col("as_of_ms"), col("version"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"), col("n_events"),
+        col("last_value"))
+      .orderBy("user_id")
+  }
+
   def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.Tables.customer(spark, dir)
       .filter(col("c_custkey") % 2 === 0)

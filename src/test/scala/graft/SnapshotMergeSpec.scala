@@ -137,6 +137,22 @@ class SnapshotMergeSpec extends SparkSpec {
     h.unpersist()
   }
 
+  test("scd2 as-of: exactly one version per key existing at T, and it " +
+    "is the history row whose interval contains T") {
+    val asof = CdcRoute.scd2AsOf(spark, sf()).cache()
+    assert(asof.groupBy("user_id").count().filter(col("count") =!= 1).isEmpty,
+      "as-of must yield exactly one version per key")
+    val t = asof.select("as_of_ms").head().getLong(0)
+    val hist = CdcRoute.scd2History(spark, sf())
+      .filter(col("valid_from_ms") <= t &&
+        (col("valid_to_ms").isNull || lit(t) < col("valid_to_ms")))
+      .select("user_id", "version", "state")
+    val got = asof.select("user_id", "version", "state")
+    assert(got.exceptAll(hist).isEmpty && hist.exceptAll(got).isEmpty,
+      "as-of result diverges from filtering the history at T")
+    asof.unpersist()
+  }
+
   test("scd2: matches an independent per-key driver fold") {
     val rows = Tables.events(spark, sf())
       .select(col("user_id"), col("event_type"),
