@@ -168,6 +168,49 @@ object Scd2Maintain {
     removed
   }
 
+  /** RETENTION / VACUUM — expire history closed strictly before
+    * `horizonMs`: per key, the retained log starts at the oldest
+    * version still ACTIVE at the horizon (valid_to > horizon or open),
+    * so the current state and every version a time-travel read inside
+    * the retention window could touch are preserved exactly, while
+    * events supporting only pre-horizon versions are purged from the
+    * log and the history re-derives. Purging the LOG (not just the
+    * history) is the point: history is derived state, and a
+    * history-only prune would resurrect on the next touched-bucket
+    * recompute. Version numbers renumber from 1 over the retained
+    * window — the standard type-2 retention semantics (versions are
+    * relative to retained history). Every key keeps ≥1 event (its open
+    * run), so no bucket empties. Idempotent; O(store), paid at the
+    * operator's command like `compactLog`. Returns events purged. */
+  def expireVersions(spark: SparkSession, store: String,
+      horizonMs: Long): Long = {
+    if (!SnapshotMaintain.storeExists(spark, logDir(store))) return 0L
+    resumePendingCompact(spark, store)
+    val buckets = SnapshotMaintain.storedBuckets(spark, store, DefaultBuckets)
+    val log = spark.read.parquet(logDir(store)).localCheckpoint(true)
+    val keepFrom = CdcRoute.scd2FromChanges(log.drop("bucket"))
+      .filter(col("valid_to_ms").isNull || col("valid_to_ms") > horizonMs)
+      .groupBy("user_id")
+      .agg(min(col("valid_from_ms")).as("keep_from"))
+    val kept = log.join(keepFrom, "user_id")
+      .filter(col("ts_ms") >= col("keep_from"))
+      .drop("keep_from")
+      .localCheckpoint(true)
+    val removed = log.count() - kept.count()
+    if (removed == 0L) return 0L
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(logDir(store))
+    CdcRoute.scd2FromChanges(kept.drop("bucket"))
+      .withColumn("bucket", SnapshotMaintain.bucketOf(buckets))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(histDir(store))
+    removed
+  }
+
   /** Rebuild EVERY bucket's history from the log — O(store), for
     * checkpoint-loss recovery or after a manual log edit. */
   def refreshHistory(spark: SparkSession, store: String): Unit = {

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.operators.CdcRoute
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
 
 /** Streaming SCD2 maintenance: the history store converges to the batch
   * gaps-and-islands fold under batch splits, replay, out-of-order
@@ -179,6 +180,45 @@ class Scd2MaintainSpec extends SparkSpec {
     assert(k1.length == 1 && k1.head.getLong(1) == 1L &&
       k1.head.getString(2) == "n" && k1.head.getBoolean(7),
       s"post-forget state must be a fresh version 1: ${k1.mkString(";")}")
+  }
+
+  test("expireVersions: pre-horizon-closed versions go, every version " +
+    "active at the horizon survives, current state untouched, idempotent") {
+    val store = Files.createTempDirectory("scd2h").toString + "/store"
+    Scd2Maintain.mergeBatch(spark, df(all), store)
+    val curBefore = Scd2Maintain.history(spark, store)
+      .filter("is_current").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(6))).toSet
+    // horizon 350: key1 drops a(100-300) [2 events], key3 drops
+    // q(150-250) and r(250-350, valid_to==horizon → closed before it
+    // is NOT strictly after → expired) [2 events], key2 keeps all
+    assert(Scd2Maintain.expireVersions(spark, store, 350L) == 4L)
+    val h = Scd2Maintain.history(spark, store)
+    // current states identical after retention
+    val curAfter = h.filter("is_current").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getDouble(6))).toSet
+    assert(curAfter == curBefore, "retention changed a current state")
+    // no surviving version both closed and entirely before the horizon
+    assert(h.filter(col("valid_to_ms").isNotNull &&
+      col("valid_to_ms") <= 350L).isEmpty,
+      "an expired version survived")
+    // versions renumber densely from 1 over the retained window
+    val perKey = h.groupBy("user_id").agg(
+      min("version").as("lo"), max("version").as("hi"),
+      org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    assert(perKey.filter(col("lo") =!= 1 || col("hi") =!= col("n")).isEmpty)
+    // key1 now starts at the b(300-400) run
+    val k1 = h.filter("user_id = 1").orderBy("version").collect()
+    assert(k1.map(_.getString(2)).toSeq == Seq("b", "a") &&
+      k1.head.getLong(3) == 300L, s"key1 window wrong: ${k1.mkString(";")}")
+    // idempotent; and the log shrank consistently with the history
+    assert(Scd2Maintain.expireVersions(spark, store, 350L) == 0L)
+    assert(Scd2Maintain.changeLog(spark, store).count() == all.size - 4L)
+    // a later merge still converges (log is the state, histories derive)
+    Scd2Maintain.mergeBatch(spark, df(Seq(ev(1, "c", 9.0, 950, 99))), store)
+    val k1b = Scd2Maintain.history(spark, store)
+      .filter("user_id = 1").orderBy("version").collect()
+    assert(k1b.map(_.getString(2)).toSeq == Seq("b", "a", "c"))
   }
 
   test("streaming maintain: two file batches + checkpointed restart " +
