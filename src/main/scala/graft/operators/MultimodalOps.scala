@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata structs; decode /
   * feature-extract runs per-partition against a pluggable decoder.
   *
-  * The real media codecs are not in this container, so `StubDecoder`
+  * Third-party media codecs are not in this container, so `StubDecoder`
   * produces deterministic fake features from the bytes — the Spark-side
   * contract (schema, batch shape, partition parallelism, metadata
-  * propagation) is the real, tested part. The testdata has no media
-  * table, so document text doubles as the payload (`cast(text as binary)`).
+  * propagation) is the real, tested part. `ImageIoDecoder` goes one
+  * step further with the codecs the JDK itself ships (javax.imageio:
+  * PNG/BMP/GIF/JPEG): REAL pixel decoding with parse-or-degrade
+  * fallback to the stub, spec'd on generated rasters
+  * (MultimodalDecodeSpec). The testdata has no media table, so document
+  * text doubles as the payload (`cast(text as binary)`).
   */
 object MultimodalOps {
 
@@ -51,6 +55,52 @@ object MultimodalOps {
       .map(r => MediaRow(
         MediaMeta(r.getLong(0), r.getAs[Array[Byte]](1).length.toLong, "text/plain"),
         r.getAs[Array[Byte]](1)))
+  }
+
+  /** REAL image decoder over the JDK's own codecs (javax.imageio —
+    * PNG/BMP/GIF/JPEG ship with every JVM, no container deps): decodes
+    * the payload to pixels and emits real features — nFrames = pixel
+    * rows, feature0 = the mean luminance on the integer grid (sum of
+    * (r+g+b)/3 per pixel / n, integer division — deterministic),
+    * fingerprint = md5 of the DECODED ARGB raster (content identity
+    * that survives re-encoding byte differences, which the payload-md5
+    * stub cannot see). A payload ImageIO cannot parse (the corpus's
+    * text-as-bytes stand-ins, truncated files) degrades to the
+    * deterministic stub features rather than poisoning the partition —
+    * the parse-or-degrade contract of the signal pipeline applied to
+    * media. Same mapPartitions shape: one decoder instance per
+    * partition, embarrassingly parallel at 100 TB. */
+  object ImageIoDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(row.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth <= 0) StubDecoder.decode(row)
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var lumSum = 0L
+        val argb = new Array[Byte](w * h * 4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val (r, g, b) = ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+            lumSum += (r + g + b) / 3
+            val o = (y * w + x) * 4
+            argb(o) = ((p >> 24) & 0xff).toByte; argb(o + 1) = r.toByte
+            argb(o + 2) = g.toByte; argb(o + 3) = b.toByte
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(row.meta.docId, row.meta.nBytes,
+          nFrames = h.toLong,
+          feature0 = lumSum / (w.toLong * h),
+          fingerprint = md5Hex(argb))
+      }
+    }
   }
 
   /** Per-partition decode — the mapPartitions shape a real decoder needs
