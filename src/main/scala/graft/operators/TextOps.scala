@@ -1501,14 +1501,20 @@ object TextOps {
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmFrame(Tables.documentsPar(spark, dir)).orderBy("doc_id")
 
-  private[graft] def bigramLmFrame(docs: DataFrame): DataFrame = {
-    val G = 1048576L // 2^20 grid, matching the mixture sampler's
-    val pairs = docs.withColumn("toks", tokens)
+  /** The per-document bigram explosion both LM faces share. */
+  private[graft] def bigramPairs(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", tokens)
       .select(col("doc_id"), explode(
         when(size(col("toks")) < 2, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(col("toks")) - 1), i =>
             concat_ws(" ", element_at(col("toks"), i),
               element_at(col("toks"), i + 1))))).as("bg"))
+
+  /** The trained LM itself — (bg, g): grid-quantized conditional
+    * bigram frequency. Extracted so the streaming ingest gate can
+    * TRAIN it once on a corpus and score later batches against it
+    * (`CorpusIngest.trainLmModel`/`gateLm`). */
+  private[graft] def bigramModel(pairs: DataFrame): DataFrame = {
     // the bigram-count table is the LM model — a shared artifact (like
     // gramsTable), so the prefix fold, the ratio attach, and warm bench
     // reps all read one materialization instead of re-running the
@@ -1521,10 +1527,15 @@ object TextOps {
       .agg(sum(col("cb")).as("cp"))
     // grid ratio attached to the count table FIRST (count ⨝ count, slim),
     // so the exploded pairs shuffle exactly once, on bg
-    val scored = cb
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    cb.withColumn("w1", split(col("bg"), " ").getItem(0))
       .join(cp, "w1")
       .select(col("bg"), expr("(cb * 1048576) div cp").as("g"))
+  }
+
+  private[graft] def bigramLmFrame(docs: DataFrame): DataFrame = {
+    val G = 1048576L // 2^20 grid, matching the mixture sampler's
+    val pairs = bigramPairs(docs)
+    val scored = bigramModel(pairs)
     // SHUFFLE-HASH with the count table as build side: without the hint
     // the planner broadcasts whichever side its static estimate likes —
     // at test SFs that was the exploded CORPUS pairs (a corpus broadcast

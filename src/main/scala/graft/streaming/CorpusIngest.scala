@@ -123,16 +123,111 @@ object CorpusIngest {
     * Scale: embarrassingly parallel (zero shuffle); at 100 TB/day the
     * gate runs at source parallelism and drops rejected documents
     * BEFORE anything downstream pays to move them. */
-  def gate(docs: DataFrame): DataFrame =
+  def gate(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     graft.operators.TextOps.piiRedact(
       graft.operators.TextOps.gopherSignals(
         docs.withColumn("text",
           trim(regexp_replace(col("text"), "\\s+", " "))))
         .filter(col("gopher_pass")))
-      .select(col("doc_id"), col("lang"), col("source"),
+      .select(Seq(col("doc_id"), col("lang"), col("source"),
         col("redacted").as("text"), col("n_words"), col("mean_wl"),
         col("frac_alpha"), col("n_stop"),
-        col("n_email"), col("n_phone"), col("n_ip"), col("n_id9"), col("n_pii"))
+        col("n_email"), col("n_phone"), col("n_ip"), col("n_id9"),
+        col("n_pii")) ++ passthrough.map(col): _*)
+
+  /** Train the bigram-LM model on a reference corpus and persist it —
+    * the MODEL artifact the fluency gate scores against. One corpus
+    * pass; the table is (bg, g), vocab²-bounded and slim. */
+  def trainLmModel(spark: SparkSession, corpusDir: String,
+      modelPath: String): Unit =
+    graft.operators.TextOps.bigramModel(
+      graft.operators.TextOps.bigramPairs(
+        graft.Tables.documentsPar(spark, corpusDir)))
+      .write.mode("overwrite").parquet(modelPath)
+
+  /** Score documents against a TRAINED LM table — the deployment shape
+    * of doc_bigram_lm: training happened once on the reference corpus,
+    * new documents only pay scoring. Bigrams the model never saw score
+    * the grid floor (0 — maximal disfluency, the standard no-backoff
+    * reading), so gibberish in a live batch cannot inherit fluency.
+    * On the training corpus itself this reproduces `bigramLm`'s
+    * numbers exactly (no bigram misses — parity spec'd). Stateless
+    * given the model frame: batch ≡ stream by construction; the join
+    * shuffles only the BATCH's pairs on bg (stream-static join). */
+  def lmScore(docs: DataFrame, model: DataFrame): DataFrame = {
+    val G = 1048576L
+    graft.operators.TextOps.bigramPairs(docs)
+      .join(model, Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("g"), lit(0L))).as("lm_grid"))
+      .select(col("doc_id"), col("n_pairs"), col("lm_grid"),
+        (col("lm_grid").cast("double") / (col("n_pairs") * G)).as("lm_score"))
+  }
+
+  /** The FLUENCY-gated gate, batch face: quality+PII (`gate`) composed
+    * with the LM score against a trained model — the CCNet-style
+    * "perplexity filter" face of ingest. Documents too short to score
+    * (no bigram) pass the fluency leg (nothing to judge); everything
+    * else needs lm_score ≥ minScore. Scoring reads the ORIGINAL text
+    * (the gate's redaction/normalization must not shift the LM's
+    * bigrams). */
+  def gateLm(docs: DataFrame, model: DataFrame, minScore: Double): DataFrame =
+    gate(docs)
+      .join(lmScore(docs, model).select("doc_id", "n_pairs", "lm_score"),
+        Seq("doc_id"), "left")
+      .filter(col("n_pairs").isNull || col("lm_score") >= minScore)
+
+  /** PER-ROW scorer over a BROADCAST model — the streaming-safe face:
+    * `lmScore`'s explode+aggregate is a streaming aggregation (append
+    * mode rejects it), but LM inference with a shipped model is
+    * naturally per-row — the model rides as a broadcast map (the
+    * CCNet deployment shape: the trained table is a bounded artifact;
+    * if it ever outgrows broadcast, fall back to `gateLm` under a
+    * foreachBatch sink). One UDF per row, zero shuffle, bit-identical
+    * to the join face (spec-pinned parity, like the bloom
+    * might_contain precedent). */
+  def lmScoreUdf(spark: SparkSession,
+      model: Map[String, Long]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(model)
+    udf { text: String =>
+      val toks = text.split(" ", -1)
+      var i = 1; var n = 0L; var g = 0L
+      while (i < toks.length) {
+        n += 1; g += bc.value.getOrElse(toks(i - 1) + " " + toks(i), 0L)
+        i += 1
+      }
+      (n, g)
+    }
+  }
+
+  /** Streaming ingest with the fluency gate: per-row broadcast-model
+    * scoring keeps the plan stateless, so the file-sink manifest alone
+    * still carries exactly-once, like `ingestGated`. */
+  def ingestGatedLm(spark: SparkSession, srcDir: String, store: String,
+      checkpoint: String, modelPath: String,
+      minScore: Double): DataStreamWriter[org.apache.spark.sql.Row] = {
+    import spark.implicits._
+    val model = spark.read.parquet(modelPath)
+      .as[(String, Long)].collect().toMap
+    val score = lmScoreUdf(spark, model)
+    val G = 1048576L
+    gate(spark.readStream.schema(docSchema).json(srcDir)
+        // score the ORIGINAL text before the gate normalizes/redacts
+        .withColumn("lm", score(col("text"))),
+        passthrough = Seq("lm"))
+      .withColumn("n_pairs", col("lm._1"))
+      .withColumn("lm_score",
+        col("lm._2").cast("double") / (col("n_pairs") * G))
+      .filter(col("n_pairs") === 0L || col("lm_score") >= minScore)
+      .drop("lm")
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", store)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+  }
 
   /** Gated streaming ingest: JSON documents directory → gate →
     * parquet store, exactly-once via the FILE-SINK MANIFEST — the

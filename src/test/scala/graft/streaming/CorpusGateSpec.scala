@@ -114,4 +114,90 @@ class CorpusGateSpec extends SparkSpec {
     assert(fin.select("doc_id").distinct().count() == 3,
       "no doc may be emitted twice across the restart")
   }
+
+  test("lm gate: scoring the training corpus against the persisted " +
+    "model reproduces doc_bigram_lm exactly; unseen bigrams score the " +
+    "floor") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val model = Files.createTempDirectory("lmmodel").toString + "/m"
+    CorpusIngest.trainLmModel(spark, sf(), model)
+    val scored = CorpusIngest.lmScore(
+      graft.Tables.documents(spark, sf()), spark.read.parquet(model))
+    val reference = graft.SparkEntry.queries("doc_bigram_lm")(spark, sf())
+    assert(scored.exceptAll(reference).isEmpty &&
+      reference.exceptAll(scored).isEmpty,
+      "persisted-model scoring diverged from the in-query LM")
+    // in-vocabulary words in a never-seen order score 0 exactly
+    val vocabWords = graft.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 3).distinct()
+      .orderBy("w").limit(6).collect().map(_.getString(0))
+    val gibberish = vocabWords.reverse.flatMap(w => Seq(w, w.reverse))
+      .mkString(" ") // reversed words never tokenize to corpus bigrams
+    val g = CorpusIngest.lmScore(
+      Seq((999999L, gibberish, "en", "synthetic"))
+        .toDF("doc_id", "text", "lang", "source"),
+      spark.read.parquet(model)).head()
+    assert(g.getLong(2) == 0L && g.getDouble(3) == 0.0,
+      s"unseen bigrams must score the floor: $g")
+    // the streaming face's per-row broadcast scorer is bit-identical
+    // to the join face on the whole corpus
+    val mMap = spark.read.parquet(model)
+      .as[(String, Long)].collect().toMap
+    val u = CorpusIngest.lmScoreUdf(spark, mMap)
+    val viaUdf = graft.Tables.documents(spark, sf())
+      .withColumn("lm", u(col("text")))
+      .filter(col("lm._1") > 0L)
+      .select(col("doc_id"), col("lm._1").as("n_pairs"),
+        col("lm._2").as("lm_grid"),
+        (col("lm._2").cast("double") / (col("lm._1") * 1048576L))
+          .as("lm_score"))
+    assert(viaUdf.exceptAll(scored).isEmpty &&
+      scored.exceptAll(viaUdf).isEmpty,
+      "broadcast-map scorer diverged from the join face")
+  }
+
+  test("lm-gated streaming ingest: fluent docs pass, gibberish drops, " +
+    "manifest keeps exactly-once across restart") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("lmgate").toString
+    val (src, store, ckpt, model) =
+      (s"$base/src", s"$base/store", s"$base/ckpt", s"$base/model")
+    CorpusIngest.trainLmModel(spark, sf(), model)
+    // fluent docs = real corpus texts that PASS the quality gate
+    // (positive LM score against their own model); gibberish =
+    // reversed in-vocab words (score 0)
+    val gateSurvivors = CorpusIngest
+      .gate(graft.Tables.documents(spark, sf())
+        .select("doc_id", "text", "lang", "source"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val fluent = graft.Tables.documents(spark, sf())
+      .select("doc_id", "text")
+      .filter(length(col("text")) > 200)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(d => gateSurvivors.contains(d._1)).take(2)
+    assert(fluent.length == 2, "need two gate-surviving fluent docs")
+    val vocabWords = graft.Tables.documents(spark, sf())
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 3).distinct()
+      .orderBy("w").limit(30).collect().map(_.getString(0))
+    val gibberish = vocabWords.flatMap(w => Seq(w.reverse)).mkString(" ")
+    write(src, "b1.json", Seq(
+      jdoc(fluent(0)._1, fluent(0)._2), jdoc(900001L, gibberish)))
+    def run(): Unit = {
+      val q = CorpusIngest.ingestGatedLm(spark, src, store, ckpt, model,
+        minScore = 1e-6).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    write(src, "b2.json", Seq(jdoc(fluent(1)._1, fluent(1)._2)))
+    run() // restart from the checkpoint
+    val out = spark.read.parquet(store)
+    val ids = out.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!ids.contains(900001L), "the gibberish doc must be dropped")
+    assert(fluent.map(_._1).toSet.subsetOf(ids), s"fluent docs must pass: $ids")
+    assert(out.count() == out.select("doc_id").distinct().count(),
+      "manifest exactly-once violated across the restart")
+  }
 }
