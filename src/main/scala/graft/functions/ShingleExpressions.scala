@@ -159,19 +159,25 @@ object ClassifierScoreUnits {
       graft.operators.TextOps.clsWeight(b.toLong))
 }
 
-/** `graft_dot_long(a, b)` — BIGINT dot product of two long arrays
-  * (zipped to the shorter length, matching zip_with). The composed
-  * `aggregate(zip_with(a, b, *), 0L, +)` form runs 2·n interpreted
-  * lambda frames per row; in the hash-embed top-k scan that fold IS
-  * the query (DecompProbe: 1.81 s → 0.50 s on the sf0.1 pair scan,
-  * 3.6× — over the r2 doGenCode gate, like IvfAssignTop2). One JVM
-  * loop, bit-identical (integer arithmetic — ExpressionParitySpec). */
+/** `graft_dot_long(a, b)` — BIGINT dot product of two long arrays.
+  * Unequal lengths yield NULL, matching the composed
+  * `aggregate(zip_with(a, b, *), 0L, +)` form exactly: zip_with pads
+  * the SHORTER array with nulls to the longer length, the products on
+  * the padded tail are null, and the + fold propagates that null — so
+  * a silent truncated partial sum here would be a drop-in-parity
+  * divergence. The composed form runs 2·n interpreted lambda frames
+  * per row; in the hash-embed top-k scan that fold IS the query
+  * (DecompProbe: 1.81 s → 0.50 s on the sf0.1 pair scan, 3.6× — over
+  * the r2 doGenCode gate, like IvfAssignTop2). One JVM loop,
+  * bit-identical (integer arithmetic — ExpressionParitySpec). */
 case class LongDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with CodegenFallback {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  // nullable beyond input-null propagation: length mismatch → NULL
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -185,7 +191,8 @@ case class LongDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0L
     var i = 0
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }

@@ -72,10 +72,15 @@ object MultimodalOps {
     * partition, embarrassingly parallel at 100 TB. */
   object ImageIoDecoder extends Decoder {
     def decode(row: MediaRow): MediaFeatures = {
+      // NonFatal, not just IOException: ImageIO.read throws runtime
+      // exceptions on some malformed payloads (CMMException for corrupt
+      // ICC profiles, IndexOutOfBounds/NegativeArraySize on bad
+      // headers) — parse-or-degrade must absorb those too, while OOM
+      // and other fatal errors still propagate.
       val img =
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(row.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth <= 0) StubDecoder.decode(row)
       else {
         val (w, h) = (img.getWidth, img.getHeight)

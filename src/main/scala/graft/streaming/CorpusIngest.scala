@@ -135,14 +135,27 @@ object CorpusIngest {
         col("n_email"), col("n_phone"), col("n_ip"), col("n_id9"),
         col("n_pii")) ++ passthrough.map(col): _*)
 
+  /** The gate's whitespace normalization applied to `text` BEFORE
+    * bigram tokenization — train and score must see the SAME token
+    * stream the quality gate admits on. `bigramPairs` splits on a
+    * single space (the synthetic corpus's invariant); an external doc
+    * with newline/tab/double-space formatting would otherwise glue
+    * words into tokens no trained bigram matches, score the 0 floor,
+    * and be wrongly dropped as disfluent despite passing the quality
+    * gate. Normalization runs ahead of redaction, so redaction still
+    * cannot shift bigrams. On the single-space synthetic corpus this
+    * is the identity (bigramLm parity is untouched). */
+  private def normWs(docs: DataFrame): DataFrame =
+    docs.withColumn("text", trim(regexp_replace(col("text"), "\\s+", " ")))
+
   /** Train the bigram-LM model on a reference corpus and persist it —
     * the MODEL artifact the fluency gate scores against. One corpus
     * pass; the table is (bg, g), vocab²-bounded and slim. */
   def trainLmModel(spark: SparkSession, corpusDir: String,
       modelPath: String): Unit =
     graft.operators.TextOps.bigramModel(
-      graft.operators.TextOps.bigramPairs(
-        graft.Tables.documentsPar(spark, corpusDir)))
+      graft.operators.TextOps.bigramPairs(normWs(
+        graft.Tables.documentsPar(spark, corpusDir))))
       .write.mode("overwrite").parquet(modelPath)
 
   /** Score documents against a TRAINED LM table — the deployment shape
@@ -156,7 +169,7 @@ object CorpusIngest {
     * shuffles only the BATCH's pairs on bg (stream-static join). */
   def lmScore(docs: DataFrame, model: DataFrame): DataFrame = {
     val G = 1048576L
-    graft.operators.TextOps.bigramPairs(docs)
+    graft.operators.TextOps.bigramPairs(normWs(docs))
       .join(model, Seq("bg"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"),
@@ -169,9 +182,10 @@ object CorpusIngest {
     * with the LM score against a trained model — the CCNet-style
     * "perplexity filter" face of ingest. Documents too short to score
     * (no bigram) pass the fluency leg (nothing to judge); everything
-    * else needs lm_score ≥ minScore. Scoring reads the ORIGINAL text
-    * (the gate's redaction/normalization must not shift the LM's
-    * bigrams). */
+    * else needs lm_score ≥ minScore. Scoring reads the PRE-REDACTION
+    * text, whitespace-normalized the same way the gate normalizes
+    * (redaction must not shift the LM's bigrams; normalization must —
+    * it is what the trained model saw). */
   def gateLm(docs: DataFrame, model: DataFrame, minScore: Double): DataFrame =
     gate(docs)
       .join(lmScore(docs, model).select("doc_id", "n_pairs", "lm_score"),
@@ -191,7 +205,9 @@ object CorpusIngest {
       model: Map[String, Long]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(model)
     udf { text: String =>
-      val toks = text.split(" ", -1)
+      // same whitespace normalization as normWs: trim + \s+ collapse,
+      // so the per-row face tokenizes identically to the join face
+      val toks = text.trim.split("\\s+", -1)
       var i = 1; var n = 0L; var g = 0L
       while (i < toks.length) {
         n += 1; g += bc.value.getOrElse(toks(i - 1) + " " + toks(i), 0L)
@@ -213,7 +229,8 @@ object CorpusIngest {
     val score = lmScoreUdf(spark, model)
     val G = 1048576L
     gate(spark.readStream.schema(docSchema).json(srcDir)
-        // score the ORIGINAL text before the gate normalizes/redacts
+        // score PRE-REDACTION text; the UDF whitespace-normalizes
+        // internally, matching the gate's (and the trainer's) tokens
         .withColumn("lm", score(col("text"))),
         passthrough = Seq("lm"))
       .withColumn("n_pairs", col("lm._1"))

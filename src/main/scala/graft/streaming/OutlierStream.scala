@@ -26,12 +26,35 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * Scale shape: state per key is K (price, hash) pairs + a counter —
   * bounded, independent of stream length; each micro-batch shuffles
   * once on symbol (the groupByKey exchange); flags are emitted only
-  * for the CURRENT batch's events, scored against the post-merge
-  * sample, after `warmup` events have been observed for the key. */
+  * for the CURRENT batch's distinct events, scored against the
+  * post-merge sample, once the pool's distinct-seen estimate (a set
+  * function — replay-proof like the pool itself) reaches `warmup`. */
 object OutlierStream {
 
-  /** Bottom-k sample state: parallel arrays sorted by hash ascending. */
+  /** Bottom-k sample state: parallel arrays sorted by hash ascending.
+    * `count` is the OBSERVED event count (deduped within each batch
+    * only) — a diagnostic that over-counts under cross-batch replay;
+    * the warmup gate therefore does NOT read it, gating instead on
+    * `distinctEst`, a pure set function of the pool. */
   case class OutState(count: Long, hashes: Array[Long], prices: Array[Long])
+
+  /** Distinct-events-seen as a SET FUNCTION of the bottom-k pool, so
+    * the warmup gate inherits the pool's replay/duplicate/order
+    * immunity: below capacity the pool holds EVERY distinct event seen
+    * (estimate is exact); at capacity the k-th smallest hash gives the
+    * standard KMV bottom-k estimate (k−1)/fraction-of-hash-space —
+    * sampling error O(1/√k), ample for a warmup threshold. */
+  private[streaming] def distinctEst(st: OutState, k: Int): Double = {
+    val n = st.hashes.length
+    if (n < k) n.toDouble
+    else {
+      // hashes sort SIGNED ascending; map the k-th smallest onto [0,1)
+      // of the full 64-bit range via the signed→offset shift
+      val frac = (st.hashes.last.toDouble - Long.MinValue.toDouble) /
+        math.pow(2.0, 64)
+      if (frac <= 0.0) n.toDouble else (k - 1).toDouble / frac
+    }
+  }
 
   case class Flag(symbol: String, event_id: Long, ts_ms: Long,
     price_c: Long, med_c: Double, mad_c: Double, z_mod: Double)
@@ -66,8 +89,15 @@ object OutlierStream {
       evs.map(e => (mix64(e._4), e._2))).distinct.sortBy(_._1).take(k)
     val st = OutState(old.count + evs.map(_._4).distinct.size,
       pool.map(_._1), pool.map(_._2))
+    // score each distinct event ONCE: a within-batch duplicate would
+    // otherwise emit two identical flags even though the pool layer
+    // dedups it — update-mode consumers key on event_id
+    val uniq = {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      evs.filter(e => seen.add(e._4))
+    }
     val flags =
-      if (st.count < warmup || st.prices.isEmpty) Seq.empty
+      if (distinctEst(st, k) < warmup || st.prices.isEmpty) Seq.empty
       else {
         val sample = st.prices.sorted
         val med = median(sample)
@@ -78,7 +108,7 @@ object OutlierStream {
         val mad = if (lo + 1 < n)
           devs(lo) + (devs(lo + 1) - devs(lo)) * (pos - lo) else devs(lo)
         if (mad <= 0.0) Seq.empty
-        else evs.flatMap { case (sym, pc, ts, eid) =>
+        else uniq.flatMap { case (sym, pc, ts, eid) =>
           val z = 0.6745 * (pc - med) / mad
           if (math.abs(z) > 3.5) Some(Flag(sym, eid, ts, pc, med, mad, z))
           else None

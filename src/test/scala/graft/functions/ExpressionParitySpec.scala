@@ -137,6 +137,18 @@ class ExpressionParitySpec extends SparkSpec {
         aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
           lit(0L), (s, x) => s + x))
     assert(both.filter(col("custom") =!= col("composed")).isEmpty)
+    // unequal lengths: zip_with pads the shorter side with nulls, the
+    // fold propagates null — the custom expression must yield NULL
+    // too, not a silently truncated partial sum
+    val mism = Seq((Array(1L, 2L, 3L), Array(4L, 5L)))
+      .toDF("a", "b")
+      .withColumn("custom", expr("graft_dot_long(a, b)"))
+      .withColumn("composed",
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0L), (s, x) => s + x))
+      .select("custom", "composed").head()
+    assert(mism.isNullAt(0) && mism.isNullAt(1),
+      s"length-mismatch parity broken: $mism")
     // and over the full hash-embed pair scan at test SF
     val base = Tables.documents(spark, sf())
       .withColumn("toks", split(col("text"), " "))

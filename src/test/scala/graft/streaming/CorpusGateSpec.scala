@@ -158,6 +158,47 @@ class CorpusGateSpec extends SparkSpec {
       "broadcast-map scorer diverged from the join face")
   }
 
+  test("lm gate: newline/tab/double-space formatting does not change " +
+    "the LM score — formatted fluent docs are admitted, not floored") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val model = Files.createTempDirectory("lmws").toString + "/m"
+    CorpusIngest.trainLmModel(spark, sf(), model)
+    val m = spark.read.parquet(model)
+    val plain = graft.Tables.documents(spark, sf())
+      .filter(length(col("text")) > 200)
+      .orderBy("doc_id").select("doc_id", "text", "lang", "source")
+      .limit(1).collect().head
+    // reformat with the whitespace a real document would carry:
+    // newlines, tabs, double spaces — same words, same order
+    val seps = Seq("\n", "  ", "\t", " ", " \n ")
+    val formatted = plain.getString(1).split(" ").zipWithIndex
+      .map { case (w, i) => if (i == 0) w else seps(i % seps.length) + w }
+      .mkString
+    assert(formatted != plain.getString(1))
+    val docs = Seq(
+      (plain.getLong(0), plain.getString(1), "en", "synthetic"),
+      (800001L, formatted, "en", "synthetic"))
+      .toDF("doc_id", "text", "lang", "source")
+    val sc = CorpusIngest.lmScore(docs, m)
+      .select("doc_id", "n_pairs", "lm_grid").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(sc(800001L) == sc(plain.getLong(0)),
+      s"formatting shifted the LM score: $sc")
+    // and the per-row broadcast face agrees
+    val mMap = m.as[(String, Long)].collect().toMap
+    val u = CorpusIngest.lmScoreUdf(spark, mMap)
+    val udfPair = docs.filter(col("doc_id") === 800001L)
+      .select(u(col("text"))).head().getStruct(0)
+    assert((udfPair.getLong(0), udfPair.getLong(1)) == sc(800001L),
+      "udf face diverged on formatted text")
+    // end-to-end: the formatted fluent doc clears gateLm
+    val admitted = CorpusIngest.gateLm(docs, m, minScore = 1e-6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted.contains(800001L),
+      "formatted fluent doc wrongly dropped as disfluent")
+  }
+
   test("lm-gated streaming ingest: fluent docs pass, gibberish drops, " +
     "manifest keeps exactly-once across restart") {
     import org.apache.spark.sql.functions._
