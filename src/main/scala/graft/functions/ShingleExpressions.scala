@@ -169,10 +169,18 @@ object ClassifierScoreUnits {
   * per row; in the hash-embed top-k scan that fold IS the query
   * (DecompProbe: 1.81 s → 0.50 s on the sf0.1 pair scan, 3.6× — over
   * the r2 doGenCode gate, like IvfAssignTop2). One JVM loop,
-  * bit-identical (integer arithmetic — ExpressionParitySpec). */
+  * bit-identical (integer arithmetic — ExpressionParitySpec).
+  *
+  * Unlike the other expressions in this file (one eval call replacing
+  * hundreds of lambda frames, where CodegenFallback suffices), LongDot
+  * sits INSIDE the brute-force pair scan — millions of calls per query
+  * — so it carries a real `doGenCode`: the interpreted fallback's
+  * per-row boxing + virtual dispatch kept the whole projection out of
+  * whole-stage codegen and made the scan hypersensitive to CPU/GC
+  * contention (the r5 driver-env `emb_hash_topk` 17 s finding; the
+  * generated loop is branch-free long arithmetic). */
 case class LongDot(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -198,6 +206,28 @@ case class LongDot(left: Expression, right: Expression)
     while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
     s
   }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long $s = 0L;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $s += $a.getLong($i) * $b.getLong($i);
+        |  }
+        |  ${ev.value} = $s;
+        |}
+      """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDot =
     copy(l, r)

@@ -1788,6 +1788,14 @@ object TextOps {
         graft.plans.GraftFunctions.graftDotLong(spark, "qemb", "cemb"))
       .withColumn("sim", col("dot").cast("double") /
         (sqrt(col("q_nsq").cast("double")) * sqrt(col("c_nsq").cast("double"))))
+      // SLIM before the window: the top-k exchange repartitions every
+      // (query, candidate) pair on q_id, and without this projection it
+      // shipped both 64-long embedding arrays per pair — ~1 KB/row,
+      // gigabytes of shuffle at sf0.1 and the prime suspect for the
+      // r5 driver-env 17 s outlier (spill under memory pressure).
+      // Three slim columns make the exchange ~25 B/row; the plan pin
+      // in PlanShapeSpec asserts no array column crosses it.
+      .select(col("q_id"), col("c_id"), col("sim"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("q_id"), col("c_id"), col("rn"), col("sim"))

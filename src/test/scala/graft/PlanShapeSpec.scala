@@ -330,12 +330,37 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   test("hash-embed top-k: broadcast query side (one nested-loop over " +
     "the corpus scan), one window exchange, no cartesian") {
-    val p = plan(graft.operators.TextOps.hashEmbedTopK(spark, sf()))
+    val df = graft.operators.TextOps.hashEmbedTopK(spark, sf())
+    val p = plan(df)
     assert(countIn(p, "BroadcastNestedLoopJoin") == 1,
       s"expected the broadcast brute-force shape:\n$p")
     assert(countIn(p, "CartesianProduct") == 0)
     assert(countIn(p, "Exchange hashpartitioning") == 1,
       s"expected only the q_id rank exchange:\n$p")
+    // the r5 driver-env 17 s hardening, pinned three ways:
+    // (1) the top-k cut happens BEFORE the q_id exchange (Partial
+    // WindowGroupLimit below, Final above — ≤k rows per query per
+    // partition cross the wire, not the full pair stream)
+    assert(countIn(p, "WindowGroupLimit") == 2 && p.contains("Partial"),
+      s"pre-shuffle partial top-k cut missing:\n$p")
+    // (2) no embedding array crosses ANY exchange: the pair stream is
+    // slimmed to (q_id, c_id, sim) before rank/sort machinery
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType]),
+        s"embedding array shuffled through ${e.outputPartitioning}: " +
+          s"${e.output.map(a => a.name -> a.dataType)}")
+    }
+    // (3) the pair-scan dot product generates code — a CodegenFallback
+    // regression would re-box millions of rows per query
+    assert(!graft.functions.LongDot(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L))
+        .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+      "LongDot lost its doGenCode")
   }
 
   test("runtime bloom-filter join pruning: a selective dim predicate " +
