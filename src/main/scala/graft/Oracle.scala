@@ -837,6 +837,149 @@ SELECT doc_id, skey % 16 AS shard,
   CAST(row_number() OVER (PARTITION BY skey % 16 ORDER BY skey, doc_id) AS BIGINT) AS rank
 FROM k ORDER BY shard, rank""",
 
+    // Twin of TextOps.bpeMerges — the BPE TRAINER replayed fully
+    // independently: the K greedy rounds are UNROLLED into K chained CTE
+    // triples (pair counts from the current vocabulary → argmax with
+    // Spark's exact tie order (count DESC, left ASC, right ASC — binary
+    // string collation both engines) → merge applied via the same
+    // delimiter-encoded replace() fold the apply twin uses). Every
+    // quantity is a BIGINT sum over the word-frequency table, so the
+    // replay is integer-exact end to end — no shared fixture, no float.
+    // (The unigram trainer gets no such twin deliberately: its EM
+    // rounds re-derive piece costs via StrictMath.log on the 2^20 grid,
+    // and DuckDB's ln() is a different libm — a grid-boundary ulp
+    // divergence would flake the hash compare. The unigram APPLY twin
+    // below shares the trained table instead.)
+    "vocab_bpe_merges" -> {
+      val k = 8
+      val head = Seq(
+        s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest($tokensExpr) AS word FROM documents) GROUP BY 1)""",
+        s"""v0 AS (SELECT freq,
+  '||' || regexp_replace(word, '(.)', '\\1||', 'g') || '</w>||' AS s FROM w)""")
+      val rounds = (1 to k).flatMap { r =>
+        Seq(
+          s"""p$r AS (
+  SELECT (p).l AS l, (p).r AS r, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      i -> {'l': syms[i], 'r': syms[i+1]})) AS p
+    FROM (SELECT freq,
+      list_filter(string_split(s, '||'), x -> x != '') AS syms FROM v${r - 1})
+  ) GROUP BY 1, 2)""",
+          s"""t$r AS (SELECT $r AS merge_rank, l, r, c FROM p$r
+  ORDER BY c DESC, l ASC, r ASC LIMIT 1)""",
+          s"""v$r AS (SELECT v${r - 1}.freq, replace(v${r - 1}.s,
+  '|' || t$r.l || '||' || t$r.r || '|',
+  '|' || t$r.l || t$r.r || '|') AS s FROM v${r - 1}, t$r)""")
+      }
+      val union = (1 to k).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")
+      "WITH " + (head ++ rounds).mkString(",\n") +
+        s"""
+SELECT CAST(merge_rank AS BIGINT) AS merge_rank, l AS "left", r AS "right",
+  c AS pair_count
+FROM ($union) ORDER BY merge_rank"""
+    },
+
+    // Twin of TextOps.bpeSegmentCounts — the BPE APPLY phase replayed
+    // INDEPENDENTLY in SQL. The trained merge list is shared state (read
+    // from Verify's own `vocab_bpe_merges` dump via the __GRAFT_OUT__
+    // placeholder, substituted with the dump dir at oracle_sql.json
+    // write time), but the segmentation itself is re-derived from
+    // scratch: a word's symbol sequence is encoded as a
+    // double-'|'-delimited string with flanking separators, and one
+    // merge round is ONE `replace()` call — SQL replace scans left to
+    // right over non-overlapping occurrences and resumes AFTER each
+    // replacement, which is exactly the leftmost-non-overlapping
+    // pending-symbol fold `mergeFold` implements (the flanking single
+    // '|' in the pattern pins full-symbol matches; the replacement
+    // re-emits it, so inter-symbol separators stay doubled). The
+    // recursive CTE applies the K merges in merge_rank order; the final
+    // subtoken count is (separator pairs − 1).
+    "doc_bpe_segment" ->
+      s"""WITH RECURSIVE
+m AS (SELECT merge_rank, "left" AS l, "right" AS r
+  FROM read_parquet('__GRAFT_OUT__/vocab_bpe_merges/*.parquet')),
+words AS (SELECT DISTINCT unnest($tokensExpr) AS word FROM documents),
+seg AS (
+  SELECT word,
+    '||' || regexp_replace(word, '(.)', '\\1||', 'g') || '</w>||' AS s,
+    CAST(0 AS BIGINT) AS k
+  FROM words
+  UNION ALL
+  SELECT seg.word,
+    replace(seg.s, '|' || m.l || '||' || m.r || '|', '|' || m.l || m.r || '|'),
+    seg.k + 1
+  FROM seg JOIN m ON m.merge_rank = seg.k + 1
+),
+fin AS (
+  SELECT word,
+    CAST((length(s) - length(replace(s, '||', ''))) / 2 - 1 AS BIGINT) AS n_sub
+  FROM seg WHERE k = (SELECT max(merge_rank) FROM m)
+),
+toks AS (SELECT doc_id, unnest($tokensExpr) AS word FROM documents)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(f.n_sub) AS BIGINT) AS n_bpe_tokens,
+  CAST(sum(f.n_sub) AS DOUBLE) / CAST(count(*) AS BIGINT) AS bpe_fertility
+FROM toks t JOIN fin f ON f.word = t.word
+GROUP BY t.doc_id ORDER BY t.doc_id""",
+
+    // Twin of TextOps.unigramSegmentCounts — Viterbi re-implemented as a
+    // recursive-CTE DP, independent of the Scala fold: each iteration
+    // advances one character position for every word at once, carrying
+    // the full best-cost and piece-count arrays as LISTs; the ≤4
+    // candidate pieces ending at the new position come from LEFT JOINs
+    // against the trained piece table (Verify's `vocab_unigram` dump —
+    // shared trained state, like the BPE twin). Costs are the same 2^20
+    // integer grid, so min/tie comparisons are BIGINT-exact; the CASE
+    // checks length-4 candidates first, encoding uniViterbi's
+    // prefer-the-LONGER-piece tie rule. 4611686018427387903 is the
+    // Scala INF (Long.MaxValue/4).
+    "doc_unigram_segment" -> {
+      def cand(l: Int): String = {
+        val bi = l match { case 1 => "d.i+1"; case 2 => "d.i"
+          case 3 => "d.i-1"; case 4 => "d.i-2" }
+        s"coalesce(d.best[$bi] + p$l.cost_grid, 4611686018427387903)"
+      }
+      val minAll = s"least(${cand(1)}, ${cand(2)}, ${cand(3)}, ${cand(4)})"
+      s"""WITH RECURSIVE
+pc AS (SELECT piece, cost_grid
+  FROM read_parquet('__GRAFT_OUT__/vocab_unigram/*.parquet')),
+words AS (SELECT DISTINCT unnest($tokensExpr) AS word FROM documents),
+dp AS (
+  SELECT word, CAST(0 AS BIGINT) AS i,
+    [CAST(0 AS BIGINT)] AS best, [CAST(0 AS BIGINT)] AS np
+  FROM words
+  UNION ALL
+  SELECT word, i, list_append(best, b), list_append(np, n)
+  FROM (
+    SELECT d.word AS word, d.i + 1 AS i, d.best AS best, d.np AS np,
+      $minAll AS b,
+      CASE
+        WHEN ${cand(4)} = $minAll THEN d.np[d.i-2] + 1
+        WHEN ${cand(3)} = $minAll THEN d.np[d.i-1] + 1
+        WHEN ${cand(2)} = $minAll THEN d.np[d.i] + 1
+        ELSE d.np[d.i+1] + 1
+      END AS n
+    FROM dp d
+    LEFT JOIN pc p1 ON p1.piece = substr(d.word, d.i+1, 1)
+    LEFT JOIN pc p2 ON d.i+1 >= 2 AND p2.piece = substr(d.word, d.i, 2)
+    LEFT JOIN pc p3 ON d.i+1 >= 3 AND p3.piece = substr(d.word, d.i-1, 3)
+    LEFT JOIN pc p4 ON d.i+1 >= 4 AND p4.piece = substr(d.word, d.i-2, 4)
+    WHERE d.i < length(d.word)
+  )
+),
+fin AS (SELECT word, np[length(word)+1] AS n_pieces
+  FROM dp WHERE i = length(word)),
+toks AS (SELECT doc_id, unnest($tokensExpr) AS word FROM documents)
+SELECT t.doc_id,
+  CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(f.n_pieces) AS BIGINT) AS n_uni_tokens,
+  CAST(sum(f.n_pieces) AS DOUBLE) / CAST(count(*) AS BIGINT) AS uni_fertility
+FROM toks t JOIN fin f ON f.word = t.word
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+    },
+
     // twin of TextOps.bigramLm: same grid (2^20), same FLOOR division, so
     // the per-document sum is integer-exact; one double division at the end
     "doc_bigram_lm" ->

@@ -40,8 +40,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The tokenizer APPLY oracles replay segmentation in DuckDB against
+    // the TRAINED tables this same run just dumped (vocab_bpe_merges /
+    // vocab_unigram) — shared trained state, independent segmentation
+    // logic. The dump dir is only known here, so the SQL carries a
+    // __GRAFT_OUT__ placeholder substituted at json-write time; the
+    // DuckDB compare always runs after Verify on the same outDir.
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_OUT__", outAbs))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Artifacts.unpersistAll()
     spark.stop()

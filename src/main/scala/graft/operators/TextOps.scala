@@ -1247,8 +1247,11 @@ object TextOps {
     * broadcast the exploded corpus side). Output per document: word
     * count, BPE token count (the `</w>` marker counts as part of the
     * last subtoken only when a merge absorbed it — standard), and
-    * fertility (one double division). Spec tier, same reason as
-    * bpeMerges: the merge fold is not DuckDB-expressible. */
+    * fertility (one double division). Oracle-checked since r6: DuckDB
+    * replays the merge fold independently (replace() over a
+    * delimiter-encoded symbol string, one recursive-CTE step per
+    * merge) against the trained merges this library dumps — see the
+    * doc_bpe_segment twin in Oracle.scala. */
   def bpeSegmentCounts(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val merges = trainedMerges(spark, dir, k).map(m => (m._2, m._3))
     val segmented = bpeSegmentWords(wordFreq(spark, dir), merges)
@@ -1406,7 +1409,9 @@ object TextOps {
     * vocabulary (broadcast piece table, mapPartitions, zero shuffle),
     * then the corpus joins each token to its piece count — application
     * cost independent of corpus size, same hinted shuffle-hash probe
-    * as the BPE face. */
+    * as the BPE face. Oracle-checked since r6: DuckDB re-runs the
+    * Viterbi DP as a recursive CTE over the trained piece table (see
+    * the doc_unigram_segment twin in Oracle.scala). */
   def unigramSegmentCounts(spark: SparkSession, dir: String,
       vocabSize: Int = 200, rounds: Int = 3): DataFrame = {
     import spark.implicits._
