@@ -1102,6 +1102,67 @@ SELECT q_id, c_id,
   sim
 FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
 
+    // Twin of TextOps.hashEmbedAnn: the hash-embed CTEs verbatim, then
+    // the IVF composition replayed — centroids are the 16 lowest-doc_id
+    // candidates (row_number−1 = the expression's ordinal cell id),
+    // assignment minimizes the BIGINT score ‖c‖² − 2·v·c with ties to
+    // the lowest cell (ORDER BY ns, cid — integer-exact, so cells match
+    // Spark's bit-for-bit), queries keep their rk≤2 cells as probes,
+    // and the candidate equi-join + exact-cosine rerank mirrors the
+    // brute-force twin.
+    "emb_hash_ann" ->
+      s"""WITH t AS (
+  SELECT doc_id, list_transform($tokensExpr, w -> lower(w)) AS toks
+  FROM documents),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 7) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+g AS (
+  SELECT doc_id, h % 64 AS dim,
+    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+  FROM h GROUP BY 1, 2),
+dense AS (
+  SELECT t.doc_id, d.dim, CAST(coalesce(g.v, 0) AS BIGINT) AS v
+  FROM t CROSS JOIN (SELECT unnest(range(0, 64)) AS dim) d
+  LEFT JOIN g ON g.doc_id = t.doc_id AND g.dim = d.dim),
+agg AS (
+  SELECT doc_id, list(v ORDER BY dim) AS emb,
+    CAST(SUM(v * v) AS BIGINT) AS norm_sq
+  FROM dense GROUP BY doc_id),
+e AS (
+  SELECT doc_id, emb, norm_sq,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#g1'), 1, 7) AS BIGINT) % 10 = 0 AS is_eval
+  FROM agg WHERE norm_sq > 0),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS cid,
+    emb AS cv, norm_sq AS cn
+  FROM (SELECT doc_id, emb, norm_sq FROM e WHERE NOT is_eval
+        ORDER BY doc_id LIMIT 16)),
+asgn AS (
+  SELECT doc_id, cid,
+    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ns, cid) AS BIGINT) AS rk
+  FROM (
+    SELECT e.doc_id, c.cid,
+      c.cn - 2 * CAST(list_reduce(list_transform(range(1, 65),
+        i -> e.emb[i] * c.cv[i]), (x, y) -> x + y) AS BIGINT) AS ns
+    FROM e, cents c)),
+c2 AS (
+  SELECT e.doc_id AS c_id, e.emb AS cemb, e.norm_sq AS cn, a.cid AS cell
+  FROM e JOIN asgn a USING (doc_id) WHERE NOT e.is_eval AND a.rk = 1),
+qp AS (
+  SELECT e.doc_id AS q_id, e.emb AS qemb, e.norm_sq AS qn, a.cid AS probe
+  FROM e JOIN asgn a USING (doc_id) WHERE e.is_eval AND a.rk <= 2),
+sims AS (
+  SELECT q_id, cell, c_id,
+    CAST(list_reduce(list_transform(range(1, 65), i -> qemb[i] * cemb[i]),
+      (x, y) -> x + y) AS DOUBLE)
+      / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))) AS sim
+  FROM c2 JOIN qp ON c2.cell = qp.probe)
+SELECT q_id, cell, c_id,
+  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS BIGINT) AS rn,
+  sim
+FROM sims QUALIFY rn <= 3 ORDER BY q_id, rn""",
+
     // Twin of TextOps.classifierFrame: same lowercased unigram+bigram
     // feature set, same md5₂₈ bucket (mod 4096) and md5₂₈ weight grid
     // (mod 2^16 - 2^15), BIGINT feature-weight sum, one final division.

@@ -128,6 +128,7 @@ object SparkEntry {
     "doc_hash_embed" -> ((s, d) => TextOps.hashEmbed(s, d)),
     "doc_ppl_buckets" -> ((s, d) => TextOps.pplBuckets(s, d)),
     "emb_hash_topk" -> ((s, d) => TextOps.hashEmbedTopK(s, d)),
+    "emb_hash_ann" -> ((s, d) => TextOps.hashEmbedAnn(s, d)),
     "doc_importance_dsir" -> ((s, d) => TextOps.importanceDsir(s, d)),
     // --- dedup ---
     "dedup_exact" -> ((s, d) => TextOps.dedupExact(s, d)),

@@ -72,3 +72,57 @@ case class IvfAssignTop2(child: Expression, cids: Seq[Long],
     copy(child = c)
   override def prettyName: String = "graft_ivf_assign"
 }
+
+/** `graft_hash_ivf_assign(emb)` — IvfAssignTop2's INTEGER twin for the
+  * hashed-document space (array<bigint> signed-count embeddings): top-2
+  * coarse cells by argmin L2, scored as ns = ‖c‖² − 2·v·c (BIGINT —
+  * dropping the per-row ‖v‖² term that cancels under argmin), ties to
+  * the lowest cell id. All arithmetic is exact 64-bit integer (counts
+  * are tiny; 2·dot can't approach overflow), so the DuckDB twin lands
+  * on identical cells with no float in sight — the property that lets
+  * emb_hash_ann be oracle-checked end to end. Same CodegenFallback
+  * trade as IvfAssignTop2: one eval replaces 16 interpreted folds. */
+case class HashIvfAssignTop2(child: Expression,
+    cents: Seq[Seq[Long]], cnorms: Seq[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(cents.nonEmpty && cents.length == cnorms.length,
+    "centroid pair arity mismatch")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", LongType, nullable = false),
+    StructField("cell2", LongType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val cm: Array[Array[Long]] = cents.map(_.toArray).toArray
+  @transient private lazy val nn: Array[Long] = cnorms.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    var b1 = -1; var ns1 = 0L
+    var b2 = -1; var ns2 = 0L
+    var c = 0
+    while (c < cm.length) {
+      val cv = cm(c)
+      val n = if (len < cv.length) len else cv.length
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += arr.getLong(i) * cv(i); i += 1 }
+      val ns = nn(c) - 2L * acc
+      if (b1 < 0 || ns < ns1) {
+        b2 = b1; ns2 = ns1
+        b1 = c; ns1 = ns
+      } else if (b2 < 0 || ns < ns2) {
+        b2 = c; ns2 = ns
+      }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](b1.toLong,
+      if (b2 >= 0) b2.toLong else null))
+  }
+
+  override protected def withNewChildInternal(c: Expression): HashIvfAssignTop2 =
+    copy(child = c)
+  override def prettyName: String = "graft_hash_ivf_assign"
+}

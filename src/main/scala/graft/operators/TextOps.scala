@@ -1767,8 +1767,11 @@ object TextOps {
     * BroadcastNestedLoopJoin, the brute-force baseline shape); the
     * top-k cut is one window exchange on q_id. The scale path for big
     * query sets is the LSH/IVF/PQ family over `hashEmbedVectors`. */
-  def hashEmbedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
-    val base = graft.Artifacts.shared(
+  /** The shared (doc_id, emb, norm_sq, is_eval) artifact both
+    * hashed-document search faces read — brute force and ANN score the
+    * SAME vectors, so recall comparisons are apples-to-apples. */
+  private def hashEmbedBase(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.shared(
       Tables.documentsPar(spark, dir)
         .withColumn("toks", tokens)
         .select(col("doc_id"),
@@ -1776,6 +1779,9 @@ object TextOps {
         .withColumn("norm_sq", aggregate(col("emb"), lit(0L), (a, x) => a + x * x))
         .filter(col("norm_sq") > 0L)
         .withColumn("is_eval", sampleBucket === 0))
+
+  def hashEmbedTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val base = hashEmbedBase(spark, dir)
     val q = base.filter(col("is_eval"))
       .select(col("doc_id").as("q_id"), col("emb").as("qemb"),
         col("norm_sq").as("q_nsq"))
@@ -1827,6 +1833,66 @@ object TextOps {
           lit(0L), (s, x) => s + x)
       else graft.plans.GraftFunctions.graftDotLong(spark, "qemb", "cemb")
     c.join(broadcast(q)).select(col("q_id"), col("c_id"), dot.as("dot"))
+  }
+
+  /** IVF-prefiltered hashed-document search (`emb_hash_ann`) — the
+    * SCALE path the brute-force `hashEmbedTopK` is the recall oracle
+    * for, mirroring the embedding tier's composition (emb_ann_ivfpq:
+    * coarse cells prune the scan, the exact metric reranks survivors):
+    *  - coarse quantizer: the nCent lowest-doc_id candidate embeddings
+    *    seed the cells (the same deterministic kmeans-lite init as
+    *    emb_ann_ivf, in INTEGER space), and assignment minimizes the
+    *    BIGINT score ‖c‖² − 2·v·c (≡ argmin L2, the ‖v‖² term cancels)
+    *    via the single-pass HashIvfAssignTop2 expression — no float
+    *    anywhere, so the DuckDB twin reproduces cells bit-exactly;
+    *  - queries (the eval split) probe their nprobe=2 nearest cells;
+    *  - candidates come from an EQUI-JOIN on the cell id — the scan the
+    *    brute-force face does over ALL pairs is pruned to ~2/nCent of
+    *    the corpus — and survivors are reranked by the same
+    *    LongDot-exact cosine, top-k per query.
+    *
+    * Scale shape: assignment is embarrassingly parallel (a per-row
+    * expression over broadcast centroid state, like the float IVF); the
+    * candidate join broadcasts the exploded query side and probes on a
+    * compact integer key, so the 100× story is "scan the probed cells,
+    * not the corpus" — with cell stats as the partition key, a real
+    * deployment prunes at the file level too. HashAnnRecallSpec pins
+    * recall@k against the brute-force face; the oracle checks the whole
+    * pipeline bit-exactly. */
+  def hashEmbedAnn(spark: SparkSession, dir: String, k: Int = 3,
+      nCent: Int = 16): DataFrame = {
+    val base = hashEmbedBase(spark, dir)
+    val cand = base.filter(!col("is_eval"))
+    val cents: IndexedSeq[(Seq[Long], Long)] = graft.Artifacts.memo(
+      s"hash-ivf:${System.identityHashCode(spark)}:$dir:$nCent") {
+      cand.orderBy("doc_id").limit(nCent)
+        .select(col("emb"), col("norm_sq")).collect()
+        .map(r => (r.getSeq[Long](0), r.getLong(1))).toIndexedSeq
+    }
+    val asg = graft.plans.GraftFunctions.graftHashIvfAssign(
+      spark, "emb", cents.map(_._1), cents.map(_._2))
+    val c = cand
+      .withColumn("cell", asg.getField("cell"))
+      .select(col("doc_id").as("c_id"), col("emb").as("cemb"),
+        col("norm_sq").as("c_nsq"), col("cell"))
+    val q = base.filter(col("is_eval"))
+      .withColumn("asg", asg)
+      .select(col("doc_id").as("q_id"), col("emb").as("qemb"),
+        col("norm_sq").as("q_nsq"),
+        explode(array(col("asg.cell"), col("asg.cell2"))).as("probe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    c.join(broadcast(q), col("cell") === col("probe"))
+      .withColumn("dot",
+        graft.plans.GraftFunctions.graftDotLong(spark, "qemb", "cemb"))
+      .withColumn("sim", col("dot").cast("double") /
+        (sqrt(col("q_nsq").cast("double")) * sqrt(col("c_nsq").cast("double"))))
+      // slim before the rank machinery — the emb_hash_topk lesson
+      .select(col("q_id"), col("cell"), col("c_id"), col("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("cell"), col("c_id"), col("rn"), col("sim"))
+      .orderBy("q_id", "rn")
   }
 
   // --- DSIR importance weighting ---------------------------------------

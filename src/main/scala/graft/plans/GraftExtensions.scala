@@ -162,4 +162,18 @@ object GraftFunctions {
       "built-in")
     expr(s"$name($vCol)")
   }
+
+  /** Integer-space coarse assignment for the hashed-document ANN
+    * (emb_hash_ann) — same closure-registration pattern as
+    * graftIvfAssign, BIGINT end to end. */
+  def graftHashIvfAssign(spark: SparkSession, vCol: String,
+      cents: Seq[Seq[Long]], cnorms: Seq[Long]): Column = {
+    val name =
+      s"graft_hash_ivf_assign_${java.lang.Integer.toHexString(cents.hashCode)}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      exprs => graft.functions.HashIvfAssignTop2(exprs.head, cents, cnorms),
+      "built-in")
+    expr(s"$name($vCol)")
+  }
 }

@@ -363,6 +363,27 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "LongDot lost its doGenCode")
   }
 
+  test("hash-embed ann: candidates come from an EQUI-join on the cell " +
+    "id with the query side broadcast — the pruned scan, not the " +
+    "brute-force nested loop") {
+    val df = graft.operators.TextOps.hashEmbedAnn(spark, sf())
+    val p = plan(df)
+    assert(countIn(p, "BroadcastHashJoin") >= 1,
+      s"cell probe should be a broadcast equi-join:\n$p")
+    assert(countIn(p, "BroadcastNestedLoopJoin") == 0 &&
+      countIn(p, "CartesianProduct") == 0,
+      s"ANN face must not fall back to the brute-force pair scan:\n$p")
+    // same slimness law as the brute-force pin: no embedding array
+    // crosses a shuffle
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType]),
+        s"embedding array shuffled through ${e.outputPartitioning}")
+    }
+  }
+
   test("runtime bloom-filter join pruning: a selective dim predicate " +
     "injects might_contain on the fact scan side (the 100 TB semi-join " +
     "reduction knob)") {
