@@ -90,6 +90,16 @@ object Bench {
     // important, sits first where truncation can only cost it (r4's
     // BENCH_r04.json lost the warm numbers to exactly this)
     println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","cold_value":$coldTotal,"cold_queries":$coldQs,"errors":$errJson,"value":$total,"queries":$qs}""")
+    // The driver keeps only the TAIL of stdout (~4 KB) and the full line
+    // above has outgrown it two rounds running (r4 lost the warm dict, r5
+    // the warm total + 36 entries). This FINAL compact line repeats the
+    // headline numbers — totals, error count, the ten slowest warm
+    // queries — in <400 bytes so truncation can never lose them again
+    // (VERDICT r5 next-round #5).
+    val top10 = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"summary":true,"value":${f"$total%.3f"},"cold_value":${f"$coldTotal%.3f"},"n_queries":${results.size},"n_errors":${errors.size},"top10":$top10}""")
     Artifacts.unpersistAll()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
