@@ -67,7 +67,8 @@ object GraftCatalog {
     "emb_semdedup",       // collected centroids + the bits count
     "events_overlap_theta", // per-partition sketch collect + driver algebra
     "vocab_unigram",      // EM training: seed + per-round usage collects
-    "doc_unigram_segment") // trains (collects) the piece table first
+    "doc_unigram_segment", // trains (collects) the piece table first
+    "emb_hash_ann")       // collected coarse-centroid seed vectors
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

@@ -2078,6 +2078,40 @@ FROM a ORDER BY doc_id""",
     // source; md5 bucket repeated verbatim.
     "doc_mix_sample" -> mixSampleSql,
 
+    // Twin of TextOps.tokenBudget: the oracle runs the NAIVE one-level
+    // form — one cumulative window per source ordered by (coarse
+    // bucket, hash, doc_id), keep while the running token total fits
+    // the share. The Spark face decomposes the same prefix two-level
+    // (bucket cut + boundary-bucket window) for scale; TokenBudgetSpec
+    // pins the two forms identical, so this twin checks both. Shares
+    // are BIGINT end to end: q = round(sqrt(src_tokens)*2^20),
+    // share = ((all_tokens // 4) * q) // sum_q.
+    "doc_token_budget" ->
+      s"""WITH d AS (
+  SELECT doc_id, source,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#tb'), 1, 7))
+      AS BIGINT) AS h
+  FROM documents),
+s AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+  FROM d GROUP BY 1),
+q AS (SELECT source, src_tokens,
+    CAST(round(sqrt(CAST(src_tokens AS DOUBLE)) * 1048576e0) AS BIGINT) AS q
+  FROM s),
+t AS (SELECT CAST(sum(q) AS BIGINT) AS sum_q,
+  CAST(sum(src_tokens) AS BIGINT) AS all_tokens FROM q),
+r AS (SELECT source,
+    CAST(((all_tokens // 4) * q) // sum_q AS BIGINT) AS src_share
+  FROM q, t),
+c AS (
+  SELECT d.doc_id, d.source, d.n_tokens, r.src_share,
+    CAST(sum(n_tokens) OVER (PARTITION BY d.source
+      ORDER BY h % 4096, h, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      AS cum
+  FROM d JOIN r USING (source))
+SELECT doc_id, source, n_tokens, src_share
+FROM c WHERE cum <= src_share ORDER BY doc_id""",
+
     // Twin of TextOps.trainingSet: the composed corpus release —
     // every gate's verified SQL reused as a subquery (the curateSql
     // pattern), conjunction repeated literally.

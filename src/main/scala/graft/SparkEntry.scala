@@ -114,6 +114,7 @@ object SparkEntry {
     "doc_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
+    "doc_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     "doc_pii_redact" -> ((s, d) => TextOps.piiRedactQuery(s, d)),
     "doc_shard_shuffle" -> ((s, d) => TextOps.shardShuffle(s, d)),

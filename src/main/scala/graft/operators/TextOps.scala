@@ -583,6 +583,86 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Coarse-bucket modulus for the token-budget fill. 4096 keeps the
+    * per-source bucket table broadcastable and the ONE boundary bucket
+    * per source a task-sized unit (~N/4096 docs); at petabyte scale the
+    * knob rises (2^20) without changing the semantics — the kept set is
+    * a pure function of the (bucket, hash, doc_id) order. */
+  private[graft] val TokenBudgetBuckets = 4096
+
+  /** TOKEN-BUDGET corpus fill (`doc_token_budget`) — the release-side
+    * twin of `doc_mix_sample`: instead of thinning by a per-source RATE,
+    * fill a total TOKEN budget (all_tokens/4 here) allocated across
+    * sources by temperature-0.5 weights over token mass (the same
+    * sqrt-on-the-2^20-grid quantization as the mix), taking each
+    * source's documents in a deterministic hash order and cutting at the
+    * first document that would overflow its share — "give me N tokens
+    * with these mixture weights", the request a training run actually
+    * makes of a corpus.
+    *
+    * Scale shape — the naive form is ONE window over every document per
+    * source (a single partition per source at 100 TB: unusable). This
+    * runs TWO-LEVEL instead: (1) docs aggregate to (source, coarse
+    * bucket) token sums — map-side partial agg, then a window over
+    * ≤4096 rows per source; buckets whose cumulative mass fits keep ALL
+    * their docs via a broadcast semi-join (no per-doc window at all);
+    * (2) only the single boundary bucket per source — pre < share < cum
+    * — pays a per-doc window, over ~N/4096 docs. The kept set is
+    * provably identical to the naive prefix (cum monotone in the
+    * (bucket, hash, doc_id) order — TokenBudgetSpec pins the law), and
+    * no full-corpus window or sort ever runs. Integer arithmetic end to
+    * end (BIGINT shares via `div`), so the DuckDB twin is bit-exact. */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetFrame(Tables.documentsPar(spark, dir))
+
+  private[graft] def tokenBudgetFrame(docs: DataFrame,
+      budgetDenom: Long = 4L,
+      coarse: Int = TokenBudgetBuckets): DataFrame = {
+    val d = docs
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("h", conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit("#tb")).cast("binary")), 1, 7), 16, 10).cast("long"))
+      .withColumn("c", col("h") % coarse)
+      .select("doc_id", "source", "n_tokens", "h", "c")
+    val bySrc = d.groupBy("source").agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("q",
+        round(sqrt(col("src_tokens").cast("double")) * lit(1048576.0))
+          .cast("long"))
+    // corpus totals as a window over the per-source aggregate (a
+    // handful of rows) — no single-row cross-join branches in the plan
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val shares = bySrc
+      .withColumn("sum_q", sum(col("q")).over(wAll))
+      .withColumn("all_tokens", sum(col("src_tokens")).over(wAll))
+      .withColumn("src_share",
+        expr(s"((all_tokens div $budgetDenom) * q) div sum_q"))
+      .select("source", "src_share")
+    // level 1: bucket mass + prefix cut over ≤`coarse` rows per source
+    val wc = Window.partitionBy("source").orderBy("c")
+    val bucketCum = d.groupBy("source", "c")
+      .agg(sum(col("n_tokens")).as("c_tokens"))
+      .withColumn("cum", sum(col("c_tokens")).over(wc))
+      .withColumn("pre", col("cum") - col("c_tokens"))
+      .join(broadcast(shares), "source")
+    val fullKeep = bucketCum.filter(col("cum") <= col("src_share"))
+      .select("source", "c")
+    val boundary = bucketCum
+      .filter(col("pre") < col("src_share") && col("cum") > col("src_share"))
+      .select("source", "c", "pre", "src_share")
+    val keptFull = d.join(broadcast(fullKeep), Seq("source", "c"))
+      .join(broadcast(shares), "source")
+      .select("doc_id", "source", "n_tokens", "src_share")
+    // level 2: the one boundary bucket per source pays the per-doc window
+    val wf = Window.partitionBy("source", "c")
+      .orderBy(col("h"), col("doc_id"))
+    val keptBoundary = d.join(broadcast(boundary), Seq("source", "c"))
+      .withColumn("fine_cum", col("pre") + sum(col("n_tokens")).over(wf))
+      .filter(col("fine_cum") <= col("src_share"))
+      .select("doc_id", "source", "n_tokens", "src_share")
+    keptFull.unionByName(keptBoundary).orderBy("doc_id")
+  }
+
   /** The END-TO-END training-set build — the composed selection a
     * corpus release actually ships, stacking every round's gates on
     * the shared doc identity:
