@@ -116,6 +116,76 @@ object MultimodalOps {
     mediaTable(spark, dir).mapPartitions(_.map(decoder.decode))
   }
 
+  /** Extension → MIME type for the directory ingest (the handful the
+    * JDK can actually decode, plus the honest octet-stream default). */
+  private val MimeByExt = Map(
+    "png" -> "image/png", "bmp" -> "image/bmp", "gif" -> "image/gif",
+    "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg", "wav" -> "audio/wav",
+    "txt" -> "text/plain")
+
+  /** FILE-DIRECTORY media ingest — the real-world entry point for an
+    * image corpus: Spark's built-in `binaryFile` source (ships in
+    * spark-sql, no new dependency) reads a directory tree of media
+    * files into the SAME `MediaRow` contract the decode pipeline runs
+    * on. Each file is one row: payload = the file bytes, nBytes = the
+    * file length, content type from the extension, and docId from the
+    * trailing digits of the file stem (the `img_0042.png` shard
+    * convention) falling back to a stable 60-bit digest of the file
+    * NAME — path-prefix-free, so relocating the corpus root keeps ids.
+    *
+    * Scale: `pathGlobFilter` prunes at the LISTING level (non-matching
+    * files are never opened), selecting only the metadata columns
+    * prunes `content` out of the scan entirely (pinned by spec), and
+    * the unit of parallelism is the file — the right grain for media,
+    * where one file is one decode task. */
+  def ingestMediaDir(spark: SparkSession, mediaDir: String,
+      glob: String = "*"): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(mediaDir)
+      .select(col("path"), col("length"), col("content"))
+      .map { r =>
+        val path = r.getString(0)
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val dot = name.lastIndexOf('.')
+        val (stem, ext) =
+          if (dot < 0) (name, "")
+          else (name.substring(0, dot), name.substring(dot + 1).toLowerCase)
+        val digits = stem.reverse.takeWhile(_.isDigit).reverse
+        val docId =
+          if (digits.nonEmpty && digits.length <= 18) digits.toLong
+          else java.lang.Long.parseLong(md5Hex(name.getBytes("UTF-8"))
+            .substring(0, 15), 16)
+        MediaRow(
+          MediaMeta(docId, r.getLong(1),
+            MimeByExt.getOrElse(ext, "application/octet-stream")),
+          r.getAs[Array[Byte]](2))
+      }
+  }
+
+  /** Metadata-only listing of a media directory — catalog/inventory
+    * queries (counts, size histograms, shard audits) must never pay
+    * for the payload bytes: this face selects only the file metadata,
+    * and the binaryFile scan prunes `content` out of the read schema
+    * entirely (spec-pinned) — a listing-speed scan over a petabyte of
+    * media. */
+  def mediaDirMeta(spark: SparkSession, mediaDir: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(mediaDir)
+      .select(col("path"), col("length"), col("modificationTime"))
+
+  /** Directory ingest composed with the per-partition decode — files
+    * in, features out, parse-or-degrade end to end. */
+  def decodeMediaDir(spark: SparkSession, mediaDir: String,
+      glob: String = "*",
+      decoder: Decoder = ImageIoDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    ingestMediaDir(spark, mediaDir, glob).mapPartitions(_.map(decoder.decode))
+  }
+
   /** Oracle-checked face of the stub decode (column-expression twin of
     * StubDecoder so DuckDB can mirror it). */
   def mediaMetaQuery(spark: SparkSession, dir: String): DataFrame =
