@@ -96,10 +96,15 @@ object Bench {
     // headline numbers — totals, error count, the ten slowest warm
     // queries — in <400 bytes so truncation can never lose them again
     // (VERDICT r5 next-round #5).
+    // NOT f"%.3f": String.format follows the JVM default locale, and a
+    // decimal-comma locale (de_DE …) would render 36,477 — invalid JSON
+    // in the very line meant to be truncation-proof. Double.toString is
+    // locale-independent.
+    def r3(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val top10 = results.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"summary":true,"value":${f"$total%.3f"},"cold_value":${f"$coldTotal%.3f"},"n_queries":${results.size},"n_errors":${errors.size},"top10":$top10}""")
+    println(s"""{"summary":true,"value":${r3(total)},"cold_value":${r3(coldTotal)},"n_queries":${results.size},"n_errors":${errors.size},"top10":$top10}""")
     Artifacts.unpersistAll()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -2101,7 +2101,8 @@ q AS (SELECT source, src_tokens,
 t AS (SELECT CAST(sum(q) AS BIGINT) AS sum_q,
   CAST(sum(src_tokens) AS BIGINT) AS all_tokens FROM q),
 r AS (SELECT source,
-    CAST(((all_tokens // 4) * q) // sum_q AS BIGINT) AS src_share
+    CAST((CAST(all_tokens // 4 AS HUGEINT) * q) // sum_q AS BIGINT)
+      AS src_share
   FROM q, t),
 c AS (
   SELECT d.doc_id, d.source, d.n_tokens, r.src_share,

@@ -88,11 +88,19 @@ case class HashIvfAssignTop2(child: Expression,
 
   require(cents.nonEmpty && cents.length == cnorms.length,
     "centroid pair arity mismatch")
+  require(cents.forall(_.length == cents.head.length),
+    "centroids must share one dimensionality")
 
   override def dataType: DataType = StructType(Seq(
     StructField("cell", LongType, nullable = false),
     StructField("cell2", LongType, nullable = true)))
   override def nullIntolerant: Boolean = true
+  // an input whose length mismatches the centroid grid yields NULL —
+  // the same explicit-mismatch contract as LongDot: a silently
+  // truncated partial score would assign a wrong cell with no error
+  // while the oracle's fixed-range fold NULLs out, a drop-in-parity
+  // divergence
+  override def nullable: Boolean = true
 
   @transient private lazy val cm: Array[Array[Long]] = cents.map(_.toArray).toArray
   @transient private lazy val nn: Array[Long] = cnorms.toArray
@@ -100,12 +108,13 @@ case class HashIvfAssignTop2(child: Expression,
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val len = arr.numElements()
+    if (len != cm(0).length) return null
     var b1 = -1; var ns1 = 0L
     var b2 = -1; var ns2 = 0L
     var c = 0
     while (c < cm.length) {
       val cv = cm(c)
-      val n = if (len < cv.length) len else cv.length
+      val n = cv.length
       var acc = 0L
       var i = 0
       while (i < n) { acc += arr.getLong(i) * cv(i); i += 1 }

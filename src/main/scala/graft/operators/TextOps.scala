@@ -632,11 +632,19 @@ object TextOps {
     // handful of rows) — no single-row cross-join branches in the plan
     val wAll = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
+    // share arithmetic rides DECIMAL(38,0): the BIGINT product
+    // (all_tokens/4)·q overflows 63 bits at ~1e9 corpus tokens — far
+    // below this operator's scale claim — and with ANSI off Spark
+    // would wrap silently to a negative share (empty kept set, no
+    // error). 128-bit decimal keeps the integer math exact to ~1e38;
+    // `div` on decimals still returns the exact integral BIGINT, and
+    // the DuckDB twin mirrors it with HUGEINT.
     val shares = bySrc
       .withColumn("sum_q", sum(col("q")).over(wAll))
       .withColumn("all_tokens", sum(col("src_tokens")).over(wAll))
       .withColumn("src_share",
-        expr(s"((all_tokens div $budgetDenom) * q) div sum_q"))
+        expr(s"(cast(all_tokens div $budgetDenom as decimal(38,0)) * q)" +
+          " div sum_q"))
       .select("source", "src_share")
     // level 1: bucket mass + prefix cut over ≤`coarse` rows per source
     val wc = Window.partitionBy("source").orderBy("c")

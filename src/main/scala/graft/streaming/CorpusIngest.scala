@@ -125,9 +125,7 @@ object CorpusIngest {
     * BEFORE anything downstream pays to move them. */
   def gate(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame =
     graft.operators.TextOps.piiRedact(
-      graft.operators.TextOps.gopherSignals(
-        docs.withColumn("text",
-          trim(regexp_replace(col("text"), "\\s+", " "))))
+      graft.operators.TextOps.gopherSignals(normWs(docs))
         .filter(col("gopher_pass")))
       .select(Seq(col("doc_id"), col("lang"), col("source"),
         col("redacted").as("text"), col("n_words"), col("mean_wl"),
@@ -144,7 +142,9 @@ object CorpusIngest {
     * and be wrongly dropped as disfluent despite passing the quality
     * gate. Normalization runs ahead of redaction, so redaction still
     * cannot shift bigrams. On the single-space synthetic corpus this
-    * is the identity (bigramLm parity is untouched). */
+    * is the identity (bigramLm parity is untouched). ONE definition,
+    * reused by the quality gate, the LM trainer, and both scorer
+    * faces — the equality of these token streams is load-bearing. */
   private def normWs(docs: DataFrame): DataFrame =
     docs.withColumn("text", trim(regexp_replace(col("text"), "\\s+", " ")))
 
@@ -205,9 +205,17 @@ object CorpusIngest {
       model: Map[String, Long]): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(model)
     udf { text: String =>
-      // same whitespace normalization as normWs: trim + \s+ collapse,
-      // so the per-row face tokenizes identically to the join face
-      val toks = text.trim.split("\\s+", -1)
+      // EXACTLY normWs's normalization: collapse \s+ runs to one
+      // space, then strip leading/trailing SPACES only — NOT
+      // String.trim, which strips every char <= U+0020: a doc with a
+      // leading non-\s control char (e.g. U+0001) keeps it through
+      // the SQL face's trim but Java-trim would drop it, making the
+      // two faces tokenize (and so score) differently near minScore
+      val norm = text.replaceAll("\\s+", " ")
+      var s = 0; var e = norm.length
+      while (s < e && norm.charAt(s) == ' ') s += 1
+      while (e > s && norm.charAt(e - 1) == ' ') e -= 1
+      val toks = norm.substring(s, e).split(" ", -1)
       var i = 1; var n = 0L; var g = 0L
       while (i < toks.length) {
         n += 1; g += bc.value.getOrElse(toks(i - 1) + " " + toks(i), 0L)

@@ -41,7 +41,8 @@ class TokenBudgetSpec extends SparkSpec {
       .withColumn("sum_q", sum(col("q")).over(wAll))
       .withColumn("all_tokens", sum(col("src_tokens")).over(wAll))
       .withColumn("src_share",
-        expr(s"((all_tokens div $budgetDenom) * q) div sum_q"))
+        expr(s"(cast(all_tokens div $budgetDenom as decimal(38,0)) * q)" +
+          " div sum_q"))
       .select("source", "src_share")
     val w = Window.partitionBy("source")
       .orderBy(col("c"), col("h"), col("doc_id"))
@@ -85,6 +86,18 @@ class TokenBudgetSpec extends SparkSpec {
       assert(kept.select("source").distinct().count() == srcs)
       assert(firstExcluded.count() == srcs)
     } finally { all.unpersist(); () }
+  }
+
+  test("share arithmetic is exact past the 63-bit product range: " +
+    "decimal(38,0) carries corpus sizes where the BIGINT form wraps") {
+    // ~1.2e9-token single-source corpus: B = 3e8, q ~ 3.63e10 —
+    // B*q ~ 1.09e19 > Long.MaxValue. The decimal path must produce the
+    // exact integral share, not a wrapped negative.
+    val r = spark.sql(
+      "SELECT (cast(cast(1200000000 as bigint) div 4 as decimal(38,0))" +
+        " * 36318211072) div 36318211072 AS s").head()
+    assert(r.getLong(0) == 300000000L,
+      s"decimal share arithmetic broke: ${r.getLong(0)}")
   }
 
   test("determinism: repartitioned input yields the identical kept set") {

@@ -199,6 +199,42 @@ class CorpusGateSpec extends SparkSpec {
       "formatted fluent doc wrongly dropped as disfluent")
   }
 
+  test("a leading non-whitespace control char tokenizes identically in " +
+    "the join face and the per-row broadcast face") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val model = Files.createTempDirectory("lmcc").toString + "/m"
+    CorpusIngest.trainLmModel(spark, sf(), model)
+    val m = spark.read.parquet(model)
+    // U+0001 is NOT regex \s: SQL trim keeps it, so the join face's
+    // first token is U+0001-prefixed and the first bigram misses the
+    // model. The per-row face must see the same token stream — Java
+    // String.trim strips every char <= U+0020 and would score the
+    // TRAINED first bigram instead, a face divergence near minScore.
+    val base = graft.Tables.documents(spark, sf())
+      .filter(length(col("text")) > 200).orderBy("doc_id")
+      .limit(1).collect().head
+    val doc = Seq((800002L, "\u0001" + base.getString(1), "en", "synthetic"))
+      .toDF("doc_id", "text", "lang", "source")
+    val joinFace = CorpusIngest.lmScore(doc, m)
+      .select("n_pairs", "lm_grid").head()
+    val mMap = m.as[(String, Long)].collect().toMap
+    val udfFace = CorpusIngest.lmScoreUdf(spark, mMap)
+    val perRow = doc.select(udfFace(col("text"))).head().getStruct(0)
+    assert((perRow.getLong(0), perRow.getLong(1)) ==
+      (joinFace.getLong(0), joinFace.getLong(1)),
+      s"scorer faces diverged on a control-char doc: " +
+        s"udf=$perRow join=$joinFace")
+    // and the control char really did cost the first bigram: scoring
+    // the unprefixed text yields a strictly larger grid mass
+    val plainFace = CorpusIngest.lmScore(
+      Seq((800003L, base.getString(1), "en", "synthetic"))
+        .toDF("doc_id", "text", "lang", "source"), m)
+      .select("lm_grid").head().getLong(0)
+    assert(joinFace.getLong(1) < plainFace,
+      "control-char prefix should have cost the first trained bigram")
+  }
+
   test("lm-gated streaming ingest: fluent docs pass, gibberish drops, " +
     "manifest keeps exactly-once across restart") {
     import org.apache.spark.sql.functions._
