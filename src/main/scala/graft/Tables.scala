@@ -67,4 +67,43 @@ object Tables {
     documents(s, d).repartition(s.sparkContext.defaultParallelism)
   def embeddingsPar(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  /** FORMAT-AGNOSTIC table loading — the library's operators take
+    * DataFrames, so a corpus landed in any of Spark's built-in formats
+    * drives the same queries; this is the documented on-ramp.
+    *
+    *  - `parquet` / `orc`: self-describing columnar — column pruning +
+    *    predicate pushdown reach the scan exactly as with the test
+    *    tables (SourceFormatsSpec pins PushedFilters on the ORC scan).
+    *  - `csv` / `json` / `avro`: row formats; `schema` is REQUIRED —
+    *    for csv/json, inference is an extra full pass over the data,
+    *    never acceptable at 100 TB (and inference can mistype
+    *    columns); avro self-describes cheaply, but an explicit schema
+    *    keeps the read deterministic under schema evolution. Spark 4
+    *    ships avro inside spark-sql (round-trip spec-pinned) — no
+    *    external module needed.
+    *
+    * Memoized like `table` so repeated query builds reuse the analyzed
+    * relation. */
+  /** This build ships Avro INSIDE spark-sql but without the
+    * DataSourceRegister service entry for the short name "avro" —
+    * address the format by class. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  def tableAs(spark: SparkSession, path: String, format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      options: Map[String, String] = Map.empty): DataFrame =
+    Artifacts.memo(
+      s"tableAs:${System.identityHashCode(spark)}:$format:$path:" +
+        options.toSeq.sorted.mkString(",")) {
+      val reader = spark.read.format(format).options(options)
+      schema match {
+        case Some(sc) => reader.schema(sc).load(path)
+        case None =>
+          require(format == "parquet" || format == "orc",
+            s"$format needs an explicit schema: inference is a second " +
+              "full scan and mistypes columns")
+          reader.load(path)
+      }
+    }
 }
