@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** PERSISTED, incrementally-maintained IVF vector index — the serving
+  * face of the ANN tier (reference: the eos engine's continuously-fed
+  * stores, README.md:96-104, applied to embeddings): `emb_ann_ivf`
+  * computes assignment in-session per query run; a production vector
+  * search pays that once at INGEST and serves every query from disk.
+  *
+  *   $store/centroids/      (cid, v, dot_self) — trained once, ≤k rows
+  *   $store/vectors/cell=N/ (vec_id, v, dot_self) — one row per
+  *                          vector, PARTITIONED BY ITS COARSE CELL
+  *
+  * The layout is the index: a search assigns its query to nprobe=2
+  * cells and reads ONLY those `cell=` directories (file-source
+  * partition pruning, plan-pinned) — at 100 TB and 1024 cells a query
+  * touches ~0.2% of the corpus files, and the untouched partitions are
+  * never listed past the directory level.
+  *
+  * Ingest is exactly-once by construction (the NearDupIngest /
+  * Scd2Maintain discipline): batches dedup on vec_id, assignment is a
+  * pure function of (vector, trained centroids) so a replayed vector
+  * lands in the same cell, and the per-touched-cell anti-join absorbs
+  * it — append-only, idempotent, out-of-order-safe. Per-batch work is
+  * O(touched cells' ids + batch), never O(store): only touched cell
+  * directories are listed for the anti-join (id column alone), and
+  * untouched partitions stay byte-identical (spec-pinned).
+  *
+  * SEARCH ≡ the in-session query: VectorIndexSpec pins `search` over a
+  * batched-ingest store bit-identical to `emb_ann_ivf`'s output — same
+  * centroids, same single-pass assignment expression, same fold-order
+  * cosine, same tie-break. The store is the only thing that moved. */
+object VectorIndex {
+
+  val embeddingSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  private def centDir(store: String) = s"$store/centroids"
+  private def vecDir(store: String) = s"$store/vectors"
+
+  /** (vec_id, v double-view, ‖v‖²), zero-norm rows dropped — the same
+    * normalized view the in-session ANN tier computes (uncached: ingest
+    * batches are transient). */
+  private def normed(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("dot_self",
+        graft.operators.EmbeddingOps.dot(col("v"), col("v")))
+      .filter(col("dot_self") > 0.0)
+
+  /** Train the coarse quantizer: the k lowest-vec_id seed vectors
+    * become the centroids (the deterministic data seed the whole IVF
+    * tier uses; emb_ann_ivf2's integer Lloyd step is the refinement
+    * path if the corpus warrants it). Bounded output (≤k rows). */
+  def train(spark: SparkSession, seed: DataFrame, store: String,
+      k: Int = 16): Unit =
+    normed(seed).orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("v"), col("dot_self"))
+      .coalesce(1).write.mode("overwrite").parquet(centDir(store))
+
+  /** The trained centroids as bounded driver state (≤k rows — the same
+    * collect class as the in-session init). */
+  private def centroids(spark: SparkSession,
+      store: String): Seq[(Long, Seq[Double], Double)] =
+    spark.read.parquet(centDir(store))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1).toIndexedSeq
+
+  private def vectorsExist(spark: SparkSession, store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(vecDir(store))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+  }
+
+  /** Ingest one batch of (vec_id, embedding) rows. Returns vectors
+    * actually added (replays/duplicates excluded). */
+  def mergeBatch(spark: SparkSession, batch: DataFrame,
+      store: String): Long = {
+    val cents = centroids(spark, store)
+    val assigned = normed(batch)
+      .dropDuplicates("vec_id")
+      .withColumn("cell", graft.plans.GraftFunctions
+        .graftIvfAssign(spark, "v", cents)("cell"))
+      .localCheckpoint(true)
+    if (assigned.isEmpty) return 0L
+    // touched cells: bounded by k (the handful-of-ints collect class)
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cur =
+      if (vectorsExist(spark, store))
+        spark.read.parquet(vecDir(store))
+          .filter(col("cell").isin(touched: _*))
+          .select("vec_id")
+          .localCheckpoint(true)
+      else spark.emptyDataFrame
+    val fresh =
+      (if (cur.isEmpty) assigned
+       else assigned.join(cur, Seq("vec_id"), "left_anti"))
+        .localCheckpoint(true)
+    val applied = fresh.count()
+    if (applied > 0)
+      fresh.select("cell", "vec_id", "v", "dot_self")
+        .write.mode("append").partitionBy("cell").parquet(vecDir(store))
+    applied
+  }
+
+  /** Serve top-k cosine neighbors for a frame of (vec_id, embedding)
+    * queries from the persisted index: assign each query to its two
+    * coarse cells, read ONLY the probed `cell=` partitions, exact
+    * rerank. Output matches `emb_ann_ivf`'s schema/semantics
+    * (self-matches excluded, ties to the lower vec_id). */
+  def search(spark: SparkSession, store: String, queries: DataFrame,
+      k: Int = 3): DataFrame = {
+    val cents = centroids(spark, store)
+    val asg: Column = graft.plans.GraftFunctions
+      .graftIvfAssign(spark, "qv", cents)
+    val q = normed(queries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("dot_self").as("q_dot"))
+      .withColumn("asg", asg)
+      .withColumn("probe", explode(array(col("asg.cell"), col("asg.cell2"))))
+      .drop("asg")
+      .localCheckpoint(true)
+    // probed cells as LITERALS so the filter prunes at the directory
+    // level — bounded by k centroids, not by query count
+    val probed = q.select("probe").distinct().collect().map(_.getLong(0))
+    // filter FIRST (on the inferred partition attribute — directory
+    // pruning), then cast: partition-type inference reads `cell=N` as
+    // int, but the served schema must match emb_ann_ivf's long
+    val cand = spark.read.parquet(vecDir(store))
+      .filter(col("cell").isin(probed: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val sims = cand.join(broadcast(q), col("cell") === col("probe"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", graft.operators.EmbeddingOps.dot(col("qv"), col("v"))
+        / (sqrt(col("q_dot")) * sqrt(col("dot_self"))))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("q_id", "cell", "vec_id", "rn", "sim")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Streaming entry: JSON (vec_id, embedding) directory → index. */
+  def maintain(spark: SparkSession, srcDir: String, store: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(embeddingSchema).json(srcDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch.sparkSession, batch, store)
+        ()
+      }
+}

@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF index: batched idempotent ingest converges to the
+  * same index regardless of split/replay, `search` over the store is
+  * BIT-IDENTICAL to the in-session `emb_ann_ivf` query, the probed
+  * scan prunes to the queries' cell partitions, and ingest leaves
+  * untouched cell partitions byte-identical. */
+class VectorIndexSpec extends SparkSpec {
+
+  private def emb = graft.Tables.embeddings(spark, sf())
+
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Map.empty
+    val it = fs.listFiles(p, true)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet"))
+        out(s.getPath.toString) = (s.getLen, s.getModificationTime)
+    }
+    out.toMap
+  }
+
+  test("split ingest + replay converge, and store-served search is " +
+    "bit-identical to the in-session emb_ann_ivf") {
+    val store = Files.createTempDirectory("vidx").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    // three disjoint batches; batch 2 replayed verbatim must apply 0
+    val total = (0 until 3).map { i =>
+      VectorIndex.mergeBatch(spark, emb.filter(col("vec_id") % 3 === i), store)
+    }.sum
+    assert(VectorIndex.mergeBatch(spark,
+      emb.filter(col("vec_id") % 3 === 1), store) == 0L,
+      "replayed batch must add nothing")
+    val expected = graft.operators.EmbeddingOps.annIvf(spark, sf()).collect()
+    assert(total == emb.count(), "every vector must land exactly once")
+    val served = VectorIndex.search(spark, store,
+      emb.filter(col("vec_id") < 5)).collect()
+    assert(served.toSeq == expected.toSeq,
+      s"served search diverged from the in-session query: " +
+        s"served=${served.take(3).toSeq} vs ${expected.take(3).toSeq}")
+    assert(VectorIndex.search(spark, store, emb.filter(col("vec_id") < 5))
+      .schema == graft.operators.EmbeddingOps.annIvf(spark, sf()).schema,
+      "served schema diverged (partition-type inference must not leak)")
+  }
+
+  test("search reads only the probed cell partitions (file-source " +
+    "partition pruning), and ingest leaves untouched partitions " +
+    "byte-identical") {
+    val store = Files.createTempDirectory("vidx2").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    VectorIndex.mergeBatch(spark, emb.filter(col("vec_id") % 2 === 0), store)
+    val q = emb.filter(col("vec_id") === 0)
+    val plan = VectorIndex.search(spark, store, q)
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("PartitionFilters"))
+      .getOrElse(fail(s"no partitioned scan in plan:\n${plan.take(3000)}"))
+    // (the partition column round-trips as int via directory-name
+    // inference, so no L suffix on the attribute)
+    assert("PartitionFilters: \\[cell#\\d+L? IN \\(".r
+      .findFirstIn(scanLine).isDefined,
+      s"probe filter did not reach the partition level: $scanLine")
+    // functional pruning: the one-query search touches at most 2 cells
+    val cells = VectorIndex.search(spark, store, q)
+      .select("cell").distinct().collect().map(_.getLong(0)).toSet
+    assert(cells.size <= 2, s"nprobe=2 search surfaced cells $cells")
+    // second ingest: partitions its cells don't touch stay identical
+    val batch2 = emb.filter(col("vec_id") % 2 === 1).limit(40)
+    // discover which cells batch2 will land in by ingesting into a
+    // scratch COPY of the trained quantizer, then diff the real store
+    val scratch = Files.createTempDirectory("vidx3").toString + "/idx"
+    VectorIndex.train(spark, emb, scratch)
+    VectorIndex.mergeBatch(spark, batch2, scratch)
+    val hit = fileState(s"$scratch/vectors").keys
+      .flatMap("cell=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toLong)).toSet
+    val beforeOther = fileState(s"$store/vectors")
+      .filterNot { case (p, _) => hit.exists(c => p.contains(s"cell=$c/")) }
+    VectorIndex.mergeBatch(spark, batch2, store)
+    val afterOther = fileState(s"$store/vectors")
+      .filterNot { case (p, _) => hit.exists(c => p.contains(s"cell=$c/")) }
+    assert(afterOther == beforeOther,
+      "ingest rewrote cell partitions its batch never touched")
+  }
+
+  test("streaming maintain: a checkpointed file stream builds the same " +
+    "index as one-shot ingest, across a restart") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("vidx4").toString
+    val (src, store, ck) = (s"$base/src", s"$base/idx", s"$base/ck")
+    VectorIndex.train(spark, emb, store)
+    val rows = emb.limit(60).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    def writeJson(part: Seq[(Long, Seq[Double])], name: String): Unit = {
+      val json = part.map { case (id, v) =>
+        s"""{"vec_id":$id,"embedding":[${v.mkString(",")}]}"""
+      }.mkString("\n")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/$name.json"),
+        json.getBytes("UTF-8"))
+    }
+    writeJson(rows.take(30).toSeq, "b1")
+    val q1 = VectorIndex.maintain(spark, src, store, ck).start()
+    try q1.processAllAvailable() finally q1.stop()
+    writeJson(rows.drop(30).toSeq, "b2")
+    val q2 = VectorIndex.maintain(spark, src, store, ck).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(s"$store/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == rows.map(_._1).toSet,
+      "restarted stream did not converge to the full vector set")
+  }
+}
