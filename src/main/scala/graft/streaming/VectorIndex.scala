@@ -84,6 +84,7 @@ object VectorIndex {
     * actually added (replays/duplicates excluded). */
   def mergeBatch(spark: SparkSession, batch: DataFrame,
       store: String): Long = {
+    resumePendingCompact(spark, store)
     val cents = centroids(spark, store)
     val assigned = normed(batch)
       .dropDuplicates("vec_id")
@@ -119,6 +120,7 @@ object VectorIndex {
     * (self-matches excluded, ties to the lower vec_id). */
   def search(spark: SparkSession, store: String, queries: DataFrame,
       k: Int = 3): DataFrame = {
+    resumePendingCompact(spark, store)
     val cents = centroids(spark, store)
     val asg: Column = graft.plans.GraftFunctions
       .graftIvfAssign(spark, "qv", cents)
@@ -147,6 +149,74 @@ object VectorIndex {
       .filter(col("rn") <= k)
       .select("q_id", "cell", "vec_id", "rn", "sim")
       .orderBy("q_id", "rn")
+  }
+
+  /** Compact the per-batch file accumulation to one file per cell —
+    * the same staged-rewrite + delete/rename swap as
+    * `Scd2Maintain.compactLog`: a crash before the swap leaves the
+    * live store untouched; an interrupted swap (live gone, stage
+    * present) is resumed by the next merge/search. O(store), at the
+    * operator's command. */
+  def compact(spark: SparkSession, store: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(vecDir(store))
+    val stage = new org.apache.hadoop.fs.Path(s"${vecDir(store)}.compact")
+    if (resumePendingCompact(spark, store)) return
+    if (!vectorsExist(spark, store)) return
+    if (fs.exists(stage)) fs.delete(stage, true) // stale stage
+    spark.read.parquet(vecDir(store))
+      .withColumn("cell", col("cell").cast("long"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(stage.toString)
+    fs.delete(live, true)
+    fs.rename(stage, live)
+    ()
+  }
+
+  private def resumePendingCompact(spark: SparkSession,
+      store: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(vecDir(store))
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) return false
+    val stage = new org.apache.hadoop.fs.Path(s"${vecDir(store)}.compact")
+    fs.exists(stage) && fs.rename(stage, live)
+  }
+
+  /** KEYED DELETION — the right-to-erasure face for embeddings (a
+    * vector IS derived personal data when the document was): purge the
+    * given vec_ids from their cell partitions only, dropping any cell
+    * directory the deletion empties. Idempotent; returns vectors
+    * removed. Touched cells are found by re-assigning nothing — the
+    * ids' cells are discovered from the store itself with a pruned
+    * id-only scan. */
+  def forget(spark: SparkSession, store: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty || !vectorsExist(spark, store)) return 0L
+    resumePendingCompact(spark, store)
+    val all = spark.read.parquet(vecDir(store))
+    val touched = all.filter(col("vec_id").isin(ids: _*))
+      .select("cell").distinct().collect()
+      .map(_.get(0).toString.toLong).toSeq
+    if (touched.isEmpty) return 0L
+    val cur = all.filter(col("cell").isin(touched: _*))
+      .localCheckpoint(true)
+    val kept = cur.filter(!col("vec_id").isin(ids: _*))
+      .localCheckpoint(true)
+    val removed = cur.count() - kept.count()
+    if (removed == 0L) return 0L
+    kept.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell")
+      .parquet(vecDir(store))
+    val present = kept.select("cell").distinct().collect()
+      .map(_.get(0).toString.toLong).toSet
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(present).foreach { c =>
+      val d = new org.apache.hadoop.fs.Path(s"${vecDir(store)}/cell=$c")
+      if (fs.exists(d)) fs.delete(d, true)
+    }
+    removed
   }
 
   /** Streaming entry: JSON (vec_id, embedding) directory → index. */

@@ -90,6 +90,45 @@ class VectorIndexSpec extends SparkSpec {
       "ingest rewrote cell partitions its batch never touched")
   }
 
+  test("compact collapses per-batch files to one per cell with search " +
+    "results unchanged; an interrupted swap self-heals; forget purges " +
+    "ids from their cells only and drops emptied cell dirs") {
+    val store = Files.createTempDirectory("vidx5").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    (0 until 4).foreach { i =>
+      VectorIndex.mergeBatch(spark, emb.filter(col("vec_id") % 4 === i), store)
+    }
+    val qs = emb.filter(col("vec_id") < 5)
+    val before = VectorIndex.search(spark, store, qs).collect().toSeq
+    val filesBefore = fileState(s"$store/vectors").size
+    VectorIndex.compact(spark, store)
+    val filesAfter = fileState(s"$store/vectors").size
+    assert(filesAfter < filesBefore, s"$filesBefore -> $filesAfter")
+    val cells = fileState(s"$store/vectors").keys
+      .flatMap("cell=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(filesAfter <= cells.size + 1, // one file per cell
+      s"$filesAfter files over ${cells.size} cells")
+    assert(VectorIndex.search(spark, store, qs).collect().toSeq == before,
+      "compaction changed search results")
+    // interrupted swap: live deleted, stage present -> next op resumes
+    val fs = new Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(s"$store/vectors"), new Path(s"$store/vectors.compact"))
+    assert(VectorIndex.search(spark, store, qs).collect().toSeq == before,
+      "interrupted compaction swap did not self-heal")
+    // keyed deletion: victims leave the results; replays cannot
+    // resurrect them (their anti-join sees nothing, appends fresh)
+    val victims = before.map(_.getLong(2)).distinct.take(2)
+    val removed = VectorIndex.forget(spark, store, victims)
+    assert(removed == victims.size.toLong, s"removed=$removed")
+    assert(VectorIndex.forget(spark, store, victims) == 0L, "not idempotent")
+    val after = VectorIndex.search(spark, store, qs).collect()
+    assert(!after.exists(r => victims.contains(r.getLong(2))),
+      "forgotten vectors still served")
+    assert(spark.read.parquet(s"$store/vectors")
+      .filter(col("vec_id").isin(victims: _*)).isEmpty)
+  }
+
   test("streaming maintain: a checkpointed file stream builds the same " +
     "index as one-shot ingest, across a restart") {
     import spark.implicits._
