@@ -68,6 +68,11 @@ object Tables {
   def embeddingsPar(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 
+  /** This build ships Avro INSIDE spark-sql but without the
+    * DataSourceRegister service entry for the short name "avro" —
+    * address the format by class. */
+  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
   /** FORMAT-AGNOSTIC table loading — the library's operators take
     * DataFrames, so a corpus landed in any of Spark's built-in formats
     * drives the same queries; this is the documented on-ramp.
@@ -75,27 +80,23 @@ object Tables {
     *  - `parquet` / `orc`: self-describing columnar — column pruning +
     *    predicate pushdown reach the scan exactly as with the test
     *    tables (SourceFormatsSpec pins PushedFilters on the ORC scan).
-    *  - `csv` / `json` / `avro`: row formats; `schema` is REQUIRED —
-    *    for csv/json, inference is an extra full pass over the data,
-    *    never acceptable at 100 TB (and inference can mistype
-    *    columns); avro self-describes cheaply, but an explicit schema
-    *    keeps the read deterministic under schema evolution. Spark 4
-    *    ships avro inside spark-sql (round-trip spec-pinned) — no
-    *    external module needed.
+    *  - `csv` / `json` / avro (`AvroFormat`): row formats; `schema` is
+    *    REQUIRED — for csv/json, inference is an extra full pass over
+    *    the data, never acceptable at 100 TB (and inference can
+    *    mistype columns); avro self-describes cheaply, but an explicit
+    *    schema keeps the read deterministic under schema evolution.
     *
-    * Memoized like `table` so repeated query builds reuse the analyzed
+    * Memoized like `table` — the key carries format, path, options AND
+    * the schema, so re-reading the same path under an evolved schema
+    * (or schemaless, to hit the require) can never serve the stale
     * relation. */
-  /** This build ships Avro INSIDE spark-sql but without the
-    * DataSourceRegister service entry for the short name "avro" —
-    * address the format by class. */
-  val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
-
   def tableAs(spark: SparkSession, path: String, format: String,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       options: Map[String, String] = Map.empty): DataFrame =
     Artifacts.memo(
       s"tableAs:${System.identityHashCode(spark)}:$format:$path:" +
-        options.toSeq.sorted.mkString(",")) {
+        options.toSeq.sorted.mkString(",") + ":" +
+        schema.map(_.catalogString).getOrElse("<none>")) {
       val reader = spark.read.format(format).options(options)
       schema match {
         case Some(sc) => reader.schema(sc).load(path)

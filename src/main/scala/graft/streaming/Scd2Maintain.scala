@@ -229,29 +229,19 @@ object Scd2Maintain {
     * interrupted swap (live gone, stage present) is resumed by the next
     * `mergeBatch`. O(log), paid at the operator's command. */
   def compactLog(spark: SparkSession, store: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(logDir(store))
-    val stage = new org.apache.hadoop.fs.Path(s"${logDir(store)}.compact")
+    val stage = s"${logDir(store)}.compact"
     if (resumePendingCompact(spark, store)) return
     if (!SnapshotMaintain.storeExists(spark, logDir(store))) return
-    if (fs.exists(stage)) fs.delete(stage, true) // stale stage
+    StagedSwap.clearStale(spark, stage)
     val buckets = SnapshotMaintain.storedBuckets(spark, store, DefaultBuckets)
     spark.read.parquet(logDir(store))
       .repartition(buckets, col("bucket"))
-      .write.partitionBy("bucket").parquet(stage.toString)
-    fs.delete(live, true)
-    fs.rename(stage, live)
-    ()
+      .write.partitionBy("bucket").parquet(stage)
+    StagedSwap.commit(spark, logDir(store), stage)
   }
 
-  private def resumePendingCompact(spark: SparkSession, store: String): Boolean = {
-    val live = new org.apache.hadoop.fs.Path(logDir(store))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(live)) return false
-    val stage = new org.apache.hadoop.fs.Path(s"${logDir(store)}.compact")
-    fs.exists(stage) && fs.rename(stage, live)
-  }
+  private def resumePendingCompact(spark: SparkSession, store: String): Boolean =
+    StagedSwap.resume(spark, logDir(store), Seq(s"${logDir(store)}.compact"))
 
   /** Streaming entry: JSON change-event directory → SCD2 history store
     * (same change schema as SnapshotMaintain — the two consumers read

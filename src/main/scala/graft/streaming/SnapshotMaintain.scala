@@ -103,21 +103,17 @@ object SnapshotMaintain {
     * mid-merge. */
   def migrateStore(spark: SparkSession, store: String,
       numBuckets: Int = DefaultBuckets): Unit = {
-    val live = new org.apache.hadoop.fs.Path(store)
-    val stage = new org.apache.hadoop.fs.Path(s"$store.migrate")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$store.migrate"
     if (resumePendingSwap(spark, store)) return
     if (!storeExists(spark, store) || isBucketed(spark, store)) return
-    if (fs.exists(stage)) fs.delete(stage, true) // stale stage
+    StagedSwap.clearStale(spark, stage)
     spark.read.parquet(store)
       .withColumn("bucket", bucketOf(numBuckets))
-      .write.partitionBy("bucket").parquet(stage.toString)
+      .write.partitionBy("bucket").parquet(stage)
     // the marker travels INSIDE the stage so the rename carries layout
     // and its declaration atomically (a resumed swap inherits it)
-    writeBucketMarker(spark, stage.toString, numBuckets)
-    fs.delete(live, true)
-    fs.rename(stage, live)
-    ()
+    writeBucketMarker(spark, stage, numBuckets)
+    StagedSwap.commit(spark, store, stage)
   }
 
   /** Resize an existing bucketed store to a NEW modulus — the layout
@@ -137,38 +133,27 @@ object SnapshotMaintain {
     * operator's command, never per batch. */
   def resizeStore(spark: SparkSession, store: String, newBuckets: Int): Unit = {
     require(newBuckets > 0, s"newBuckets must be positive: $newBuckets")
-    val live = new org.apache.hadoop.fs.Path(store)
-    val stage = new org.apache.hadoop.fs.Path(s"$store.resize")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$store.resize"
     if (resumePendingSwap(spark, store)) return
     if (!storeExists(spark, store)) return
     require(isBucketed(spark, store),
       s"$store is a pre-bucketing flat snapshot store — run " +
         "SnapshotMaintain.migrateStore(spark, store) first")
     if (storedBuckets(spark, store, fallback = -1) == newBuckets) return
-    if (fs.exists(stage)) fs.delete(stage, true) // stale stage
+    StagedSwap.clearStale(spark, stage)
     spark.read.parquet(store).drop("bucket")
       .withColumn("bucket", bucketOf(newBuckets))
-      .write.partitionBy("bucket").parquet(stage.toString)
-    writeBucketMarker(spark, stage.toString, newBuckets)
-    fs.delete(live, true)
-    fs.rename(stage, live)
-    ()
+      .write.partitionBy("bucket").parquet(stage)
+    writeBucketMarker(spark, stage, newBuckets)
+    StagedSwap.commit(spark, store, stage)
   }
 
   /** Resume an interrupted stage→live swap (live deleted, stage
     * present) from either `migrateStore` or `resizeStore`. Returns
     * true when a swap was completed. Safe to probe every batch: two
     * existence checks when nothing is pending. */
-  private def resumePendingSwap(spark: SparkSession, store: String): Boolean = {
-    val live = new org.apache.hadoop.fs.Path(store)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(live)) return false
-    Seq(s"$store.migrate", s"$store.resize").exists { s =>
-      val stage = new org.apache.hadoop.fs.Path(s)
-      fs.exists(stage) && fs.rename(stage, live)
-    }
-  }
+  private def resumePendingSwap(spark: SparkSession, store: String): Boolean =
+    StagedSwap.resume(spark, store, Seq(s"$store.migrate", s"$store.resize"))
 
   private def isBucketed(spark: SparkSession, store: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(store)

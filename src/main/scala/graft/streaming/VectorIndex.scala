@@ -81,7 +81,18 @@ object VectorIndex {
   }
 
   /** Ingest one batch of (vec_id, embedding) rows. Returns vectors
-    * actually added (replays/duplicates excluded). */
+    * actually added (replays/duplicates excluded).
+    *
+    * CONTRACT: a vec_id's embedding is IMMUTABLE — the exactly-once
+    * anti-join checks only the batch's own touched cells (the
+    * O(touched) property), so it absorbs verbatim replays but cannot
+    * see a row for the same id filed under a DIFFERENT cell. A
+    * re-embedded vector that assigns elsewhere would be double-indexed
+    * and served twice. The update path for drifted embeddings is
+    * therefore `forget(ids)` then re-ingest — the same
+    * delete-then-insert contract every append-only vector store ships;
+    * an in-place upsert would need a global id→cell map, O(corpus)
+    * state this store deliberately does not keep. */
   def mergeBatch(spark: SparkSession, batch: DataFrame,
       store: String): Long = {
     resumePendingCompact(spark, store)
@@ -129,8 +140,21 @@ object VectorIndex {
         col("dot_self").as("q_dot"))
       .withColumn("asg", asg)
       .withColumn("probe", explode(array(col("asg.cell"), col("asg.cell2"))))
+      // a single-centroid quantizer assigns cell2 = null ("null iff 1
+      // centroid" — IvfAssignTop2's contract); the null probe can
+      // never join, drop it before the collect below would NPE on it
+      .filter(col("probe").isNotNull)
       .drop("asg")
       .localCheckpoint(true)
+    // a trained-but-empty store (no merge yet, or fully forgotten)
+    // serves the EMPTY result, not an unreadable-path error
+    if (!vectorsExist(spark, store))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("q_id", LongType), StructField("cell", LongType),
+          StructField("vec_id", LongType), StructField("rn", IntegerType),
+          StructField("sim", DoubleType))))
     // probed cells as LITERALS so the filter prunes at the directory
     // level — bounded by k centroids, not by query count
     val probed = q.select("probe").distinct().collect().map(_.getLong(0))
@@ -158,30 +182,20 @@ object VectorIndex {
     * present) is resumed by the next merge/search. O(store), at the
     * operator's command. */
   def compact(spark: SparkSession, store: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(store)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(vecDir(store))
-    val stage = new org.apache.hadoop.fs.Path(s"${vecDir(store)}.compact")
+    val stage = s"${vecDir(store)}.compact"
     if (resumePendingCompact(spark, store)) return
     if (!vectorsExist(spark, store)) return
-    if (fs.exists(stage)) fs.delete(stage, true) // stale stage
+    StagedSwap.clearStale(spark, stage)
     spark.read.parquet(vecDir(store))
       .withColumn("cell", col("cell").cast("long"))
       .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(stage.toString)
-    fs.delete(live, true)
-    fs.rename(stage, live)
-    ()
+      .write.partitionBy("cell").parquet(stage)
+    StagedSwap.commit(spark, vecDir(store), stage)
   }
 
   private def resumePendingCompact(spark: SparkSession,
-      store: String): Boolean = {
-    val live = new org.apache.hadoop.fs.Path(vecDir(store))
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(live)) return false
-    val stage = new org.apache.hadoop.fs.Path(s"${vecDir(store)}.compact")
-    fs.exists(stage) && fs.rename(stage, live)
-  }
+      store: String): Boolean =
+    StagedSwap.resume(spark, vecDir(store), Seq(s"${vecDir(store)}.compact"))
 
   /** KEYED DELETION — the right-to-erasure face for embeddings (a
     * vector IS derived personal data when the document was): purge the
@@ -189,10 +203,25 @@ object VectorIndex {
     * directory the deletion empties. Idempotent; returns vectors
     * removed. Touched cells are found by re-assigning nothing — the
     * ids' cells are discovered from the store itself with a pruned
-    * id-only scan. */
+    * id-only scan.
+    *
+    * Crash window: the rewrite is in-place (dynamic overwrite of the
+    * victims' cells, like Scd2Maintain.forgetKeys, not a staged swap)
+    * — a crash mid-way leaves some cells purged and others not, but
+    * the direction is CONVERGENT: re-running `forget` with the same
+    * ids purges the remainder and cannot resurrect anything, so the
+    * operator's retry-on-failure completes the erasure. A staged swap
+    * would add crash atomicity at O(store) cost per deletion; the
+    * convergence argument is why the cheaper per-cell rewrite is
+    * sound here too. */
   def forget(spark: SparkSession, store: String, ids: Seq[Long]): Long = {
-    if (ids.isEmpty || !vectorsExist(spark, store)) return 0L
+    if (ids.isEmpty) return 0L
+    // resume BEFORE the existence probe: after an interrupted
+    // compaction swap the live dir is missing and a probe-first
+    // erasure call would silently no-op — then the next merge/search
+    // resumes the stage and serves the supposedly-erased vectors again
     resumePendingCompact(spark, store)
+    if (!vectorsExist(spark, store)) return 0L
     val all = spark.read.parquet(vecDir(store))
     val touched = all.filter(col("vec_id").isin(ids: _*))
       .select("cell").distinct().collect()

@@ -5,11 +5,13 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 /** Format-agnostic table loading (`Tables.tableAs`): the same library
-  * queries produce identical results over ORC-, CSV- and JSON-landed
-  * copies of a table, ORC keeps columnar pushdown/pruning, and the
-  * row formats are gated on an explicit schema (no inference scans).
-  * Avro is probed and documented as environment-blocked (the
-  * spark-avro external module is not in the container). */
+  * queries produce identical results over ORC-, CSV-, JSON- and
+  * Avro-landed copies of a table, ORC keeps columnar pushdown/pruning,
+  * and the row formats are gated on an explicit schema (no inference
+  * scans). Avro works by CLASS NAME (`Tables.AvroFormat`): this build
+  * ships the format inside spark-sql but without the short-name
+  * service registration, so `format("avro")` errors while the
+  * class-name form round-trips. */
 class SourceFormatsSpec extends SparkSpec {
 
   private def docs = Tables.documents(spark, sf())
@@ -66,10 +68,19 @@ class SourceFormatsSpec extends SparkSpec {
       assert(got == truth, s"$fmt round-trip diverged")
     }
     // row formats without a schema are an error, not an inference scan
+    // — even for a path already memoized under a schema'd read (the
+    // memo key carries the schema, so the stale relation can't serve)
     val e = intercept[IllegalArgumentException] {
-      Tables.tableAs(spark, s"$base/csv", "csv")
+      Tables.tableAs(spark, s"$base/csv", "csv",
+        options = Map("header" -> "true"))
     }
     assert(e.getMessage.contains("explicit schema"))
+    // and an EVOLVED schema for the same path/options reads fresh
+    val wide = Tables.tableAs(spark, s"$base/json", "json",
+      Some(orders.schema.add("extra_col",
+        org.apache.spark.sql.types.StringType)))
+    assert(wide.schema.fieldNames.contains("extra_col"),
+      "memo served the stale pre-evolution relation")
   }
 
   test("Avro round-trip: Spark 4 ships avro inside spark-sql — the " +

@@ -129,6 +129,38 @@ class VectorIndexSpec extends SparkSpec {
       .filter(col("vec_id").isin(victims: _*)).isEmpty)
   }
 
+  test("edge states: erasure resumes an interrupted swap before " +
+    "probing, a trained-but-empty store serves the empty result, and " +
+    "a single-centroid quantizer searches without a second probe cell") {
+    val store = Files.createTempDirectory("vidx6").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    val qs = emb.filter(col("vec_id") < 3)
+    // empty store: no vectors ingested yet -> empty frame, not an error
+    assert(VectorIndex.search(spark, store, qs).isEmpty)
+    VectorIndex.mergeBatch(spark, emb.limit(200), store)
+    val served = VectorIndex.search(spark, store, qs).collect()
+    assert(served.nonEmpty)
+    // interrupt a compaction swap (live gone, stage present), then call
+    // forget FIRST: the erasure must resume the swap and purge — a
+    // probe-before-resume would no-op and the victim would resurrect
+    // when the next search resumes the stage
+    val fs = new Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(s"$store/vectors"), new Path(s"$store/vectors.compact"))
+    val victim = served.head.getLong(2)
+    assert(VectorIndex.forget(spark, store, Seq(victim)) == 1L,
+      "forget on a mid-swap store must resume and purge, not no-op")
+    assert(!VectorIndex.search(spark, store, qs).collect()
+      .exists(_.getLong(2) == victim), "erased vector served after swap")
+    // single-centroid quantizer: cell2 is null; search must not NPE
+    val store1 = Files.createTempDirectory("vidx7").toString + "/idx"
+    VectorIndex.train(spark, emb, store1, k = 1)
+    VectorIndex.mergeBatch(spark, emb.limit(50), store1)
+    val one = VectorIndex.search(spark, store1, qs).collect()
+    assert(one.nonEmpty && one.forall(r => !qs.collect()
+      .map(_.getLong(0)).contains(r.getLong(2)) || r.getLong(2) >= 0))
+  }
+
   test("streaming maintain: a checkpointed file stream builds the same " +
     "index as one-shot ingest, across a restart") {
     import spark.implicits._
