@@ -56,6 +56,7 @@ object GraftCatalog {
     "emb_ann_ivf2",       // collected centroids + integer Lloyd sums
     "dedup_clusters",     // label propagation: convergence action per round
     "dedup_clusters_ls",  // large/small-star: fingerprint head() per round
+    "doc_leakage_split",  // same large/small-star labels: head() per round
     "doc_decontam_bloom", // bloom build: count() + treeAggregate
     "vocab_bpe_merges",   // BPE trainer: top-pair collect per round
     "approx_top_tokens",  // sketch build: mapPartitions collect

@@ -1536,6 +1536,43 @@ reach(id, r) AS (
 SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY 1 ORDER BY 1""",
 
+    // Twin of TextOps.leakageSplit: the SAME reach-CTE component labels
+    // as dedup_clusters, left-joined to the full corpus (singletons keep
+    // their own doc_id), the shared 28-bit md5-prefix bucket idiom with
+    // the '#sp' seed on BOTH the doc and the cluster key, cluster stats
+    // re-joined at fan-out 1.
+    "doc_leakage_split" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+edges AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 5e-1),
+sym AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges),
+reach(id, r) AS (
+  SELECT d1, d1 FROM sym
+  UNION
+  SELECT s.d2, r.r FROM reach r JOIN sym s ON s.d1 = r.id),
+lab AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS root FROM reach GROUP BY 1),
+cl AS (
+  SELECT d.doc_id, coalesce(l.root, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab l USING (doc_id)),
+b0 AS (
+  SELECT doc_id, cluster_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#sp'), 1, 7)) AS BIGINT) % 10 AS naive_b,
+    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || '#sp'), 1, 7)) AS BIGINT) % 10 AS cl_b
+  FROM cl),
+b AS (
+  SELECT doc_id, cluster_id,
+    CASE WHEN cl_b <= 7 THEN 'train' WHEN cl_b = 8 THEN 'val' ELSE 'test' END AS split,
+    CASE WHEN naive_b <= 7 THEN 'train' WHEN naive_b = 8 THEN 'val' ELSE 'test' END AS naive_split
+  FROM b0),
+cs AS (
+  -- leak counts distinct naive SPLIT NAMES, not hash buckets
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+    count(DISTINCT naive_split) AS n_naive
+  FROM b GROUP BY 1)
+SELECT b.doc_id, CAST(b.cluster_id AS BIGINT) AS cluster_id, cs.cluster_size,
+  b.split, b.naive_split,
+  cs.cluster_size > 1 AND cs.n_naive > 1 AS naive_leaky
+FROM b JOIN cs USING (cluster_id) ORDER BY b.doc_id""",
+
     "emb_cosine_topk" ->
       s"""WITH e AS (
   SELECT vec_id, embedding, $dotSelfSql AS dot_self
@@ -2065,6 +2102,62 @@ FROM a ORDER BY doc_id""",
     // doc_chunk's verified SQL, span stats per chunk_md5 (exact
     // count-distinct + min-keeper), cross-doc-only counting.
     "doc_span_dedup" -> spanDedupSql,
+
+    // Twin of TextOps.substringDedup: positional 8-gram 60-bit
+    // md5-prefix hashes (the fp64 idiom), cross-doc duplication as
+    // min(doc_id)<>max(doc_id) per hash group, islands via the
+    // lag/running-sum gaps-and-islands over duplicated positions
+    // (break at gap > 8), island coverage p1-p0+8. Parallel unnests
+    // zip the position and hash lists exactly like the Spark
+    // posexplode.
+    "doc_substring_dedup" ->
+      s"""WITH t AS (
+  SELECT doc_id, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
+  FROM documents),
+t2 AS (
+  SELECT doc_id, toks, n_tokens,
+    CAST(greatest(n_tokens - 7, 0) AS BIGINT) AS n_grams
+  FROM t),
+p0 AS (
+  SELECT doc_id, n_grams,
+    list_transform(range(1, CAST(n_grams AS INT) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS hs
+  FROM t2),
+p1 AS (
+  SELECT doc_id,
+    unnest(range(1, CAST(n_grams AS INT) + 1)) AS i,
+    unnest(hs) AS h
+  FROM p0),
+p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM p1),
+dh AS (SELECT h FROM p GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+dp AS (SELECT p.doc_id, p.pos FROM p JOIN dh USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+      THEN 1 ELSE 0 END AS brk
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl2 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+sp AS (
+  SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1,
+    CAST(count(*) AS BIGINT) AS n_pos
+  FROM isl2 GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(SUM(n_pos) AS BIGINT) AS n_dup_pos,
+    CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens
+  FROM sp GROUP BY 1)
+SELECT t2.doc_id, t2.n_tokens, t2.n_grams,
+  CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(d.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+  CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(t2.n_tokens - coalesce(d.dup_tokens, 0) AS BIGINT) AS clean_tokens,
+  CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) / t2.n_tokens AS dup_frac
+FROM t2 LEFT JOIN d USING (doc_id) ORDER BY doc_id""",
 
     // Twin of TextOps.gopherRules: mean word length from len(text)
     // (single-space-joined corpus: chars = Σlen + (n-1) separators),

@@ -112,6 +112,8 @@ object SparkEntry {
     "doc_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "doc_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "doc_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
+    "doc_substring_dedup" -> ((s, d) => TextOps.substringDedup(s, d)),
+    "doc_leakage_split" -> ((s, d) => TextOps.leakageSplit(s, d)),
     "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),

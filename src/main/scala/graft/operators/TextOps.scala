@@ -485,6 +485,96 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Token width of the exact-substring dedup gram (Lee et al. 2022 use
+    * 50 BPE tokens on web corpora; 8 whitespace tokens keeps the same
+    * granularity ratio against this corpus's ~100-token documents). */
+  val SubstrK = 8
+
+  /** Cross-document EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr side of
+    * that paper, complementing the document-level MinHash side this tier
+    * already has): find every MAXIMAL token span that occurs verbatim in
+    * more than one document and report, per document, how much of it is
+    * duplicated text. Their suffix-array formulation is replaced by the
+    * equivalent postings shape Spark wants: a span of ≥ K tokens is
+    * duplicated iff every one of its K-token windows is, so positional
+    * K-gram hashes + cross-document collision + merge-adjacent-positions
+    * reconstructs exactly the maximal duplicated spans.
+    *
+    * Pipeline: (1) one scan emits (doc_id, pos, h) positional K-gram
+    * 60-bit md5-prefix hashes; (2) a gram is cross-doc duplicated iff its
+    * hash group spans ≥ 2 distinct docs — detected as min(doc_id) ≠
+    * max(doc_id), a BOUNDED two-long aggregate state, so unlike the
+    * pair sweeps this needs NO df-cut: corpus-hot boilerplate costs one
+    * group, never a postings list; (3) the duplicated-hash set joins back
+    * one row per distinct hash (the rarity/tfidf fan-out-≤1 shape);
+    * (4) per document, duplicated start positions sorted once merge into
+    * maximal islands (gap > K breaks; a window partitioned by doc_id, so
+    * the sort is bounded by document length, never corpus size). Island
+    * [p0..p1] covers p1−p0+K tokens; islands are disjoint by
+    * construction, so per-doc sums never exceed n_tokens.
+    *
+    * Integer-exact throughout (positions, counts, one final division),
+    * and the hash idiom is the shared md5-prefix convention, so the
+    * DuckDB twin lands bit-identically. Within-doc-only repetition
+    * deliberately does NOT count (that's `repetition`'s signal), matching
+    * `spanDedup`'s cross-doc convention on its coarser chunk unit. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupFrame(Tables.documentsPar(spark, dir))
+
+  private[graft] def substringDedupFrame(docs: DataFrame): DataFrame =
+    substringDedupFrame(docs, SubstrK)
+
+  private[graft] def substringDedupFrame(docs: DataFrame, k: Int): DataFrame = {
+    val base = docs
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_grams",
+        greatest(col("n_tokens") - (k - 1), lit(0L)))
+    // (doc_id, pos, h) positional K-gram hashes — cached: the frame feeds
+    // both the duplicated-hash aggregate and the position join-back, and
+    // uncached the tokenize+slice+md5 derivation (interpreted transform)
+    // would run twice per consumer.
+    val pos = graft.Artifacts.shared(
+      base.select(col("doc_id"), col("n_grams"),
+          posexplode(when(col("n_grams") > 0,
+            expr(s"""transform(sequence(0L, n_grams - 1L),
+              i -> conv(substring(md5(cast(concat_ws(' ', slice(toks, cast(i + 1 as int), $k)) as binary)), 1, 15), 16, 10))"""))
+            .otherwise(array().cast("array<string>"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("long").as("h")))
+    // cross-document duplicated hashes: min≠max over doc_id — two longs
+    // of aggregate state per group, hot grams stay bounded
+    val dupH = pos.groupBy("h")
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select("h")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val islands = pos.join(dupH, "h")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"),
+        count(lit(1)).as("n_pos"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_pos")).as("n_dup_pos"),
+        sum(col("p1") - col("p0") + k).as("dup_tokens"))
+    base.select("doc_id", "n_tokens", "n_grams")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("clean_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   /** GOPHER-style rule signals (Rae et al. 2021 §A1.1; same family as
     * C4's heuristics, Raffel et al. 2020) — the rule-based quality gate
     * production corpora apply before model-based scoring: word-count
@@ -1172,6 +1262,57 @@ object TextOps {
       .select("d1", "d2")
     ConnectedComponents.labels(edges)
       .select(col("id").as("doc_id"), col("root").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** LEAKAGE-SAFE train/val/test split — the split step of a training
+    * pipeline done at the NEAR-DUP-CLUSTER grain instead of the document
+    * grain: hashing each document independently sends near-duplicates to
+    * different splits, so eval scores are inflated by memorized
+    * near-copies of training docs (the contamination mode dataset decks
+    * warn about alongside verbatim overlap). Assigning the seeded hash
+    * bucket to the CLUSTER id makes every near-dup cluster co-travel by
+    * construction. Documents outside any cluster are their own cluster
+    * (label = doc_id), so the split stays the familiar per-doc hash for
+    * the non-duplicated bulk of the corpus.
+    *
+    * The report keeps the counterfactual visible: `naive_split` is the
+    * per-doc hash assignment, and `naive_leaky` flags docs whose cluster
+    * the naive rule would have straddled across splits. Buckets use the
+    * shared 28-bit md5-prefix idiom (8 train / 1 val / 1 test).
+    *
+    * Scale shape: cluster labels come from the O(log n)-round
+    * large-star/small-star components over the shared scored-pair
+    * artifact; the label side is pairs-bounded and slim (two longs), the
+    * corpus side joins it on doc_id and the cluster stats are one
+    * exchange on cluster_id joined back at fan-out ≤ 1 per doc (the
+    * rarity shape). Nothing here shuffles document text. */
+  def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccardPairsAll(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2")
+    val labels = ConnectedComponents.labels(edges)
+      .select(col("id").as("doc_id"), col("root"))
+    def bucket(c: Column): Column =
+      conv(substring(md5(concat(c.cast("string"), lit("#sp"))
+        .cast("binary")), 1, 7), 16, 10).cast("long") % 10
+    def splitName(b: Column): Column =
+      when(b <= 7, "train").when(b === 8, "val").otherwise("test")
+    val b = Tables.documentsPar(spark, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("root"), col("doc_id")))
+      .withColumn("naive_split", splitName(bucket(col("doc_id"))))
+      .withColumn("split", splitName(bucket(col("cluster_id"))))
+    // leak = the cluster's members land in more than one SPLIT under the
+    // naive rule (distinct split names, not distinct hash buckets — two
+    // buckets inside the train range are not a leak)
+    val stats = b.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("naive_split")).as("n_naive"))
+    b.join(stats, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("split"), col("naive_split"),
+        (col("cluster_size") > 1L && col("n_naive") > 1L).as("naive_leaky"))
       .orderBy("doc_id")
   }
 

@@ -442,4 +442,25 @@ class PlanShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       s"expected exactly 1 hash exchange (hash(user_id) satisfies the " +
         s"(user_id, version) clustering):\n$p")
   }
+
+  test("substring dedup: no cartesian/NLJ — duplicated hashes attach via " +
+    "an equi-join, the island windows partition by doc_id (bounded by " +
+    "document length, never corpus size)") {
+    val p = plan(TextOps.substringDedup(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // every window runs under a doc_id partitioning (the lag/running-sum
+    // island merge) — no global (unpartitioned) window anywhere
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toList
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")),
+      s"island windows must partition by doc_id:\n$p")
+  }
+
+  test("leakage split: label and stat sides attach by equi-joins — no " +
+    "cartesian, no nested loop, no document text in any shuffle") {
+    val p = plan(TextOps.leakageSplit(spark, sf()))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("text#") ||
+      !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      "document text must not ride an exchange")
+  }
 }

@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+/** Exact-substring dedup (Lee et al. 2022 shape) and the cluster-aware
+  * leakage-safe split: planted-span fixtures with hand-computed island
+  * extents, an independent driver recompute over the real corpus, and
+  * the no-near-dup-pair-straddles-splits law. */
+class SubstringDedupSpec extends SparkSpec {
+
+  private val K = TextOps.SubstrK
+
+  /** Fixture corpus → (doc_id → (n_spans, n_dup_pos, dup_tokens)). */
+  private def run(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    import spark.implicits._
+    val df = docs.toDF("doc_id", "text")
+    TextOps.substringDedupFrame(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+  }
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("planted 12-token shared run: one island covering exactly the " +
+    "shared tokens in both documents") {
+    val shared = words("dup", 12)
+    // distinct 10-token contexts either side, so only windows fully
+    // inside the shared run collide: 12-K+1 = 5 positions, island
+    // coverage p1-p0+K = 4+K = 12 tokens
+    val m = run(Seq(
+      1L -> s"${words("a", 10)} $shared ${words("b", 10)}",
+      2L -> s"${words("c", 10)} $shared ${words("d", 10)}"))
+    assert(m(1L) == ((1L, 5L, 12L)), s"got ${m(1L)}")
+    assert(m(2L) == ((1L, 5L, 12L)), s"got ${m(2L)}")
+  }
+
+  test("documents shorter than K tokens have zero grams and zero spans; " +
+    "within-doc-only repetition does not count as duplication") {
+    val selfRep = (words("x", K) + " ") * 3 // same K tokens thrice, one doc only
+    val m = run(Seq(
+      1L -> words("s", K - 1),
+      2L -> selfRep.trim,
+      3L -> words("z", 30)))
+    assert(m(1L) == ((0L, 0L, 0L)))
+    assert(m(2L) == ((0L, 0L, 0L)), "self-repetition is repetition's signal, not dedup's")
+    assert(m(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("two shared runs separated by more than K unique tokens form two " +
+    "islands; a contiguous longer run stays one island") {
+    val s1 = words("p", 12)
+    val s2 = words("q", 12)
+    val long = words("r", 20)
+    val m = run(Seq(
+      1L -> s"$s1 ${words("u", 12)} $s2",
+      2L -> s"$s1 ${words("v", 12)} $s2",
+      3L -> s"${words("w", 5)} $long",
+      4L -> s"${words("y", 5)} $long"))
+    assert(m(1L)._1 == 2L && m(1L)._3 == 24L, s"got ${m(1L)}")
+    assert(m(2L)._1 == 2L && m(2L)._3 == 24L)
+    // contiguous 20-token run: 20-K+1 = 13 positions, one island, 20 tokens
+    assert(m(3L) == ((1L, 13L, 20L)), s"got ${m(3L)}")
+    assert(m(4L) == ((1L, 13L, 20L)))
+  }
+
+  test("corpus run matches an independent driver recompute (positions, " +
+    "islands, coverage) on every document") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent reference: same definition, plain Scala
+    def gramHash(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val grams = docs.toSeq.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - K).map(p => (id, p.toLong, gramHash(t.slice(p, p + K).mkString(" "))))
+    }
+    val byH = grams.groupBy(_._3)
+    val dup = grams.filter { case (id, _, h) => byH(h).exists(_._1 != id) }
+    val expect = dup.groupBy(_._1).map { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val islands = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, p) => acc match {
+          case (p0, p1) :: rest if p - p1 <= K => (p0, p) :: rest
+          case _ => (p, p) :: acc
+        }
+      }
+      id -> ((islands.size.toLong, sorted.size.toLong,
+        islands.map { case (p0, p1) => p1 - p0 + K }.sum))
+    }
+    val got = TextOps.substringDedup(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.size == docs.size)
+    docs.keys.foreach { id =>
+      assert(got(id) == expect.getOrElse(id, (0L, 0L, 0L)),
+        s"doc $id: got ${got(id)} expected ${expect.getOrElse(id, (0L, 0L, 0L))}")
+    }
+    val dupDocs = got.count(_._2._1 > 0)
+    assert(dupDocs > 0, "corpus must contain planted cross-doc duplication")
+  }
+
+  test("leakage split: no near-dup pair straddles splits, singletons keep " +
+    "the naive assignment, and the leak flag matches a driver recompute") {
+    val split = TextOps.leakageSplit(spark, sf()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getBoolean(5))))
+      .toMap
+    val pairs = TextOps.ngramJaccardPairsAll(spark, sf())
+      .filter(col("jaccard") >= 0.5).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._3 == split(b)._3,
+        s"near-dup pair ($a,$b) straddles splits ${split(a)._3}/${split(b)._3}")
+      assert(split(a)._1 == split(b)._1, "pair must share a cluster id")
+    }
+    // singletons: cluster_id == doc_id implies split == naive_split
+    split.foreach { case (id, (cl, size, s, ns, leaky)) =>
+      if (size == 1L) {
+        assert(cl == id && s == ns, s"singleton $id must keep the naive split")
+        assert(!leaky)
+      }
+    }
+    // leak flag = cluster members' naive buckets differ (driver recompute)
+    val byCluster = split.groupBy(_._2._1)
+    split.foreach { case (id, (cl, size, _, _, leaky)) =>
+      val naives = byCluster(cl).map(_._2._4).toSet
+      assert(leaky == (size > 1 && naives.size > 1), s"leak flag wrong for doc $id")
+    }
+    assert(split.values.exists(_._5), "corpus must exhibit naive leakage")
+    // split fractions near 8/1/1
+    val frac = split.values.count(_._3 == "train").toDouble / split.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac out of band")
+  }
+}
