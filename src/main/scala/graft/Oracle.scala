@@ -2110,54 +2110,34 @@ FROM a ORDER BY doc_id""",
     // (break at gap > 8), island coverage p1-p0+8. Parallel unnests
     // zip the position and hash lists exactly like the Spark
     // posexplode.
-    "doc_substring_dedup" ->
-      s"""WITH t AS (
-  SELECT doc_id, $tokensExpr AS toks,
-    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
-  FROM documents),
-t2 AS (
-  SELECT doc_id, toks, n_tokens,
-    CAST(greatest(n_tokens - 7, 0) AS BIGINT) AS n_grams
-  FROM t),
-p0 AS (
-  SELECT doc_id, n_grams,
-    list_transform(range(1, CAST(n_grams AS INT) + 1),
-      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS hs
-  FROM t2),
-p1 AS (
-  SELECT doc_id,
-    unnest(range(1, CAST(n_grams AS INT) + 1)) AS i,
-    unnest(hs) AS h
-  FROM p0),
-p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM p1),
-dh AS (SELECT h FROM p GROUP BY h HAVING min(doc_id) <> max(doc_id)),
-dp AS (SELECT p.doc_id, p.pos FROM p JOIN dh USING (h)),
-isl AS (
-  SELECT doc_id, pos,
-    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
-      THEN 1 ELSE 0 END AS brk
-  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-isl2 AS (
-  SELECT doc_id, pos,
-    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM isl),
-sp AS (
-  SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1,
-    CAST(count(*) AS BIGINT) AS n_pos
-  FROM isl2 GROUP BY 1, 2),
-d AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-    CAST(SUM(n_pos) AS BIGINT) AS n_dup_pos,
-    CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens
-  FROM sp GROUP BY 1)
-SELECT t2.doc_id, t2.n_tokens, t2.n_grams,
-  CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
-  CAST(coalesce(d.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
-  CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-  CAST(t2.n_tokens - coalesce(d.dup_tokens, 0) AS BIGINT) AS clean_tokens,
-  CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) / t2.n_tokens AS dup_frac
-FROM t2 LEFT JOIN d USING (doc_id) ORDER BY doc_id""",
+    "doc_substring_dedup" -> substringSql,
+
+    // Twin of TextOps.corpusReport: the three signal twins (quality,
+    // gopher, substring-dedup) re-used as subqueries — shared verified
+    // SQL, aggregated per source; integer sums throughout, two final
+    // divisions, token_share's denominator a window total of BIGINTs.
+    "corpus_report" ->
+      s"""WITH q AS (SELECT doc_id, n_tokens, quality FROM ($qualitySql)),
+g AS (SELECT doc_id, gopher_pass FROM ($gopherSql)),
+sd AS (SELECT doc_id, dup_tokens FROM ($substringSql)),
+j AS (
+  SELECT d.source, d.lang, q.n_tokens, q.quality, g.gopher_pass, sd.dup_tokens
+  FROM documents d JOIN q USING (doc_id) JOIN g USING (doc_id)
+  JOIN sd USING (doc_id)),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+    CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens,
+    CAST(SUM(CASE WHEN quality >= 5e-1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+    CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM j GROUP BY 1)
+SELECT source, n_docs, n_tokens, dup_tokens,
+  CAST(dup_tokens AS DOUBLE) / n_tokens AS dup_frac,
+  n_quality, n_gopher, n_langs,
+  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT) AS token_share
+FROM a ORDER BY source""",
+
 
     // Twin of TextOps.gopherRules: mean word length from len(text)
     // (single-space-joined corpus: chars = Σlen + (n-1) separators),
@@ -2255,6 +2235,57 @@ sims AS (
 SELECT q_id, vec_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
 FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""")
+
+  /** twin of TextOps.substringDedup — shared by doc_substring_dedup
+    * and the corpus_report rollup */
+  private lazy val substringSql: String =
+      s"""WITH t AS (
+  SELECT doc_id, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
+  FROM documents),
+t2 AS (
+  SELECT doc_id, toks, n_tokens,
+    CAST(greatest(n_tokens - 7, 0) AS BIGINT) AS n_grams
+  FROM t),
+p0 AS (
+  SELECT doc_id, n_grams,
+    list_transform(range(1, CAST(n_grams AS INT) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS hs
+  FROM t2),
+p1 AS (
+  SELECT doc_id,
+    unnest(range(1, CAST(n_grams AS INT) + 1)) AS i,
+    unnest(hs) AS h
+  FROM p0),
+p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM p1),
+dh AS (SELECT h FROM p GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+dp AS (SELECT p.doc_id, p.pos FROM p JOIN dh USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+      THEN 1 ELSE 0 END AS brk
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl2 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+sp AS (
+  SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1,
+    CAST(count(*) AS BIGINT) AS n_pos
+  FROM isl2 GROUP BY 1, 2),
+d AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+    CAST(SUM(n_pos) AS BIGINT) AS n_dup_pos,
+    CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens
+  FROM sp GROUP BY 1)
+SELECT t2.doc_id, t2.n_tokens, t2.n_grams,
+  CAST(coalesce(d.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(coalesce(d.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+  CAST(coalesce(d.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(t2.n_tokens - coalesce(d.dup_tokens, 0) AS BIGINT) AS clean_tokens,
+  CAST(coalesce(d.dup_tokens, 0) AS DOUBLE) / t2.n_tokens AS dup_frac
+FROM t2 LEFT JOIN d USING (doc_id) ORDER BY doc_id"""
 
   // Twin of TextOps.spanDedup: chunk derivation repeated from
   // doc_chunk's verified SQL, span stats per chunk_md5 (exact

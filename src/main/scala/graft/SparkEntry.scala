@@ -115,6 +115,7 @@ object SparkEntry {
     "doc_substring_dedup" -> ((s, d) => TextOps.substringDedup(s, d)),
     "doc_leakage_split" -> ((s, d) => TextOps.leakageSplit(s, d)),
     "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),
+    "corpus_report" -> ((s, d) => TextOps.corpusReport(s, d)),
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),

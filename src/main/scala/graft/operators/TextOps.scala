@@ -799,6 +799,44 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus GOVERNANCE report — the per-source release-audit rollup a
+    * dataset card is built from: document and token mass, exact-substring
+    * duplicated-token mass, quality-gate and Gopher-gate pass counts,
+    * language spread, and each source's share of total token mass. The
+    * signal frames are the SAME shared artifacts the standalone queries
+    * build (quality, gopherRules, substringDedup), joined on the slim doc
+    * key and collapsed to |sources| rows — the materialized-signal shape
+    * trainingSet uses, aggregated instead of audited per-doc.
+    *
+    * Exactness: every aggregate is an integer sum/count (token masses,
+    * pass counts, distinct langs); the only doubles are two final
+    * divisions (dup_frac, token_share) of BIGINTs, and token_share's
+    * denominator rides an unpartitioned window over the already-tiny
+    * per-source frame — order-independent by integer addition. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val q = graft.Artifacts.shared(quality(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val g = graft.Artifacts.shared(gopherRules(spark, dir))
+      .select(col("doc_id"), col("gopher_pass"))
+    val sd = graft.Artifacts.shared(substringDedup(spark, dir))
+      .select(col("doc_id"), col("dup_tokens"))
+    val a = Tables.documentsPar(spark, dir).select("doc_id", "source", "lang")
+      .join(q, "doc_id").join(g, "doc_id").join(sd, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("dup_tokens")).as("dup_tokens"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher"),
+        countDistinct(col("lang")).as("n_langs"))
+    a.select(col("source"), col("n_docs"), col("n_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_frac"),
+        col("n_quality"), col("n_gopher"), col("n_langs"),
+        (col("n_tokens").cast("double")
+          / sum(col("n_tokens")).over(Window.partitionBy())).as("token_share"))
+      .orderBy("source")
+  }
+
   /** Seeded hash bucket of a doc_id (0-9) — the deterministic sampling
     * key shared by sampleStratified and the contamination eval split. */
   private[graft] def sampleBucket: Column =

@@ -137,4 +137,35 @@ class SubstringDedupSpec extends SparkSpec {
     val frac = split.values.count(_._3 == "train").toDouble / split.size
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac out of band")
   }
+
+  test("corpus report: per-source masses conserve against the corpus and " +
+    "the per-doc signal frames") {
+    val rep = TextOps.corpusReport(spark, sf()).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getDouble(8))))
+      .toMap
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rep.values.map(_._1).sum == docs.length, "n_docs must conserve")
+    // per-source doc counts and language spread against a direct recompute
+    docs.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rep(src)._1 == rows.length)
+      assert(rep(src)._7 == rows.map(_._3).distinct.length.toLong)
+    }
+    // token mass conserves against the quality frame; dup mass against
+    // the substring-dedup frame
+    val nTok = TextOps.quality(spark, sf()).agg(sum(col("n_tokens")))
+      .head().getLong(0)
+    assert(rep.values.map(_._2).sum == nTok, "token mass must conserve")
+    val dupTok = TextOps.substringDedup(spark, sf()).agg(sum(col("dup_tokens")))
+      .head().getLong(0)
+    assert(rep.values.map(_._3).sum == dupTok, "dup mass must conserve")
+    rep.foreach { case (src, (nd, nt, dt, df, nq, ng, _, share)) =>
+      assert(dt <= nt && nq <= nd && ng <= nd, s"bounds violated for $src")
+      assert(df >= 0.0 && df <= 1.0 && share > 0.0 && share <= 1.0)
+    }
+    assert(math.abs(rep.values.map(_._8).sum - 1.0) < 1e-9,
+      "token shares must sum to 1")
+  }
 }
