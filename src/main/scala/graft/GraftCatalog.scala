@@ -57,6 +57,7 @@ object GraftCatalog {
     "dedup_clusters",     // label propagation: convergence action per round
     "dedup_clusters_ls",  // large/small-star: fingerprint head() per round
     "doc_leakage_split",  // same large/small-star labels: head() per round
+    "dedup_keep_best",    // same large/small-star labels: head() per round
     "doc_decontam_bloom", // bloom build: count() + treeAggregate
     "vocab_bpe_merges",   // BPE trainer: top-pair collect per round
     "approx_top_tokens",  // sketch build: mapPartitions collect

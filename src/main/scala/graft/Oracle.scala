@@ -1536,6 +1536,33 @@ reach(id, r) AS (
 SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
 FROM reach GROUP BY 1 ORDER BY 1""",
 
+    // Twin of TextOps.dedupKeepBest: reach-CTE labels + the verified
+    // quality twin; keeper = rank 1 of (quality desc, doc_id) per
+    // cluster — quality is computed bit-identically on both sides, so
+    // the comparison-based rank is deterministic.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE pairs AS ($jaccardPairsSql),
+edges AS (SELECT d1, d2 FROM pairs WHERE jaccard >= 5e-1),
+sym AS (SELECT d1, d2 FROM edges UNION ALL SELECT d2 AS d1, d1 AS d2 FROM edges),
+reach(id, r) AS (
+  SELECT d1, d1 FROM sym
+  UNION
+  SELECT s.d2, r.r FROM reach r JOIN sym s ON s.d1 = r.id),
+lab AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS root FROM reach GROUP BY 1),
+q AS (SELECT doc_id, quality FROM ($qualitySql)),
+cl AS (
+  SELECT d.doc_id, coalesce(l.root, d.doc_id) AS cluster_id, q.quality
+  FROM documents d LEFT JOIN lab l USING (doc_id) JOIN q USING (doc_id)),
+r AS (
+  SELECT doc_id, cluster_id, quality,
+    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+  FROM cl),
+k AS (SELECT cluster_id, doc_id AS keeper_id FROM r WHERE rn = 1)
+SELECT r.doc_id, CAST(r.cluster_id AS BIGINT) AS cluster_id, r.cluster_size,
+  r.quality, k.keeper_id, r.doc_id = k.keeper_id AS keep
+FROM r JOIN k USING (cluster_id) ORDER BY r.doc_id""",
+
     // Twin of TextOps.leakageSplit: the SAME reach-CTE component labels
     // as dedup_clusters, left-joined to the full corpus (singletons keep
     // their own doc_id), the shared 28-bit md5-prefix bucket idiom with

@@ -1354,6 +1354,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** QUALITY-AWARE dedup retention — the keep policy production dedups
+    * actually apply: within each near-dup cluster keep the HIGHEST-
+    * QUALITY member, not the lowest doc_id (the min-id keeper every
+    * pair/cluster query reports is the canonical LABEL; which copy
+    * survives is a separate, quality-ranked decision — e.g. the cleanest
+    * crawl of a mirrored page). Ranking is (quality desc, doc_id asc):
+    * the quality score is computed bit-identically in both engines, so
+    * the comparison-based rank carries no float-accumulation risk, and
+    * the doc_id tie-break makes the order total. Singletons are their
+    * own cluster and trivially keep themselves.
+    *
+    * Scale shape: cluster labels from the O(log n) large-star/small-star
+    * components over the shared pair artifact; quality attaches from its
+    * shared artifact on the slim doc key; both windows (rank, keeper
+    * broadcast-back) ride ONE cluster_id exchange, and cluster
+    * populations are pair-bounded, so no window partition ever exceeds a
+    * cluster's size. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val edges = ngramJaccardPairsAll(spark, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select("d1", "d2")
+    val labels = ConnectedComponents.labels(edges)
+      .select(col("id").as("doc_id"), col("root"))
+    val q = graft.Artifacts.shared(quality(spark, dir))
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc, col("doc_id"))
+    val cw = Window.partitionBy("cluster_id")
+    Tables.documentsPar(spark, dir).select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("root"), col("doc_id")))
+      .join(q, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cluster_size", count(lit(1)).over(cw))
+      .withColumn("keeper_id", max(when(col("rn") === 1, col("doc_id"))).over(cw))
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size").cast("long").as("cluster_size"), col("quality"),
+        col("keeper_id"), (col("doc_id") === col("keeper_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic corpus shuffle + sharding — the step between packing
     * and training: documents are dealt into `ShuffleShards` shards and
     * given a pseudo-random, REPRODUCIBLE order inside each (seeded hash,

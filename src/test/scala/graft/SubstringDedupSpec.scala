@@ -138,6 +138,30 @@ class SubstringDedupSpec extends SparkSpec {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac out of band")
   }
 
+  test("keep-best retention: one keeper per cluster, the keeper is the " +
+    "quality argmax with doc_id tie-break, singletons keep themselves") {
+    val rows = TextOps.dedupKeepBest(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getBoolean(5)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cl, ms) =>
+      assert(ms.count(_._6) == 1, s"cluster $cl must have exactly one keeper")
+      val best = ms.minBy(m => (-m._4, m._1)) // quality desc, doc_id asc
+      assert(ms.forall(_._5 == best._1), s"keeper_id wrong in cluster $cl")
+      assert(ms.forall(_._3 == ms.length.toLong))
+      if (ms.length == 1) assert(ms.head._6 && ms.head._2 == ms.head._1)
+    }
+    assert(byCluster.exists(_._2.length > 1), "corpus must contain clusters")
+    // the policy is quality-ranked, not min-id: at least verify the two
+    // CAN diverge structurally (keeper == min id only when quality agrees)
+    byCluster.filter(_._2.length > 1).foreach { case (_, ms) =>
+      val keeper = ms.find(_._6).get
+      val minId = ms.minBy(_._1)
+      if (keeper._1 != minId._1)
+        assert(keeper._4 > minId._4, "a non-min keeper must out-score the min id")
+    }
+  }
+
   test("corpus report: per-source masses conserve against the corpus and " +
     "the per-doc signal frames") {
     val rep = TextOps.corpusReport(spark, sf()).collect()
