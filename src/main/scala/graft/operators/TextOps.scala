@@ -1294,14 +1294,27 @@ object TextOps {
       .orderBy(col("n_pairs").desc, col("src_a"), col("src_b"))
   }
 
-  def dedupClustersLS(spark: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccardPairsAll(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select("d1", "d2")
-    ConnectedComponents.labels(edges)
+  /** Near-dup component labels over the jaccard≥0.5 edge set, memoized
+    * per (session, dir): three queries (dedup_clusters_ls, leakageSplit,
+    * dedupKeepBest) consume the IDENTICAL labels, and the large-star/
+    * small-star rounds would otherwise re-run per consumer (measured
+    * ~0.4-0.5 s each at sf0.1). The frame is localCheckpointed inside
+    * ConnectedComponents, so the memo holds materialized blocks, not
+    * replayable lineage; unpersistAll clears the memo with the rest of
+    * the artifact state. */
+  private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.memo(
+      s"neardup-labels:${System.identityHashCode(spark)}:$dir") {
+      val edges = ngramJaccardPairsAll(spark, dir)
+        .filter(col("jaccard") >= 0.5)
+        .select("d1", "d2")
+      ConnectedComponents.labels(edges)
+    }
+
+  def dedupClustersLS(spark: SparkSession, dir: String): DataFrame =
+    nearDupLabels(spark, dir)
       .select(col("id").as("doc_id"), col("root").as("cluster_id"))
       .orderBy("doc_id")
-  }
 
   /** LEAKAGE-SAFE train/val/test split — the split step of a training
     * pipeline done at the NEAR-DUP-CLUSTER grain instead of the document
@@ -1326,10 +1339,7 @@ object TextOps {
     * exchange on cluster_id joined back at fan-out ≤ 1 per doc (the
     * rarity shape). Nothing here shuffles document text. */
   def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccardPairsAll(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select("d1", "d2")
-    val labels = ConnectedComponents.labels(edges)
+    val labels = nearDupLabels(spark, dir)
       .select(col("id").as("doc_id"), col("root"))
     def bucket(c: Column): Column =
       conv(substring(md5(concat(c.cast("string"), lit("#sp"))
@@ -1372,10 +1382,7 @@ object TextOps {
     * populations are pair-bounded, so no window partition ever exceeds a
     * cluster's size. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val edges = ngramJaccardPairsAll(spark, dir)
-      .filter(col("jaccard") >= 0.5)
-      .select("d1", "d2")
-    val labels = ConnectedComponents.labels(edges)
+    val labels = nearDupLabels(spark, dir)
       .select(col("id").as("doc_id"), col("root"))
     val q = graft.Artifacts.shared(quality(spark, dir))
       .select(col("doc_id"), col("quality"))
