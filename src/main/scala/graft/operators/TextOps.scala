@@ -88,7 +88,17 @@ object TextOps {
     * pre-training filter signal. Doubles derive only from integer counts
     * via formulas repeated token-identically in the oracle. */
   def quality(spark: SparkSession, dir: String): DataFrame =
-    Tables.documentsPar(spark, dir)
+    qualitySignals(Tables.documentsPar(spark, dir))
+      .select("doc_id", "n_tokens", "n_stop", "n_distinct", "stop_ratio",
+        "ttr", "quality")
+      .orderBy("doc_id")
+
+  /** Signals-only face of the quality score: adds the columns and keeps
+    * every input column — pure per-row arithmetic, no aggregation, so it
+    * composes into BATCH AND STREAMING plans alike (the gopherSignals
+    * contract; streaming.CorpusStats builds on exactly this property). */
+  private[graft] def qualitySignals(docsIn: DataFrame): DataFrame =
+    docsIn
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
@@ -99,9 +109,7 @@ object TextOps {
       .withColumn("quality",
         least(lit(1.0), col("n_tokens") / 100.0) * 0.5
           + (lit(1.0) - col("stop_ratio")) * 0.3 + col("ttr") * 0.2)
-      .select("doc_id", "n_tokens", "n_stop", "n_distinct", "stop_ratio",
-        "ttr", "quality")
-      .orderBy("doc_id")
+      .drop("toks")
 
   /** Document fingerprinting: full-content MD5 (exact-dup key), a 60-bit
     * integer prefix of it (compact join/bucket key), the distinct shingle

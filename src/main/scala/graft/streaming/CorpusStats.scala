@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming corpus governance — the continuous face of
+  * `TextOps.corpusReport`: a document stream maintains the per-source
+  * dataset-card counters (doc mass, token mass, quality-gate and
+  * Gopher-gate pass counts, language set) incrementally across
+  * micro-batches, so the release dashboard reads a tiny state table
+  * instead of rescanning the corpus. The cross-document signals of the
+  * batch report (duplicated-token mass, token share) stay batch-only by
+  * design — they are not per-row-derivable, which is exactly the
+  * boundary between this store and `corpusReport`.
+  *
+  * Per batch: the SAME stateless signal derivations the batch queries
+  * use (`TextOps.qualitySignals`, `TextOps.gopherSignals` — pure per-row
+  * arithmetic, so batch ≡ stream by construction) feed one
+  * groupBy(source) aggregate; the collected result is O(|sources|) rows
+  * of integers plus a bounded language set — the bounded-driver-state
+  * class (production corpora have hundreds of sources, not millions).
+  *
+  * Exactly-once via the BATCH-ID-GATED idempotent sink (the
+  * TrendingTokens pattern): integer addition is NOT idempotent, so the
+  * persisted state carries the last applied foreachBatch batchId and a
+  * replayed batch (id <= stored) is skipped — Structured Streaming
+  * replays whole micro-batches under the same id, which is exactly the
+  * unit the gate absorbs. Language-set union IS idempotent; it rides the
+  * same gate for free. Crash safety is the shared contract: write-tmp /
+  * delete-live / rename, with VALIDATED tmp adoption for the first-write
+  * crash window (a truncated first tmp is discarded and the checkpoint
+  * replays the batch — convergent, not lossy).
+  *
+  * State rows serialize as sorted TSV (sources and langs are identifier
+  * tokens in this corpus; a binary serde would lift that restriction
+  * without changing the contract). */
+object CorpusStats {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  /** Per-source accumulated counters. */
+  final case class SourceStats(nDocs: Long, nTokens: Long, nQuality: Long,
+      nGopher: Long, langs: Set[String])
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Stateless per-batch rollup — the shared derivation both faces use:
+    * quality + gopher signals per row, then one aggregate per source. */
+  private[streaming] def batchRollup(batch: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    TextOps.gopherSignals(TextOps.qualitySignals(batch))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("quality") >= 0.5, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("n_gopher"),
+        collect_set(col("lang")).as("langs"))
+  }
+
+  /** Read persisted (lastBatchId, stats); heals an interrupted swap with
+    * validated tmp adoption (the TrendingTokens.readState contract: only
+    * STRUCTURAL corruption of a tmp is discardable; a corrupt LIVE file
+    * was swapped in whole and means external damage). */
+  private[streaming] def readState(spark: SparkSession, store: String)
+      : (Long, Map[String, SourceStats]) = {
+    val live = new org.apache.hadoop.fs.Path(store)
+    val tmp = new org.apache.hadoop.fs.Path(s"$store.tmp")
+    val f = fs(spark, live)
+    if (!f.exists(live) && f.exists(tmp)) {
+      parseState(spark, tmp) match {
+        case Some(st) => f.rename(tmp, live); return st
+        case None => f.delete(tmp, false)
+      }
+    }
+    if (!f.exists(live)) return (-1L, Map.empty)
+    parseState(spark, live).getOrElse(
+      throw new IllegalStateException(
+        s"$store is corrupt — it was swapped in whole, so this is " +
+          "external damage, not a crash window; restore or delete it"))
+  }
+
+  private def parseState(spark: SparkSession, p: org.apache.hadoop.fs.Path)
+      : Option[(Long, Map[String, SourceStats])] = {
+    val in = fs(spark, p).open(p)
+    try {
+      val text = new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      val lines = text.split("\n", -1).filter(_.nonEmpty)
+      if (lines.isEmpty || lines.head != "corpus-stats-v1") return None
+      val id = lines(1).toLong
+      val rows = lines.drop(2).map { l =>
+        val c = l.split("\t", -1)
+        if (c.length != 6) return None
+        c(0) -> SourceStats(c(1).toLong, c(2).toLong, c(3).toLong, c(4).toLong,
+          if (c(5).isEmpty) Set.empty else c(5).split(",", -1).toSet)
+      }
+      Some((id, rows.toMap))
+    } catch {
+      case _: java.io.EOFException => None
+      case _: NumberFormatException => None // truncated mid-line
+    }
+    finally in.close()
+  }
+
+  private def writeState(spark: SparkSession, store: String, batchId: Long,
+      stats: Map[String, SourceStats]): Unit = {
+    val live = new org.apache.hadoop.fs.Path(store)
+    val tmp = new org.apache.hadoop.fs.Path(s"$store.tmp")
+    val f = fs(spark, live)
+    val body = stats.toSeq.sortBy(_._1).map { case (s, st) =>
+      s"$s\t${st.nDocs}\t${st.nTokens}\t${st.nQuality}\t${st.nGopher}\t" +
+        st.langs.toSeq.sorted.mkString(",")
+    }
+    val out = f.create(tmp, true)
+    try out.write((Seq("corpus-stats-v1", batchId.toString) ++ body)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (f.exists(live)) f.delete(live, false)
+    f.rename(tmp, live)
+    ()
+  }
+
+  /** Merge one micro-batch. Returns true when applied, false when the
+    * gate absorbed a replay. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, store: String,
+      batchId: Long): Boolean = {
+    val (lastId, current) = readState(spark, store)
+    if (batchId <= lastId) return false
+    val delta = batchRollup(batch).collect().map { r =>
+      r.getString(0) -> SourceStats(r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getSeq[String](5).toSet)
+    }.toMap
+    val merged = (current.keySet ++ delta.keySet).map { s =>
+      val a = current.getOrElse(s, SourceStats(0, 0, 0, 0, Set.empty))
+      val b = delta.getOrElse(s, SourceStats(0, 0, 0, 0, Set.empty))
+      s -> SourceStats(a.nDocs + b.nDocs, a.nTokens + b.nTokens,
+        a.nQuality + b.nQuality, a.nGopher + b.nGopher, a.langs ++ b.langs)
+    }.toMap
+    writeState(spark, store, batchId, merged)
+    true
+  }
+
+  /** Current per-source stats as a frame — the same additive columns the
+    * batch report emits (n_langs collapses the stored set). */
+  def stats(spark: SparkSession, store: String): DataFrame = {
+    val rows = readState(spark, store)._2.toSeq.sortBy(_._1).map {
+      case (s, st) =>
+        Row(s, st.nDocs, st.nTokens, st.nQuality, st.nGopher,
+          st.langs.size.toLong)
+    }
+    val schema = StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_docs", LongType),
+      StructField("n_tokens", LongType),
+      StructField("n_quality", LongType),
+      StructField("n_gopher", LongType),
+      StructField("n_langs", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Streaming entry: JSON document directory → stats state file. */
+  def maintain(spark: SparkSession, srcDir: String, store: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    spark.readStream.schema(docSchema).json(srcDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch.sparkSession, batch, store, id)
+        ()
+      }
+}
