@@ -88,10 +88,17 @@ object TextOps {
     * pre-training filter signal. Doubles derive only from integer counts
     * via formulas repeated token-identically in the oracle. */
   def quality(spark: SparkSession, dir: String): DataFrame =
+    qualityStats(spark, dir).orderBy("doc_id")
+
+  /** quality WITHOUT the presentation sort — the face aggregating
+    * consumers (corpusReport) cache: materializing an artifact that ends
+    * in a global orderBy pays a full-corpus sort the aggregate discards;
+    * the per-doc query re-adds its sort ON TOP of this cached subtree,
+    * so both consumers share one materialization. */
+  private[graft] def qualityStats(spark: SparkSession, dir: String): DataFrame =
     qualitySignals(Tables.documentsPar(spark, dir))
       .select("doc_id", "n_tokens", "n_stop", "n_distinct", "stop_ratio",
         "ttr", "quality")
-      .orderBy("doc_id")
 
   /** Signals-only face of the quality score: adds the columns and keeps
     * every input column — pure per-row arithmetic, no aggregation, so it
@@ -533,7 +540,12 @@ object TextOps {
   private[graft] def substringDedupFrame(docs: DataFrame): DataFrame =
     substringDedupFrame(docs, SubstrK)
 
-  private[graft] def substringDedupFrame(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def substringDedupFrame(docs: DataFrame, k: Int): DataFrame =
+    substringStats(docs, k).orderBy("doc_id")
+
+  /** substringDedup without the presentation sort (qualityStats'
+    * contract — corpusReport caches this face). */
+  private[graft] def substringStats(docs: DataFrame, k: Int): DataFrame = {
     val base = docs
       .withColumn("toks", tokens)
       .withColumn("n_tokens", size(col("toks")).cast("long"))
@@ -580,7 +592,6 @@ object TextOps {
         (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("clean_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
-      .orderBy("doc_id")
   }
 
   /** GOPHER-style rule signals (Rae et al. 2021 §A1.1; same family as
@@ -596,9 +607,12 @@ object TextOps {
     gopherRulesFrame(Tables.documentsPar(spark, dir))
 
   private[graft] def gopherRulesFrame(docsIn: DataFrame): DataFrame =
+    gopherStats(docsIn).orderBy("doc_id")
+
+  /** gopherRules without the presentation sort (qualityStats' contract). */
+  private[graft] def gopherStats(docsIn: DataFrame): DataFrame =
     gopherSignals(docsIn)
       .select("doc_id", "n_words", "mean_wl", "frac_alpha", "n_stop", "gopher_pass")
-      .orderBy("doc_id")
 
   /** Signals-only face of the Gopher gate: adds the rule columns and
     * keeps every input column (no projection, no sort), so it composes
@@ -822,11 +836,17 @@ object TextOps {
     * denominator rides an unpartitioned window over the already-tiny
     * per-source frame — order-independent by integer addition. */
   def corpusReport(spark: SparkSession, dir: String): DataFrame = {
-    val q = graft.Artifacts.shared(quality(spark, dir))
+    // the cached faces are the UNSORTED stats (qualityStats' contract):
+    // materializing an artifact that ends in orderBy pays a full-corpus
+    // global sort this aggregate immediately discards, while the per-doc
+    // queries re-add their presentation sort on top of the same subtree
+    val q = graft.Artifacts.shared(qualityStats(spark, dir))
       .select(col("doc_id"), col("n_tokens"), col("quality"))
-    val g = graft.Artifacts.shared(gopherRules(spark, dir))
+    val g = graft.Artifacts.shared(
+        gopherStats(Tables.documentsPar(spark, dir)))
       .select(col("doc_id"), col("gopher_pass"))
-    val sd = graft.Artifacts.shared(substringDedup(spark, dir))
+    val sd = graft.Artifacts.shared(
+        substringStats(Tables.documentsPar(spark, dir), SubstrK))
       .select(col("doc_id"), col("dup_tokens"))
     val a = Tables.documentsPar(spark, dir).select("doc_id", "source", "lang")
       .join(q, "doc_id").join(g, "doc_id").join(sd, "doc_id")
@@ -845,11 +865,17 @@ object TextOps {
       .orderBy("source")
   }
 
-  /** Seeded hash bucket of a doc_id (0-9) — the deterministic sampling
-    * key shared by sampleStratified and the contamination eval split. */
-  private[graft] def sampleBucket: Column =
-    conv(substring(md5(concat(col("doc_id").cast("string"), lit("#g1"))
+  /** Seeded 28-bit md5-prefix hash bucket (0-9) — the ONE deterministic
+    * bucketing idiom every sampling/splitting query derives from; the
+    * oracle SQL repeats it byte-for-byte, so all call sites must route
+    * through here. */
+  private[graft] def seededBucket(c: Column, seed: String): Column =
+    conv(substring(md5(concat(c.cast("string"), lit(seed))
       .cast("binary")), 1, 7), 16, 10).cast("long") % 10
+
+  /** The '#g1'-seeded doc bucket shared by sampleStratified and the
+    * contamination eval split. */
+  private[graft] def sampleBucket: Column = seededBucket(col("doc_id"), "#g1")
 
   /** Overlapping token-window CHUNKING — the "long document → training
     * samples" step: 16-token windows every 8 tokens (50% overlap), the
@@ -1349,9 +1375,7 @@ object TextOps {
   def leakageSplit(spark: SparkSession, dir: String): DataFrame = {
     val labels = nearDupLabels(spark, dir)
       .select(col("id").as("doc_id"), col("root"))
-    def bucket(c: Column): Column =
-      conv(substring(md5(concat(c.cast("string"), lit("#sp"))
-        .cast("binary")), 1, 7), 16, 10).cast("long") % 10
+    def bucket(c: Column): Column = seededBucket(c, "#sp")
     def splitName(b: Column): Column =
       when(b <= 7, "train").when(b === 8, "val").otherwise("test")
     val b = Tables.documentsPar(spark, dir).select("doc_id")

@@ -86,6 +86,15 @@ object CorpusStats {
           "external damage, not a crash window; restore or delete it"))
   }
 
+  /** Parse a state file. None means STRUCTURAL corruption — the only
+    * case tmp adoption may discard. The header carries the ROW COUNT so
+    * truncation at a LINE boundary (complete header + id + a prefix of
+    * the rows — every surviving line individually well-formed) is still
+    * detected: without the count, adopting such a tmp would silently
+    * drop the missing sources' counters AND record the batchId, making
+    * the checkpoint replay a no-op — permanent loss. Each row also
+    * carries its language-set SIZE, so an empty-string lang (one lang,
+    * empty field) round-trips distinguishably from no langs at all. */
   private def parseState(spark: SparkSession, p: org.apache.hadoop.fs.Path)
       : Option[(Long, Map[String, SourceStats])] = {
     val in = fs(spark, p).open(p)
@@ -93,13 +102,21 @@ object CorpusStats {
       val text = new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       val lines = text.split("\n", -1).filter(_.nonEmpty)
-      if (lines.isEmpty || lines.head != "corpus-stats-v1") return None
+      if (lines.isEmpty) return None
+      val hdr = lines.head.split("\t", -1)
+      if (hdr.length != 2 || hdr(0) != "corpus-stats-v1") return None
+      val n = hdr(1).toInt
+      if (lines.length != 2 + n) return None // line-boundary truncation
       val id = lines(1).toLong
       val rows = lines.drop(2).map { l =>
         val c = l.split("\t", -1)
-        if (c.length != 6) return None
+        if (c.length != 7) return None
+        val nLangs = c(5).toInt
+        val langs =
+          if (nLangs == 0) Set.empty[String] else c(6).split(",", -1).toSet
+        if (langs.size != nLangs) return None
         c(0) -> SourceStats(c(1).toLong, c(2).toLong, c(3).toLong, c(4).toLong,
-          if (c(5).isEmpty) Set.empty else c(5).split(",", -1).toSet)
+          langs)
       }
       Some((id, rows.toMap))
     } catch {
@@ -116,11 +133,12 @@ object CorpusStats {
     val f = fs(spark, live)
     val body = stats.toSeq.sortBy(_._1).map { case (s, st) =>
       s"$s\t${st.nDocs}\t${st.nTokens}\t${st.nQuality}\t${st.nGopher}\t" +
-        st.langs.toSeq.sorted.mkString(",")
+        s"${st.langs.size}\t" + st.langs.toSeq.sorted.mkString(",")
     }
     val out = f.create(tmp, true)
-    try out.write((Seq("corpus-stats-v1", batchId.toString) ++ body)
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(
+      (Seq(s"corpus-stats-v1\t${body.length}", batchId.toString) ++ body)
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (f.exists(live)) f.delete(live, false)
     f.rename(tmp, live)

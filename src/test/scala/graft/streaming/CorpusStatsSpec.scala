@@ -69,12 +69,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(!CorpusStats.mergeBatch(spark, docs((1, "x y", "en", "s")), store, 0),
       "gate must survive the adopted swap")
 
-    val store2 = Files.createTempDirectory("cstats4").toString + "/stats"
-    Files.createDirectories(Paths.get(store2).getParent)
-    Files.write(Paths.get(s"$store2.tmp"), "corpus-stats-v1\n0\ns\t1\t".getBytes)
-    assert(state(store2).isEmpty, "truncated first tmp must be discarded")
-    assert(CorpusStats.mergeBatch(spark, docs((1, "x", "en", "s")), store2, 0))
-    assert(state(store2)("s")._1 == 1L)
+    // every first-write truncation class must be DISCARDED, not adopted:
+    // adopting a partial state AND its batchId would make the checkpoint
+    // replay a no-op — permanent counter loss
+    val truncations = Seq(
+      "header only" -> "corpus-stats-v1\t2\n",
+      "line-boundary cut (header claims 2 rows, 1 present)" ->
+        "corpus-stats-v1\t2\n0\na\t1\t2\t0\t0\t1\ten\n",
+      "mid-row cut" -> "corpus-stats-v1\t1\n0\ns\t1\t",
+      "bad header" -> "corpus-stats\n0\n")
+    truncations.foreach { case (label, bytes) =>
+      val st = Files.createTempDirectory("cstats4").toString + "/stats"
+      Files.createDirectories(Paths.get(st).getParent)
+      Files.write(Paths.get(s"$st.tmp"), bytes.getBytes("UTF-8"))
+      assert(state(st).isEmpty, s"$label: truncated first tmp must be discarded")
+      assert(CorpusStats.mergeBatch(spark, docs((1, "x", "en", "s")), st, 0),
+        s"$label: the interrupted batch must re-apply")
+      assert(state(st)("s")._1 == 1L)
+    }
+  }
+
+  test("an empty-string lang survives the state round-trip (the langs " +
+    "field carries its own count)") {
+    val store = Files.createTempDirectory("cstats6").toString + "/stats"
+    CorpusStats.mergeBatch(spark, docs((1, "x", "", "s")), store, 0)
+    assert(state(store)("s")._5 == 1L, "empty lang lost on round-trip")
+    CorpusStats.mergeBatch(spark, docs((2, "y", "en", "s")), store, 1)
+    assert(state(store)("s")._5 == 2L)
   }
 
   test("streaming maintain: file batches + checkpointed restart never " +
