@@ -935,6 +935,74 @@ GROUP BY t.doc_id ORDER BY t.doc_id""",
     // checks length-4 candidates first, encoding uniViterbi's
     // prefer-the-LONGER-piece tie rule. 4611686018427387903 is the
     // Scala INF (Long.MaxValue/4).
+    // Twin of TextOps.unigramVocab (r6b — the doc_bpe_segment trust
+    // model: (piece, cost_grid) is the SHARED trained state from this
+    // run's own dump; viterbi_count / rank / n_chars are INDEPENDENTLY
+    // re-derived): the same length-capped DP as the segment twin, but
+    // carrying the chosen piece LENGTH per position (the longest-first
+    // CASE mirrors uniViterbi's l > bl(i) tie rule), then a recursive
+    // BACKTRACE walks each word right-to-left emitting its chosen
+    // pieces, and the freq-weighted piece usage joins back to the piece
+    // table — the count the trainer's final pass measured.
+    "vocab_unigram" -> {
+      def cand(l: Int): String = {
+        val bi = l match { case 1 => "d.i+1"; case 2 => "d.i"
+          case 3 => "d.i-1"; case 4 => "d.i-2" }
+        s"coalesce(d.best[$bi] + p$l.cost_grid, 4611686018427387903)"
+      }
+      val minAll = s"least(${cand(1)}, ${cand(2)}, ${cand(3)}, ${cand(4)})"
+      s"""WITH RECURSIVE
+pc AS (SELECT piece, cost_grid
+  FROM read_parquet('__GRAFT_OUT__/vocab_unigram/*.parquet')),
+wfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest($tokensExpr) AS word FROM documents) GROUP BY 1),
+dp AS (
+  SELECT word, CAST(0 AS BIGINT) AS i,
+    [CAST(0 AS BIGINT)] AS best, [CAST(0 AS BIGINT)] AS bl
+  FROM wfreq
+  UNION ALL
+  SELECT word, i, list_append(best, b), list_append(bl, l)
+  FROM (
+    SELECT d.word AS word, d.i + 1 AS i, d.best AS best, d.bl AS bl,
+      $minAll AS b,
+      CASE
+        WHEN ${cand(4)} = $minAll THEN CAST(4 AS BIGINT)
+        WHEN ${cand(3)} = $minAll THEN CAST(3 AS BIGINT)
+        WHEN ${cand(2)} = $minAll THEN CAST(2 AS BIGINT)
+        ELSE CAST(1 AS BIGINT)
+      END AS l
+    FROM dp d
+    LEFT JOIN pc p1 ON p1.piece = substr(d.word, d.i+1, 1)
+    LEFT JOIN pc p2 ON d.i+1 >= 2 AND p2.piece = substr(d.word, d.i, 2)
+    LEFT JOIN pc p3 ON d.i+1 >= 3 AND p3.piece = substr(d.word, d.i-1, 3)
+    LEFT JOIN pc p4 ON d.i+1 >= 4 AND p4.piece = substr(d.word, d.i-2, 4)
+    WHERE d.i < length(d.word)
+  )
+),
+fin AS (SELECT word, bl FROM dp WHERE i = length(word)),
+bt AS (
+  SELECT word, CAST(length(word) AS BIGINT) AS i,
+    CAST(NULL AS VARCHAR) AS piece, bl
+  FROM fin
+  UNION ALL
+  SELECT word, i - bl[CAST(i AS INT)+1],
+    substr(word, CAST(i - bl[CAST(i AS INT)+1] + 1 AS INT),
+      CAST(bl[CAST(i AS INT)+1] AS INT)),
+    bl
+  FROM bt WHERE i > 0),
+chosen AS (SELECT word, piece FROM bt WHERE piece IS NOT NULL),
+cnt AS (
+  SELECT c.piece, CAST(SUM(w.freq) AS BIGINT) AS c
+  FROM chosen c JOIN wfreq w USING (word) GROUP BY 1),
+pc2 AS (
+  SELECT p.piece, p.cost_grid, CAST(coalesce(cnt.c, 0) AS BIGINT) AS c
+  FROM pc p LEFT JOIN cnt USING (piece))
+SELECT CAST(row_number() OVER (ORDER BY c DESC, piece) AS BIGINT) AS rank,
+  piece, CAST(length(piece) AS BIGINT) AS n_chars, c AS viterbi_count,
+  CAST(cost_grid AS BIGINT) AS cost_grid
+FROM pc2 ORDER BY rank"""
+    },
+
     "doc_unigram_segment" -> {
       def cand(l: Int): String = {
         val bi = l match { case 1 => "d.i+1"; case 2 => "d.i"

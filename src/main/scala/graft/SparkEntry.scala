@@ -122,8 +122,9 @@ object SparkEntry {
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),
     "doc_pii_redact" -> ((s, d) => TextOps.piiRedactQuery(s, d)),
     "doc_shard_shuffle" -> ((s, d) => TextOps.shardShuffle(s, d)),
-    // spec-tier (no DuckDB oracle — see bpeMerges scaladoc): the driver
-    // records the weaker rows-only check, like the sketch queries
+    // tokenizer tier: trained state (merges / piece costs) is shared
+    // with the twin via the __GRAFT_OUT__ dump; segmentation and usage
+    // counts are re-derived independently in DuckDB (see Oracle.scala)
     "vocab_bpe_merges" -> ((s, d) => TextOps.bpeMerges(s, d)),
     "doc_bpe_segment" -> ((s, d) => TextOps.bpeSegmentCounts(s, d)),
     "vocab_unigram" -> ((s, d) => TextOps.unigramVocab(s, d)),

@@ -1726,7 +1726,19 @@ object TextOps {
       pieces = prune(pieces.map { case (p, _) => p -> used.getOrElse(p, 0L) })
     }
     val finalCosts = costsOf(pieces)
-    pieces.sortBy { case (p, c) => (-c, p) }
+    // one more counting pass under the SHIPPED costs: the emitted
+    // viterbi_count is the usage a consumer segmenting with this piece
+    // table actually observes (the loop's last counts were measured
+    // under the PREVIOUS round's costs) — which also makes the count,
+    // rank, and n_chars columns independently recomputable by the
+    // DuckDB twin from (piece, cost_grid) + the raw corpus
+    val bcF = spark.sparkContext.broadcast(finalCosts)
+    val finalUsed = words.flatMap { case (w, f) =>
+      uniViterbi(w, bcF.value).map(p => (p, f))
+    }.groupBy(col("_1").as("piece")).agg(sum(col("_2")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    pieces.map { case (p, _) => p -> finalUsed.getOrElse(p, 0L) }
+      .sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, c, finalCosts(p)) }
   }
 
@@ -1737,10 +1749,13 @@ object TextOps {
       unigramTrainFromWordFreq(spark, wordFreq(spark, dir), vocabSize, rounds)
     }
 
-  /** The `vocab_unigram` query: the trained piece table, ranked by
-    * final Viterbi usage. Spec tier like `vocab_bpe_merges` — the
-    * EM/Viterbi fold is not DuckDB-expressible; UnigramSpec pins the
-    * fixture behavior and the corpus laws instead. */
+  /** The `vocab_unigram` query: the trained piece table, ranked by the
+    * final-pass Viterbi usage under the shipped costs. Oracle-checked
+    * since r6b on the doc_bpe_segment trust model: (piece, cost_grid)
+    * is the shared trained state, and the DuckDB twin independently
+    * re-derives viterbi_count / rank / n_chars by re-running the
+    * backtraced Viterbi over the raw corpus (the EM loop itself stays
+    * spec-tier — UnigramSpec pins the fixture behavior). */
   def unigramVocab(spark: SparkSession, dir: String, vocabSize: Int = 200,
       rounds: Int = 3): DataFrame = {
     import spark.implicits._
