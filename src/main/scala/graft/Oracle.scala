@@ -610,6 +610,23 @@ SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(SUM(value_c) AS BIGINT) / 1e2 AS sum_value
 FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // Twin of Relational.eventsKeySkew: per-key counts, global key
+    // stats, deterministic top-10; both ratios divide BIGINTs in the
+    // Spark token order.
+    "events_key_skew" ->
+      """WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM c),
+top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
+  user_id, cnt, CAST(cnt AS DOUBLE) / t.n_rows AS share,
+  t.n_keys, t.n_rows, t.max_cnt,
+  CAST(t.max_cnt * t.n_keys AS DOUBLE) / t.n_rows AS skew_factor
+FROM top, t ORDER BY rank""",
+
     "dq_report" ->
       """WITH wide AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,
@@ -2206,6 +2223,23 @@ FROM a ORDER BY doc_id""",
     // zip the position and hash lists exactly like the Spark
     // posexplode.
     "doc_substring_dedup" -> substringSql,
+
+    // Twin of TextOps.lengthHistogram: bucket = bit length − 1 (both
+    // engines' bin() emits no leading zeros — no floating log), bounds
+    // via checked shifts on small exponents, share per source.
+    "doc_length_histogram" ->
+      s"""WITH d AS (
+  SELECT source, CAST(len($tokensExpr) AS BIGINT) AS n_tokens FROM documents),
+h AS (
+  SELECT source, CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+    CAST(count(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY 1, 2)
+SELECT source, bucket,
+  CAST((CAST(1 AS BIGINT) << bucket) AS BIGINT) AS lo,
+  CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS hi,
+  n_docs,
+  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share
+FROM h ORDER BY source, bucket""",
 
     // Twin of TextOps.corpusReport: the three signal twins (quality,
     // gopher, substring-dedup) re-used as subqueries — shared verified

@@ -91,6 +91,7 @@ object SparkEntry {
     "kll_daily_merge" -> ((s, d) => Relational.kllDailyMerge(s, d)),
     "events_overlap_theta" -> ((s, d) => Relational.eventsOverlapTheta(s, d)),
     "dq_report" -> ((s, d) => Relational.dqReport(s, d)),
+    "events_key_skew" -> ((s, d) => Relational.eventsKeySkew(s, d)),
     // --- LLM-data-pipeline tier: text analysis ---
     "doc_token_stats" -> ((s, d) => TextOps.tokenStats(s, d)),
     "doc_top_tokens" -> ((s, d) => TextOps.topTokensSalted(s, d)),
@@ -117,6 +118,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),
     "corpus_report" -> ((s, d) => TextOps.corpusReport(s, d)),
+    "doc_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),
     "doc_curate" -> ((s, d) => TextOps.curate(s, d)),

@@ -583,6 +583,39 @@ object Relational {
       .orderBy("rule")
   }
 
+  /** SHUFFLE-KEY SKEW report — the diagnostic a 100 TB job runs BEFORE
+    * picking a join/aggregation strategy on a key: per-key row counts,
+    * the global key statistics, and the top-10 heaviest keys with their
+    * share of all rows. `skew_factor` = max_cnt · n_keys / n_rows is the
+    * max-to-mean ratio — 1.0 is perfectly uniform; the threshold AQE's
+    * skew-join split and the salted-join fallback are tuned against.
+    *
+    * Shape: one exchange builds the per-key counts (map-side partial
+    * count first, so the shuffle carries one row per key per map task —
+    * counting a skewed key is NOT itself skewed); the top-10 is a
+    * TakeOrdered over the counts (no global sort materializes), the
+    * 1-row totals frame broadcasts back, and the rank window orders 10
+    * rows. Integer counts throughout; the two ratios divide BIGINTs
+    * once, in the token order the oracle repeats. */
+  def eventsKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(totals))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("user_id"))).cast("long"))
+      .withColumn("share", col("cnt").cast("double") / col("n_rows"))
+      .withColumn("skew_factor",
+        (col("max_cnt") * col("n_keys")).cast("double") / col("n_rows"))
+      .select("rank", "user_id", "cnt", "share", "n_keys", "n_rows",
+        "max_cnt", "skew_factor")
+      .orderBy("rank")
+  }
+
   /** As-of join — the canonical stream-correlation operator Spark lacks
     * natively (DuckDB has ASOF JOIN; our oracle uses it). Implemented
     * the scalable way: tag both sides, one hash exchange on user_id, one

@@ -865,6 +865,29 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Token-length HISTOGRAM per source — the dataset-card length
+    * distribution (power-of-two buckets, the lognormal-ish shape plot
+    * every corpus release publishes): bucket = floor(log2(n_tokens)),
+    * computed INTEGER-EXACTLY as the bit length of the count (both
+    * engines' `bin()` of a positive integer has no leading zeros, so
+    * length(bin(n))−1 never touches floating log). One scan, one
+    * (source, bucket) exchange, the per-source share a window over the
+    * tiny histogram frame. */
+  def lengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.documentsPar(spark, dir)
+      .withColumn("toks", tokens)
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"))
+    h.withColumn("lo", expr("shiftleft(1L, cast(bucket as int))"))
+      .withColumn("hi", expr("shiftleft(1L, cast(bucket as int) + 1) - 1L"))
+      .withColumn("share", col("n_docs").cast("double")
+        / sum(col("n_docs")).over(Window.partitionBy("source")))
+      .select("source", "bucket", "lo", "hi", "n_docs", "share")
+      .orderBy("source", "bucket")
+  }
+
   /** Seeded 28-bit md5-prefix hash bucket (0-9) — the ONE deterministic
     * bucketing idiom every sampling/splitting query derives from; the
     * oracle SQL repeats it byte-for-byte, so all call sites must route

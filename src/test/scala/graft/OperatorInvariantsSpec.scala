@@ -690,4 +690,47 @@ class OperatorInvariantsSpec extends SparkSpec {
     // sampling bites: some doc must contribute a frame beyond index 0
     assert(viaPartitions.exists(_._2 > 0), "no doc long enough to sample a 2nd frame")
   }
+
+  test("key-skew report: top-10 descending, shares and skew factor match " +
+    "a driver recompute over the full key histogram") {
+    val rows = Relational.eventsKeySkew(spark, sf()).collect()
+    assert(rows.length == 10)
+    val counts = Tables.events(spark, sf()).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nRows = counts.values.sum
+    val maxCnt = counts.values.max
+    val expectTop = counts.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i + 1L)
+      assert((r.getLong(1), r.getLong(2)) == expectTop(i), s"rank ${i + 1}")
+      assert(r.getDouble(3) == r.getLong(2).toDouble / nRows)
+      assert(r.getLong(4) == counts.size.toLong && r.getLong(5) == nRows
+        && r.getLong(6) == maxCnt)
+      assert(r.getDouble(7) == (maxCnt * counts.size).toDouble / nRows)
+    }
+    // max-to-mean ratio is >= 1 by construction
+    assert(rows.head.getDouble(7) >= 1.0)
+  }
+
+  test("length histogram: per-source shares sum to 1, doc mass conserves, " +
+    "and every document's token count falls inside its bucket bounds") {
+    val h = TextOps.lengthHistogram(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    val docs = Tables.documents(spark, sf())
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(h.map(_._5).sum == docs.length, "doc mass must conserve")
+    h.groupBy(_._1).foreach { case (src, rows) =>
+      assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-9, s"$src shares")
+    }
+    // bucket bounds: recompute each doc's bucket and check containment
+    val byBucket = docs.groupBy { case (s, n) =>
+      (s, 63L - java.lang.Long.numberOfLeadingZeros(n))
+    }.map { case (k, v) => k -> v.size.toLong }
+    assert(h.map(t => (t._1, t._2) -> t._5).toMap == byBucket)
+    h.foreach { case (_, b, lo, hi, _, _) =>
+      assert(lo == (1L << b) && hi == (1L << (b + 1)) - 1)
+    }
+  }
 }

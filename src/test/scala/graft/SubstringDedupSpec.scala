@@ -65,6 +65,18 @@ class SubstringDedupSpec extends SparkSpec {
     assert(m(4L) == ((1L, 13L, 20L)))
   }
 
+  test("corpus-hot boilerplate (a span shared by EVERY document) is " +
+    "flagged everywhere with bounded aggregate state — the no-df-cut claim") {
+    val boiler = words("footer", 12)
+    val m = run((1L to 200L).map(i =>
+      i -> s"${words(s"u$i-", 10)} $boiler"))
+    // every doc flags exactly the boilerplate: 5 dup positions, 1 island,
+    // 12 tokens — a df-cut would have DROPPED the hot gram and missed it
+    (1L to 200L).foreach { i =>
+      assert(m(i) == ((1L, 5L, 12L)), s"doc $i: got ${m(i)}")
+    }
+  }
+
   test("corpus run matches an independent driver recompute (positions, " +
     "islands, coverage) on every document") {
     val docs = Tables.documents(spark, sf()).select("doc_id", "text")
