@@ -862,11 +862,14 @@ FROM k ORDER BY shard, rank""",
     // delimiter-encoded replace() fold the apply twin uses). Every
     // quantity is a BIGINT sum over the word-frequency table, so the
     // replay is integer-exact end to end — no shared fixture, no float.
-    // (The unigram trainer gets no such twin deliberately: its EM
+    // (The unigram trainer's EM loop is NOT replayed this way: its
     // rounds re-derive piece costs via StrictMath.log on the 2^20 grid,
     // and DuckDB's ln() is a different libm — a grid-boundary ulp
-    // divergence would flake the hash compare. The unigram APPLY twin
-    // below shares the trained table instead.)
+    // divergence would flake the hash compare. Its twin — see
+    // "vocab_unigram" — instead shares the trained (piece, cost_grid)
+    // table, like the apply twins, and independently re-derives the
+    // usage counts/ranks by a backtraced Viterbi that never touches a
+    // logarithm.)
     "vocab_bpe_merges" -> {
       val k = 8
       val head = Seq(

@@ -78,7 +78,7 @@ object EmbeddingOps {
     // frame) — cached like every other cross-query artifact, so search
     // pays the semi-join, not a curation re-run
     val kept = graft.Artifacts.shared(
-      TextOps.curate(spark, dir).filter(col("keep"))
+      TextOps.curateStats(spark, dir).filter(col("keep"))
         .select(col("doc_id").as("vec_id")))
     val e = withNorm(Tables.embeddingsPar(spark, dir))
       .join(kept, Seq("vec_id"), "left_semi")

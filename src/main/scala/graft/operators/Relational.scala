@@ -655,7 +655,7 @@ object Relational {
     * metric, value) rows — per-row Expand, no shuffle beyond the
     * presentation sort. */
   def unpivotQuality(spark: SparkSession, dir: String): DataFrame =
-    TextOps.quality(spark, dir)
+    TextOps.qualityStats(spark, dir)
       .select("doc_id", "stop_ratio", "ttr", "quality")
       .unpivot(Array(col("doc_id")),
         Array(col("stop_ratio"), col("ttr"), col("quality")), "metric", "value")

@@ -419,7 +419,12 @@ object TextOps {
     * would scan the corpus four times and tokenize twice. Formulas are
     * expression-identical to quality()/langId()/dedupExact(), so the
     * oracle twin can keep REUSING those verified SQL texts. */
-  def curate(spark: SparkSession, dir: String): DataFrame = {
+  def curate(spark: SparkSession, dir: String): DataFrame =
+    curateStats(spark, dir).orderBy("doc_id")
+
+  /** curate without the presentation sort (qualityStats' contract —
+    * trainingSet caches this face). */
+  private[graft] def curateStats(spark: SparkSession, dir: String): DataFrame = {
     val toksed = Tables.documentsPar(spark, dir).withColumn("toks", tokens)
     // quality (formula of quality()) and lang-ID (argmax of langId())
     // over the one materialized toks column
@@ -461,7 +466,6 @@ object TextOps {
           && !col("is_dup") && !col("contaminated") && !col("is_eval"))
       .select("doc_id", "quality", "match_label", "is_dup", "contaminated",
         "is_eval", "keep")
-      .orderBy("doc_id")
   }
 
   /** Cross-document SPAN dedup (C4-style, Raffel et al. 2020 — C4 drops
@@ -478,7 +482,12 @@ object TextOps {
   def spanDedup(spark: SparkSession, dir: String): DataFrame =
     spanDedupFrame(Tables.documentsPar(spark, dir))
 
-  private[graft] def spanDedupFrame(docs: DataFrame): DataFrame = {
+  private[graft] def spanDedupFrame(docs: DataFrame): DataFrame =
+    spanStats(docs).orderBy("doc_id")
+
+  /** spanDedup without the presentation sort (qualityStats' contract —
+    * trainingSet caches this face). */
+  private[graft] def spanStats(docs: DataFrame): DataFrame = {
     // the slim (doc_id, chunk_md5) frame feeds BOTH the span-stats
     // aggregate and the join-back; cached, or the tokenize+slice+md5
     // chunk derivation runs twice (ExplainProbe showed the double scan)
@@ -497,7 +506,6 @@ object TextOps {
       .withColumn("dup_frac",
         col("n_dup_spans").cast("double") / col("n_chunks"))
       .select("doc_id", "n_chunks", "n_dup_spans", "n_borrowed", "dup_frac")
-      .orderBy("doc_id")
   }
 
   /** Token width of the exact-substring dedup gram (Lee et al. 2022 use
@@ -668,6 +676,12 @@ object TextOps {
     * order-independent — the query face and oracle pin only the
     * default). */
   private[graft] def mixSampleFrame(d: DataFrame, alpha: Double = 0.5,
+      budget: Double = 0.3): DataFrame =
+    mixStats(d, alpha, budget).orderBy("doc_id")
+
+  /** mixSample without the presentation sort (qualityStats' contract —
+    * trainingSet caches this face). */
+  private[graft] def mixStats(d: DataFrame, alpha: Double = 0.5,
       budget: Double = 0.3): DataFrame = {
     // sqrt (correctly-rounded IEEE) for the default — pow(x, 0.5) is
     // not guaranteed the same last ulp, and the oracle says sqrt
@@ -692,7 +706,6 @@ object TextOps {
       .join(broadcast(rates), "source")
       .filter(col("bucket") < col("thr"))
       .select("doc_id", "source", "n_src", "thr", "bucket")
-      .orderBy("doc_id")
   }
 
   /** Coarse-bucket modulus for the token-budget fill. 4096 keeps the
@@ -801,13 +814,20 @@ object TextOps {
     // build the identical plan, so the CacheManager's canonical-plan
     // match materializes every signal once per (session, dir) — the
     // release pipeline's signal tables, built once, read everywhere
-    val c = graft.Artifacts.shared(curate(spark, dir))
+    // the UNSORTED faces (qualityStats' contract): caching the sorted
+    // query frames would materialize four full-corpus sorts this
+    // composition discards, and would cache a SECOND copy of each
+    // signal beside corpusReport's unsorted entries
+    val c = graft.Artifacts.shared(curateStats(spark, dir))
       .select(col("doc_id"), col("keep").as("curate_keep"))
-    val g = graft.Artifacts.shared(gopherRules(spark, dir))
+    val g = graft.Artifacts.shared(
+        gopherStats(Tables.documentsPar(spark, dir)))
       .select(col("doc_id"), col("gopher_pass"))
-    val sp = graft.Artifacts.shared(spanDedup(spark, dir))
+    val sp = graft.Artifacts.shared(
+        spanStats(Tables.documentsPar(spark, dir)))
       .select(col("doc_id"), col("dup_frac").as("span_dup_frac"))
-    val m = graft.Artifacts.shared(mixSample(spark, dir))
+    val m = graft.Artifacts.shared(
+        mixStats(Tables.documentsPar(spark, dir)))
       .select(col("doc_id"), lit(true).as("in_mix"))
     Tables.documentsPar(spark, dir).select("doc_id", "source")
       .join(c, "doc_id").join(g, "doc_id").join(sp, "doc_id")
@@ -1439,7 +1459,7 @@ object TextOps {
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val labels = nearDupLabels(spark, dir)
       .select(col("id").as("doc_id"), col("root"))
-    val q = graft.Artifacts.shared(quality(spark, dir))
+    val q = graft.Artifacts.shared(qualityStats(spark, dir))
       .select(col("doc_id"), col("quality"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality").desc, col("doc_id"))

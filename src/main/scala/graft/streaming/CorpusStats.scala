@@ -33,9 +33,11 @@ import org.apache.spark.sql.types._
   * crash window (a truncated first tmp is discarded and the checkpoint
   * replays the batch — convergent, not lossy).
   *
-  * State rows serialize as sorted TSV (sources and langs are identifier
-  * tokens in this corpus; a binary serde would lift that restriction
-  * without changing the contract). */
+  * State rows serialize as sorted TSV with percent-escaped values
+  * (arbitrary source/lang strings round-trip), a row-count header (so
+  * truncation at a line boundary is detected, not adopted), and a
+  * version tag (an unknown version fails loudly instead of reading as
+  * corruption). */
 object CorpusStats {
 
   val docSchema: StructType = StructType(Seq(
@@ -50,6 +52,19 @@ object CorpusStats {
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Percent-escape the characters the TSV format reserves, so an
+    * arbitrary source/lang value (a comma inside a lang tag, a tab in a
+    * source name) round-trips instead of corrupting the row structure —
+    * without this, the store would REJECT a file it itself just wrote
+    * (the read-side structural checks are strict by design). */
+  private[streaming] def enc(s: String): String =
+    s.replace("%", "%25").replace("\t", "%09")
+      .replace("\n", "%0a").replace(",", "%2c")
+
+  private[streaming] def dec(s: String): String =
+    s.replace("%2c", ",").replace("%0a", "\n")
+      .replace("%09", "\t").replace("%25", "%")
 
   /** Stateless per-batch rollup — the shared derivation both faces use:
     * quality + gopher signals per row, then one aggregate per source. */
@@ -104,7 +119,14 @@ object CorpusStats {
       val lines = text.split("\n", -1).filter(_.nonEmpty)
       if (lines.isEmpty) return None
       val hdr = lines.head.split("\t", -1)
-      if (hdr.length != 2 || hdr(0) != "corpus-stats-v1") return None
+      // an UNKNOWN version is not corruption — fail loudly instead of
+      // discarding a tmp or blaming external damage on a live file
+      if (hdr.nonEmpty && hdr(0).startsWith("corpus-stats-")
+          && hdr(0) != "corpus-stats-v2")
+        throw new IllegalStateException(
+          s"$p carries state version ${hdr(0)}; this build reads " +
+            "corpus-stats-v2 — migrate or delete the store explicitly")
+      if (hdr.length != 2 || hdr(0) != "corpus-stats-v2") return None
       val n = hdr(1).toInt
       if (lines.length != 2 + n) return None // line-boundary truncation
       val id = lines(1).toLong
@@ -113,10 +135,11 @@ object CorpusStats {
         if (c.length != 7) return None
         val nLangs = c(5).toInt
         val langs =
-          if (nLangs == 0) Set.empty[String] else c(6).split(",", -1).toSet
+          if (nLangs == 0) Set.empty[String]
+          else c(6).split(",", -1).map(dec).toSet
         if (langs.size != nLangs) return None
-        c(0) -> SourceStats(c(1).toLong, c(2).toLong, c(3).toLong, c(4).toLong,
-          langs)
+        dec(c(0)) -> SourceStats(c(1).toLong, c(2).toLong, c(3).toLong,
+          c(4).toLong, langs)
       }
       Some((id, rows.toMap))
     } catch {
@@ -132,12 +155,12 @@ object CorpusStats {
     val tmp = new org.apache.hadoop.fs.Path(s"$store.tmp")
     val f = fs(spark, live)
     val body = stats.toSeq.sortBy(_._1).map { case (s, st) =>
-      s"$s\t${st.nDocs}\t${st.nTokens}\t${st.nQuality}\t${st.nGopher}\t" +
-        s"${st.langs.size}\t" + st.langs.toSeq.sorted.mkString(",")
+      s"${enc(s)}\t${st.nDocs}\t${st.nTokens}\t${st.nQuality}\t${st.nGopher}\t" +
+        s"${st.langs.size}\t" + st.langs.toSeq.sorted.map(enc).mkString(",")
     }
     val out = f.create(tmp, true)
     try out.write(
-      (Seq(s"corpus-stats-v1\t${body.length}", batchId.toString) ++ body)
+      (Seq(s"corpus-stats-v2\t${body.length}", batchId.toString) ++ body)
         .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     if (f.exists(live)) f.delete(live, false)

@@ -73,10 +73,10 @@ class CorpusStatsSpec extends SparkSpec {
     // adopting a partial state AND its batchId would make the checkpoint
     // replay a no-op — permanent counter loss
     val truncations = Seq(
-      "header only" -> "corpus-stats-v1\t2\n",
+      "header only" -> "corpus-stats-v2\t2\n",
       "line-boundary cut (header claims 2 rows, 1 present)" ->
-        "corpus-stats-v1\t2\n0\na\t1\t2\t0\t0\t1\ten\n",
-      "mid-row cut" -> "corpus-stats-v1\t1\n0\ns\t1\t",
+        "corpus-stats-v2\t2\n0\na\t1\t2\t0\t0\t1\ten\n",
+      "mid-row cut" -> "corpus-stats-v2\t1\n0\ns\t1\t",
       "bad header" -> "corpus-stats\n0\n")
     truncations.foreach { case (label, bytes) =>
       val st = Files.createTempDirectory("cstats4").toString + "/stats"
@@ -96,6 +96,34 @@ class CorpusStatsSpec extends SparkSpec {
     assert(state(store)("s")._5 == 1L, "empty lang lost on round-trip")
     CorpusStats.mergeBatch(spark, docs((2, "y", "en", "s")), store, 1)
     assert(state(store)("s")._5 == 2L)
+  }
+
+  test("reserved characters in source/lang values round-trip escaped — " +
+    "the store never rejects a file it wrote itself") {
+    val store = Files.createTempDirectory("cstats7").toString + "/stats"
+    CorpusStats.mergeBatch(spark,
+      docs((1, "x", "en,US", "s\tweird"), (2, "y", "de%0a", "s\tweird")),
+      store, 0)
+    // re-read after write, then merge again: both operations parse the
+    // file the previous write produced ("x"/"y" score 0.505 on quality)
+    assert(state(store)("s\tweird") == ((2L, 2L, 2L, 0L, 2L)))
+    assert(CorpusStats.mergeBatch(spark,
+      docs((3, "z", "en,US", "s\tweird")), store, 1))
+    assert(state(store)("s\tweird")._1 == 3L)
+    assert(state(store)("s\tweird")._5 == 2L, "comma-lang must stay ONE lang")
+  }
+
+  test("an unknown state version fails loudly instead of reading as " +
+    "corruption or external damage") {
+    val store = Files.createTempDirectory("cstats8").toString + "/stats"
+    Files.createDirectories(Paths.get(store).getParent)
+    Files.write(Paths.get(store),
+      "corpus-stats-v1\n0\ns\t1\t2\t0\t0\ten\n".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      CorpusStats.stats(spark, store).collect()
+    }
+    assert(ex.getMessage.contains("corpus-stats-v1")
+      && ex.getMessage.contains("migrate"), ex.getMessage)
   }
 
   test("streaming maintain: file batches + checkpointed restart never " +
