@@ -551,6 +551,43 @@ object TextOps {
   private[graft] def substringDedupFrame(docs: DataFrame, k: Int): DataFrame =
     substringStats(docs, k).orderBy("doc_id")
 
+  /** The positional K-gram hash frame (doc_id, pos, h) — the shared
+    * derivation of the batch face and streaming.SubstrIngest. */
+  private[graft] def substrPosFrame(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .withColumn("toks", tokens)
+      .withColumn("n_grams",
+        greatest(size(col("toks")).cast("long") - (k - 1), lit(0L)))
+      .select(col("doc_id"), col("n_grams"),
+        posexplode(when(col("n_grams") > 0,
+          expr(s"""transform(sequence(0L, n_grams - 1L),
+            i -> conv(substring(md5(cast(concat_ws(' ', slice(toks, cast(i + 1 as int), $k)) as binary)), 1, 15), 16, 10))"""))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("col").cast("long").as("h"))
+
+  /** Per-document island statistics over duplicated (doc_id, pos) rows:
+    * merge positions ≤ K apart into maximal spans (the gaps-and-islands
+    * fold — windows partition by doc_id, bounded by document length)
+    * and emit (n_spans, n_dup_pos, dup_tokens). Shared by the batch
+    * face and streaming.SubstrIngest. */
+  private[graft] def substrIslands(dupPos: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(run))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"),
+        count(lit(1)).as("n_pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_pos")).as("n_dup_pos"),
+        sum(col("p1") - col("p0") + k).as("dup_tokens"))
+  }
+
   /** substringDedup without the presentation sort (qualityStats'
     * contract — corpusReport caches this face). */
   private[graft] def substringStats(docs: DataFrame, k: Int): DataFrame = {
@@ -563,34 +600,14 @@ object TextOps {
     // both the duplicated-hash aggregate and the position join-back, and
     // uncached the tokenize+slice+md5 derivation (interpreted transform)
     // would run twice per consumer.
-    val pos = graft.Artifacts.shared(
-      base.select(col("doc_id"), col("n_grams"),
-          posexplode(when(col("n_grams") > 0,
-            expr(s"""transform(sequence(0L, n_grams - 1L),
-              i -> conv(substring(md5(cast(concat_ws(' ', slice(toks, cast(i + 1 as int), $k)) as binary)), 1, 15), 16, 10))"""))
-            .otherwise(array().cast("array<string>"))))
-        .select(col("doc_id"), col("pos").cast("long").as("pos"),
-          col("col").cast("long").as("h")))
+    val pos = graft.Artifacts.shared(substrPosFrame(docs, k))
     // cross-document duplicated hashes: min≠max over doc_id — two longs
     // of aggregate state per group, hot grams stay bounded
     val dupH = pos.groupBy("h")
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
       .select("h")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val islands = pos.join(dupH, "h")
-      .withColumn("prev", lag(col("pos"), 1).over(w))
-      .withColumn("brk",
-        when(col("prev").isNull || col("pos") - col("prev") > k, 1L).otherwise(0L))
-      .withColumn("island", sum(col("brk")).over(run))
-      .groupBy("doc_id", "island")
-      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"),
-        count(lit(1)).as("n_pos"))
-    val perDoc = islands.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("n_pos")).as("n_dup_pos"),
-        sum(col("p1") - col("p0") + k).as("dup_tokens"))
+    val perDoc = substrIslands(pos.join(dupH, "h").select("doc_id", "pos"), k)
     base.select("doc_id", "n_tokens", "n_grams")
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"), col("n_grams"),
