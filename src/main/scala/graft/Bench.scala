@@ -14,9 +14,11 @@ import org.apache.spark.sql.SparkSession
   *    first-touch page-in and shared-artifact builds (so artifact-heavy
   *    queries like minhash/contamination show their build cost there,
   *    and round-over-round comparisons no longer confound warmup
-  *    protocol with plan changes). The warm medians that follow measure
-  *    steady state, the production regime where artifacts are
-  *    materialized once;
+  *    protocol with plan changes). Since round 7 the pass runs
+  *    CONCURRENTLY (r6 verdict #3) — cold_value is the phase
+  *    wall-clock, cold_sum the serial equivalent. The warm medians
+  *    that follow measure steady state, the production regime where
+  *    artifacts are materialized once;
   *  - a query that throws is recorded in an "errors" map (name → message)
   *    and the process exits nonzero — failures can no longer hide as
   *    near-zero timings.
@@ -35,25 +37,47 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Timed cold pass = the warmup: each distinct plan pays its codegen
     // compile + JIT + first-touch page-in exactly once, and shared
-    // cached artifacts materialize here — measured, not hidden. Round
-    // 1-2 driver runs showed the first handful of queries in map order
-    // carrying 5-18x their steady-state time — a run-order artifact the
-    // warm medians below exclude. Cold numbers are per-JVM-first-run:
-    // later queries in map order benefit from generic JIT warmth, as any
-    // sequential production run would. (SPARK_GRAFT_WARMUP=0 skips the
-    // pass; warm reps then start cold and cold_* fields report -1.)
+    // cached artifacts materialize here — measured, not hidden.
+    //
+    // The pass runs CONCURRENTLY (r6 verdict #3): the shared-artifact
+    // builds that dominated the serial cold total (minhash shingles,
+    // LM/bloom/BPE/unigram trainers, the labels memo) are independent
+    // scans, and a production first-touch submits them together — a
+    // pool of SPARK_GRAFT_COLD_POOL (default 8) query threads on the
+    // one session lets Spark's scheduler overlap them. `cold_value` is
+    // therefore the PHASE WALL-CLOCK — time from a fresh JVM until
+    // every query has run once, the number an operator actually waits —
+    // with the serial-equivalent sum reported beside it as `cold_sum`;
+    // per-query cold entries overlap under concurrency and measure
+    // each query's own submission-to-finish span. Shared memo builds
+    // racing (TrieMap getOrElseUpdate may double-evaluate) waste work,
+    // never correctness — one winner is kept. (SPARK_GRAFT_WARMUP=0
+    // skips the pass; warm reps then start cold and cold_* report -1.)
+    val coldPool = sys.env.getOrElse("SPARK_GRAFT_COLD_POOL", "8").toInt
+    val coldT0 = System.nanoTime()
     val cold: Map[String, Double] =
-      if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-        SparkEntry.queries.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          try {
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-            name -> (System.nanoTime() - t0) / 1e9
-          } catch { // errors re-surface in timed reps
-            case _: Throwable => name -> -1.0
+      if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(coldPool)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futs = SparkEntry.queries.toSeq.map { case (name, fn) =>
+          scala.concurrent.Future {
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              name -> (System.nanoTime() - t0) / 1e9
+            } catch { // errors re-surface in timed reps
+              case _: Throwable => name -> -1.0
+            }
           }
         }
-      else Map.empty
+        val res = scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf).toMap
+        pool.shutdown()
+        res
+      } else Map.empty
+    val coldWall = (System.nanoTime() - coldT0) / 1e9
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
@@ -83,13 +107,15 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val coldTotal = if (cold.isEmpty) -1.0 else cold.values.filter(_ >= 0).sum
+    // cold_value = concurrent-phase wall; cold_sum = serial equivalent
+    val coldTotal = if (cold.isEmpty) -1.0 else coldWall
+    val coldSum = if (cold.isEmpty) -1.0 else cold.values.filter(_ >= 0).sum
     // field order matters: the driver keeps only the TAIL of the output
     // (~4 KB), so the warm medians — the numbers the judge grades — go
     // LAST in the line; the cold dict, which is twice as long and less
     // important, sits first where truncation can only cost it (r4's
     // BENCH_r04.json lost the warm numbers to exactly this)
-    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","cold_value":$coldTotal,"cold_queries":$coldQs,"errors":$errJson,"value":$total,"queries":$qs}""")
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","cold_value":$coldTotal,"cold_sum":$coldSum,"cold_pool":$coldPool,"cold_queries":$coldQs,"errors":$errJson,"value":$total,"queries":$qs}""")
     // The driver keeps only the TAIL of stdout (~4 KB) and the full line
     // above has outgrown it two rounds running (r4 lost the warm dict, r5
     // the warm total + 36 entries). This FINAL compact line repeats the
@@ -104,7 +130,7 @@ object Bench {
     val top10 = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"summary":true,"value":${r3(total)},"cold_value":${r3(coldTotal)},"n_queries":${results.size},"n_errors":${errors.size},"top10":$top10}""")
+    println(s"""{"summary":true,"value":${r3(total)},"cold_value":${r3(coldTotal)},"cold_sum":${r3(coldSum)},"n_queries":${results.size},"n_errors":${errors.size},"top10":$top10}""")
     Artifacts.unpersistAll()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -611,8 +611,8 @@ SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n,
 FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Twin of Relational.eventsKeySkew: per-key counts, global key
-    // stats, deterministic top-10; both ratios divide BIGINTs in the
-    // Spark token order.
+    // stats, deterministic top-10; skew_factor multiplies in DOUBLE
+    // (BIGINT would overflow at scale) in the Spark token order.
     "events_key_skew" ->
       """WITH c AS (
   SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
@@ -624,7 +624,7 @@ top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
 SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS BIGINT) AS rank,
   user_id, cnt, CAST(cnt AS DOUBLE) / t.n_rows AS share,
   t.n_keys, t.n_rows, t.max_cnt,
-  CAST(t.max_cnt * t.n_keys AS DOUBLE) / t.n_rows AS skew_factor
+  CAST(t.max_cnt AS DOUBLE) * t.n_keys / t.n_rows AS skew_factor
 FROM top, t ORDER BY rank""",
 
     "dq_report" ->
@@ -703,6 +703,39 @@ c AS (SELECT user_id, CAST(min(day) AS BIGINT) AS cohort_day FROM e GROUP BY 1)
 SELECT cohort_day, day - cohort_day AS k, CAST(count(*) AS BIGINT) AS n_users
 FROM e JOIN c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Twin of Relational.eventsOverlapTheta — valid because the theta
+    // sketch is in EXACT mode at every test SF: below 2^lgK = 4096
+    // retained keys it never samples (the testdata tops out at 1500
+    // distinct users, so audiences, intersections AND unions are all
+    // exact; OperatorInvariantsSpec pins the exact-mode law). In exact
+    // mode estimate = retained count and both 2-σ bounds collapse onto
+    // it, so the twin is plain exact distinct-set algebra; jaccard
+    // divides the same integer-valued doubles in the same order. At a
+    // production SF past 4096 distinct keys the sketch samples and this
+    // twin stops applying — the sketch-tier accuracy spec takes over.
+    "events_overlap_theta" ->
+      """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
+c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM a GROUP BY 1),
+ov AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+    CAST(count(*) AS DOUBLE) AS inter
+  FROM a x JOIN a y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2)
+SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+  ca.n AS est_a, cb.n AS est_b,
+  COALESCE(ov.inter, CAST(0 AS DOUBLE)) AS est_overlap,
+  COALESCE(ov.inter, CAST(0 AS DOUBLE)) AS lb_overlap,
+  COALESCE(ov.inter, CAST(0 AS DOUBLE)) AS ub_overlap,
+  ca.n + cb.n - COALESCE(ov.inter, CAST(0 AS DOUBLE)) AS est_union,
+  CASE WHEN ca.n + cb.n - COALESCE(ov.inter, CAST(0 AS DOUBLE)) = 0
+    THEN CAST(0 AS DOUBLE)
+    ELSE COALESCE(ov.inter, CAST(0 AS DOUBLE))
+      / (ca.n + cb.n - COALESCE(ov.inter, CAST(0 AS DOUBLE))) END AS jaccard_est
+FROM c ca
+JOIN c cb ON ca.event_type < cb.event_type
+LEFT JOIN ov ON ov.type_a = ca.event_type AND ov.type_b = cb.event_type
+ORDER BY type_a, type_b""",
 
     "setops_customers" ->
       """WITH c95 AS (

@@ -30,11 +30,19 @@ case class IvfAssignTop2(child: Expression, cids: Seq[Long],
 
   require(cids.nonEmpty && cids.length == cents.length &&
     cids.length == cdots.length, "centroid triple arity mismatch")
+  require(cents.forall(_.length == cents.head.length),
+    "centroids must share one dimensionality")
 
   override def dataType: DataType = StructType(Seq(
     StructField("cell", LongType, nullable = false),
     StructField("cell2", LongType, nullable = true))) // null iff 1 centroid
   override def nullIntolerant: Boolean = true
+  // an input whose length mismatches the centroid grid yields NULL —
+  // HashIvfAssignTop2's explicit-mismatch contract (advice r6): the
+  // old truncated partial dot silently assigned a malformed vector to
+  // a WRONG cell; callers filter the null (VectorIndex drops the row,
+  // search drops the probe) instead of serving a corrupt assignment
+  override def nullable: Boolean = true
 
   @transient private lazy val cm: Array[Array[Double]] = cents.map(_.toArray).toArray
   @transient private lazy val half: Array[Double] = cdots.map(_ * 0.5).toArray
@@ -42,6 +50,7 @@ case class IvfAssignTop2(child: Expression, cids: Seq[Long],
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData].toDoubleArray()
+    if (v.length != cm(0).length) return null
     // minimize (ns, cid) lexicographically, ns = -(dot - ||c||²/2) —
     // exactly sort_array's (ns asc, cid asc) on the composed structs
     var b1 = -1; var ns1 = 0.0
@@ -49,7 +58,7 @@ case class IvfAssignTop2(child: Expression, cids: Seq[Long],
     var c = 0
     while (c < cm.length) {
       val cv = cm(c)
-      val n = if (v.length < cv.length) v.length else cv.length
+      val n = cv.length
       var acc = 0.0
       var i = 0
       while (i < n) { acc += v(i) * cv(i); i += 1 }

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   * step further with the codecs the JDK itself ships (javax.imageio:
   * PNG/BMP/GIF/JPEG): REAL pixel decoding with parse-or-degrade
   * fallback to the stub, spec'd on generated rasters
-  * (MultimodalDecodeSpec). The testdata has no media table, so document
-  * text doubles as the payload (`cast(text as binary)`).
+  * (MultimodalDecodeSpec); `AudioPcmDecoder` does the same for the
+  * JDK's PCM audio containers (WAVE/AU/AIFF). Only compressed
+  * audio/video (MP3/AAC/H.264 — zero SPIs in this container, probe
+  * re-run each round) remains stubbed. The testdata has no media
+  * table, so document text doubles as the payload
+  * (`cast(text as binary)`).
   */
 object MultimodalOps {
 
@@ -108,6 +112,50 @@ object MultimodalOps {
     }
   }
 
+  /** REAL audio decoder over the JDK's own PCM codecs
+    * (javax.sound.sampled — the WAVE/AU/AIFF containers ship with every
+    * JVM; compressed codecs like MP3/AAC have no SPI in this container
+    * — probe re-run r7 — and keep the honest stub): decodes the payload
+    * to PCM samples and emits real features — nFrames = PCM frame
+    * count, feature0 = mean |sample| over all channels on the 16-bit
+    * integer grid (integer division — deterministic), fingerprint =
+    * md5 of the CANONICAL PCM rendering (signed 16-bit big-endian at
+    * the source rate/channels), so the same recording in WAV, AU or
+    * AIFF containers fingerprints identically — ImageIoDecoder's
+    * re-encoding-invariant raster fingerprint applied to sound. A
+    * payload javax.sound cannot parse degrades to the deterministic
+    * stub (the shared parse-or-degrade contract). */
+  object AudioPcmDecoder extends Decoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      import javax.sound.sampled._
+      val real =
+        try {
+          val in = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(row.payload))
+          try {
+            val src = in.getFormat
+            val canon = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels,
+              2 * src.getChannels, src.getSampleRate, true)
+            val pcm = AudioSystem.getAudioInputStream(canon, in).readAllBytes()
+            var absSum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              val s = (((pcm(i) & 0xff) << 8) | (pcm(i + 1) & 0xff)).toShort
+              absSum += math.abs(s.toLong)
+              i += 2
+            }
+            val nSamples = pcm.length / 2
+            Some(MediaFeatures(row.meta.docId, row.meta.nBytes,
+              nFrames = pcm.length.toLong / canon.getFrameSize,
+              feature0 = if (nSamples == 0) 0L else absSum / nSamples,
+              fingerprint = md5Hex(pcm)))
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      real.getOrElse(StubDecoder.decode(row))
+    }
+  }
+
   /** Per-partition decode — the mapPartitions shape a real decoder needs
     * (amortize codec init per partition, stream rows, never collect). */
   def decodeFeatures(spark: SparkSession, dir: String,
@@ -121,7 +169,7 @@ object MultimodalOps {
   private val MimeByExt = Map(
     "png" -> "image/png", "bmp" -> "image/bmp", "gif" -> "image/gif",
     "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg", "wav" -> "audio/wav",
-    "txt" -> "text/plain")
+    "au" -> "audio/basic", "aiff" -> "audio/aiff", "txt" -> "text/plain")
 
   /** FILE-DIRECTORY media ingest — the real-world entry point for an
     * image corpus: Spark's built-in `binaryFile` source (ships in
@@ -130,8 +178,15 @@ object MultimodalOps {
     * on. Each file is one row: payload = the file bytes, nBytes = the
     * file length, content type from the extension, and docId from the
     * trailing digits of the file stem (the `img_0042.png` shard
-    * convention) falling back to a stable 60-bit digest of the file
-    * NAME — path-prefix-free, so relocating the corpus root keeps ids.
+    * convention) falling back to a stable 60-bit digest of the
+    * CORPUS-ROOT-RELATIVE path — relocating the root keeps ids, but
+    * same-named files in different shard subdirectories hash apart
+    * (advice r6: a bare-NAME digest silently merged them). The digit
+    * path cannot make that guarantee (`img_0042` and `doc_0042` both
+    * read 42), so by default the ingest ASSERTS docId uniqueness with
+    * one metadata-only pass (content pruned — listing speed) and fails
+    * loudly listing the colliding paths; `checkIds = false` opts out
+    * when the caller owns the naming convention.
     *
     * Scale: `pathGlobFilter` prunes at the LISTING level (non-matching
     * files are never opened), selecting only the metadata columns
@@ -139,29 +194,65 @@ object MultimodalOps {
     * the unit of parallelism is the file — the right grain for media,
     * where one file is one decode task. */
   def ingestMediaDir(spark: SparkSession, mediaDir: String,
-      glob: String = "*"): Dataset[MediaRow] = {
+      glob: String = "*", checkIds: Boolean = true): Dataset[MediaRow] = {
     import spark.implicits._
+    val rootPath = new org.apache.hadoop.fs.Path(mediaDir)
+    val rootPrefix = rootPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(rootPath).toString + "/"
+    if (checkIds) {
+      val collisions = spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true") // a corpus is a TREE
+        .load(mediaDir)
+        .select(col("path"))
+        .map(r => (docIdOf(r.getString(0), rootPrefix), r.getString(0)))
+        .toDF("doc_id", "path")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"),
+          slice(sort_array(collect_list(col("path"))), 1, 4).as("paths"))
+        .filter(col("n") > 1)
+        .limit(5).collect()
+      if (collisions.nonEmpty)
+        throw new IllegalStateException(
+          "ingestMediaDir: docId collisions — downstream joins/dedup " +
+            "would silently merge distinct media. First collisions: " +
+            collisions.map(r => s"id=${r.getLong(0)} <- " +
+              r.getSeq[String](2).mkString(", ")).mkString("; ") +
+            ". Rename the files or pass checkIds = false to accept.")
+    }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
       .load(mediaDir)
       .select(col("path"), col("length"), col("content"))
       .map { r =>
         val path = r.getString(0)
         val name = path.substring(path.lastIndexOf('/') + 1)
         val dot = name.lastIndexOf('.')
-        val (stem, ext) =
-          if (dot < 0) (name, "")
-          else (name.substring(0, dot), name.substring(dot + 1).toLowerCase)
-        val digits = stem.reverse.takeWhile(_.isDigit).reverse
-        val docId =
-          if (digits.nonEmpty && digits.length <= 18) digits.toLong
-          else java.lang.Long.parseLong(md5Hex(name.getBytes("UTF-8"))
-            .substring(0, 15), 16)
+        val ext =
+          if (dot < 0) "" else name.substring(dot + 1).toLowerCase
         MediaRow(
-          MediaMeta(docId, r.getLong(1),
+          MediaMeta(docIdOf(path, rootPrefix), r.getLong(1),
             MimeByExt.getOrElse(ext, "application/octet-stream")),
           r.getAs[Array[Byte]](2))
       }
+  }
+
+  /** The shared docId derivation: trailing stem digits, else a 60-bit
+    * digest of the path RELATIVE to the qualified corpus root (falling
+    * back to the bare name if the prefix unexpectedly differs). */
+  private def docIdOf(path: String, rootPrefix: String): Long = {
+    val rel =
+      if (path.startsWith(rootPrefix)) path.substring(rootPrefix.length)
+      else path.substring(path.lastIndexOf('/') + 1)
+    val name = rel.substring(rel.lastIndexOf('/') + 1)
+    val dot = name.lastIndexOf('.')
+    val stem = if (dot < 0) name else name.substring(0, dot)
+    val digits = stem.reverse.takeWhile(_.isDigit).reverse
+    if (digits.nonEmpty && digits.length <= 18) digits.toLong
+    else java.lang.Long.parseLong(
+      md5Hex(rel.getBytes("UTF-8")).substring(0, 15), 16)
   }
 
   /** Metadata-only listing of a media directory — catalog/inventory
@@ -174,6 +265,7 @@ object MultimodalOps {
       glob: String = "*"): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
       .load(mediaDir)
       .select(col("path"), col("length"), col("modificationTime"))
 

@@ -477,8 +477,11 @@ object Relational {
     * distinct keys a theta sketch is EXACT (no sampling), which the
     * spec exploits at test SFs. Output: one row per unordered audience
     * pair with estimates and the sketch's own 2-σ intersection bounds.
-    * No oracle — sketch internals are engine-specific, same rule as
-    * approx_distinct. */
+    * Oracle: BECAUSE the test SFs sit below the sampling threshold the
+    * sketch is exact there — estimates are exact counts and the bounds
+    * collapse onto them — so the DuckDB twin is plain distinct-set
+    * algebra (r6 verdict #2); past 4096 distinct keys the twin stops
+    * applying and the accuracy spec is the contract. */
   def eventsOverlapTheta(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
     import org.apache.datasketches.memory.Memory
@@ -595,8 +598,10 @@ object Relational {
     * counting a skewed key is NOT itself skewed); the top-10 is a
     * TakeOrdered over the counts (no global sort materializes), the
     * 1-row totals frame broadcasts back, and the rank window orders 10
-    * rows. Integer counts throughout; the two ratios divide BIGINTs
-    * once, in the token order the oracle repeats. */
+    * rows. Integer counts until the ratios; skew_factor multiplies in
+    * DOUBLE (max_cnt · n_keys in BIGINT would wrap past 2^63 at the
+    * very scale this diagnostic exists for — advice r6), in the token
+    * order the oracle repeats. */
   def eventsKeySkew(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(spark, dir)
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
@@ -610,7 +615,7 @@ object Relational {
         .over(Window.orderBy(col("cnt").desc, col("user_id"))).cast("long"))
       .withColumn("share", col("cnt").cast("double") / col("n_rows"))
       .withColumn("skew_factor",
-        (col("max_cnt") * col("n_keys")).cast("double") / col("n_rows"))
+        col("max_cnt").cast("double") * col("n_keys") / col("n_rows"))
       .select("rank", "user_id", "cnt", "share", "n_keys", "n_rows",
         "max_cnt", "skew_factor")
       .orderBy("rank")

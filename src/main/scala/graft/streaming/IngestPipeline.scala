@@ -1,0 +1,174 @@
+package graft.streaming
+
+import graft.operators.TextOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** The COMPOSED streaming ingest — the maintainers wired as ONE
+  * foreachBatch DAG under a single checkpoint (r6 verdict #5), the way
+  * production actually runs them:
+  *
+  *   raw batch
+  *     → quality/PII gate            (CorpusIngest.gate — stateless)
+  *     → exact-text screen           (fingerprint vs corpus store)
+  *     → near-duplicate screen       (NearDupIngest.screenRejects)
+  *     → exact-substring screen      (SubstrIngest.screen)
+  *     → survivors admitted to corpus store + near-dup artifact +
+  *       substring hash store + vector index (hashed-doc embeddings)
+  *     → governance counters          (CorpusStats, batchId-gated)
+  *
+  * COHERENCE is the invariant the composition adds over the parts: a
+  * document's text enters the corpus store iff its shingles enter the
+  * near-dup artifact iff its K-gram hashes enter the substring store
+  * iff its embedding enters the index (zero-norm texts excepted — they
+  * have no indexable vector). Run separately, a doc rejected by a LATER
+  * screen would still have been admitted into an EARLIER screen's
+  * state, over-rejecting future texts against corpus entries that do
+  * not exist. Screens therefore CASCADE (each sees only the survivors
+  * of the previous) and every store admits the same final survivor set.
+  *
+  * EXACTLY-ONCE across five stores with no cross-store transaction:
+  * every screen is REPLAY-STABLE — own-doc matches are excluded (the
+  * exact screen matches store fingerprints only under a different
+  * doc_id; the near/substr screens carry the same rule), so after ANY
+  * prefix of the admissions committed, a replayed batch re-derives the
+  * SAME survivor set — and every admission is independently idempotent
+  * (per-table doc_id / (doc_id,h) / vec_id anti-joins, the batchId
+  * gate for the additive counters). A crash between any two stage
+  * commits converges on replay to the crash-free state; the spec's
+  * crash matrix injects a failure after every stage. The stats gate
+  * runs LAST so its batchId records only fully-admitted batches.
+  *
+  * Scale: the screens inherit their components' bounds — the gate is
+  * shuffle-free per-row arithmetic, the exact screen ships 16-byte
+  * fingerprints, the near-dup screen pays one df-cut + band equi-join
+  * against postings read off disk, the substring screen's store probe
+  * is bloom-pre-screened (zero store bytes for fresh batches), and the
+  * index writes only touched cells. Nothing in the composition adds a
+  * corpus-sized pass. */
+object IngestPipeline {
+
+  /** Per-batch admission accounting (gate → screens → admitted). */
+  final case class BatchReport(nIn: Long, gateRejected: Long,
+      exactRejected: Long, nearRejected: Long, substrRejected: Long,
+      admitted: Long)
+
+  private def dirExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  def corpusDir(root: String): String = s"$root/corpus"
+  def nearDir(root: String): String = s"$root/neardup"
+  def substrDir(root: String): String = s"$root/substr"
+  def indexDir(root: String): String = s"$root/index"
+  def statsFile(root: String): String = s"$root/stats.tsv"
+
+  /** Run one micro-batch through the full DAG. `afterStage` fires after
+    * each store commits ("neardup", "substr", "index", "corpus",
+    * "stats") — the crash-injection seam for the spec's matrix. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, root: String,
+      batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
+      afterStage: String => Unit = _ => ()): BatchReport = {
+    val corpus = corpusDir(root)
+    // the batch feeds the gate AND the governance rollup — pin it once
+    val pinned = batch.localCheckpoint(true)
+    val nIn = pinned.count()
+    if (nIn == 0) return BatchReport(0, 0, 0, 0, 0, 0)
+
+    // 1. stateless quality/PII gate
+    val gated = CorpusIngest.gate(pinned).localCheckpoint(true)
+    val nGated = gated.count()
+
+    // 2. exact-text screen: one keeper per fingerprint within the batch
+    // (lowest doc_id), plus any store fingerprint held by a DIFFERENT
+    // doc_id (own-doc exclusion — replay stability)
+    val fped = gated.withColumn("fp", md5(col("text").cast("binary")))
+    val w = Window.partitionBy("fp").orderBy("doc_id")
+    val keepers = fped.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val exactCross =
+      if (dirExists(spark, corpus))
+        keepers.join(
+            spark.read.parquet(corpus)
+              .select(col("fp"), col("doc_id").as("store_doc")),
+            Seq("fp"))
+          .filter(col("doc_id") =!= col("store_doc"))
+          .select("doc_id").distinct()
+      else keepers.select("doc_id").limit(0)
+    val docs1 = keepers.join(exactCross, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nExactRej = nGated - docs1.count()
+
+    // 3. near-duplicate screen (cascaded: exact survivors only)
+    val nearRej = NearDupIngest.screenRejects(spark, docs1, nearDir(root), dfCap)
+      .localCheckpoint(true)
+    val nNearRej = nearRej.count()
+    val docs2 = docs1.join(nearRej, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 4. exact-substring screen (cascaded again)
+    val substrRej = SubstrIngest.screen(spark, docs2, substrDir(root), k)
+      .filter(col("reject")).select("doc_id").localCheckpoint(true)
+    val nSubstrRej = substrRej.count()
+    val survivors = docs2.join(substrRej, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nAdmitted = survivors.count()
+
+    // 5. admissions — each independently idempotent; order is free
+    // (replay-stable screens), corpus last is merely conventional
+    if (nAdmitted > 0) {
+      NearDupIngest.admit(spark, survivors, nearDir(root))
+      afterStage("neardup")
+      SubstrIngest.admit(spark, survivors, substrDir(root), k)
+      afterStage("substr")
+      val vecs = survivors.withColumn("toks", TextOps.tokens)
+        .select(col("doc_id").as("vec_id"),
+          graft.plans.GraftFunctions.graftHashEmbed(spark, "toks")
+            .cast("array<double>").as("embedding"))
+      // first non-empty survivor batch seeds the coarse quantizer (the
+      // deterministic lowest-id init every IVF face uses); training is
+      // an idempotent overwrite, so a crash right after it replays fine
+      if (!dirExists(spark, s"${indexDir(root)}/centroids"))
+        VectorIndex.train(spark, vecs, indexDir(root))
+      VectorIndex.mergeBatch(spark, vecs, indexDir(root))
+      afterStage("index")
+      val freshDocs =
+        if (dirExists(spark, corpus))
+          survivors.join(
+            spark.read.parquet(corpus).select("doc_id"),
+            Seq("doc_id"), "left_anti")
+        else survivors
+      val freshPinned = freshDocs.localCheckpoint(true)
+      if (!freshPinned.isEmpty)
+        freshPinned.write.mode(SaveMode.Append).parquet(corpus)
+      afterStage("corpus")
+    }
+
+    // 6. governance counters over the RAW arrivals (the ingress
+    // dashboard: what came in, not what survived), batchId-gated so a
+    // replay cannot double-add — last, so the gate records a batch only
+    // after every admission committed
+    CorpusStats.mergeBatch(spark, pinned, statsFile(root), batchId)
+    afterStage("stats")
+
+    BatchReport(nIn, nIn - nGated, nExactRej, nNearRej, nSubstrRej, nAdmitted)
+  }
+
+  /** Streaming entry: JSON documents directory → the five maintained
+    * stores under ONE checkpoint. */
+  def ingest(spark: SparkSession, srcDir: String, root: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    spark.readStream.schema(CorpusIngest.docSchema).json(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeBatch(batch.sparkSession, batch, root, id)
+        ()
+      }
+}

@@ -83,11 +83,28 @@ object NearDupIngest {
     val nRejected = rejects.count()
 
     val admittedGrams = batchGrams.join(rejects, Seq("doc_id"), "left_anti")
-    // replay idempotence, PER TABLE: each append keys its anti-join on
-    // its OWN table's doc_ids, so the two appends need no shared commit
-    // point — any prefix of them re-run converges (the doc_id scans are
-    // column-pruned slim reads; a production manifest table would
-    // replace them)
+    val admittedPost = batchPostings.join(rejects, Seq("doc_id"), "left_anti")
+    val nAdmitted = admit(spark, batch, artifact,
+      batchSides = Some((admittedGrams, admittedPost)),
+      afterGramsAppend = afterGramsAppend)
+    (nAdmitted, nRejected)
+  }
+
+  /** The ADMISSION half for PRE-SCREENED docs (the composed-pipeline
+    * face, r6 verdict #5): append their grams and band postings with
+    * the per-table idempotent anti-joins. Replay idempotence, PER
+    * TABLE: each append keys its anti-join on its OWN table's doc_ids,
+    * so the two appends need no shared commit point — any prefix of
+    * them re-run converges (the doc_id scans are column-pruned slim
+    * reads; a production manifest table would replace them). Returns
+    * docs actually appended to grams. */
+  def admit(spark: SparkSession, docs: DataFrame, artifact: String,
+      batchSides: Option[(DataFrame, DataFrame)] = None,
+      afterGramsAppend: () => Unit = () => ()): Long = {
+    val (admittedGrams, admittedPost) = batchSides.getOrElse {
+      val (g, p) = MinHashOps.bandPostings(spark, docs, cache = false)
+      (g.localCheckpoint(true), p.localCheckpoint(true))
+    }
     val freshGrams0 =
       if (dirExists(spark, s"$artifact/grams"))
         admittedGrams.join(
@@ -99,7 +116,6 @@ object NearDupIngest {
     if (nAdmitted > 0)
       freshGrams.write.mode(SaveMode.Append).parquet(s"$artifact/grams")
     afterGramsAppend()
-    val admittedPost = batchPostings.join(rejects, Seq("doc_id"), "left_anti")
     val freshPost0 =
       if (dirExists(spark, s"$artifact/postings"))
         admittedPost.join(
@@ -109,7 +125,37 @@ object NearDupIngest {
     val freshPost = freshPost0.localCheckpoint(true)
     if (freshPost.count() > 0)
       freshPost.write.mode(SaveMode.Append).parquet(s"$artifact/postings")
-    (nAdmitted, nRejected)
+    nAdmitted
+  }
+
+  /** SCREEN-ONLY face (the composed-pipeline half, r6 verdict #5):
+    * rejected doc_ids for a batch without admitting anything. Unlike
+    * the standalone mergeBatch — whose replay ABSORBS a re-delivered
+    * doc by letting it match its own artifact entry — cross matches
+    * where the stored doc IS the probing doc are EXCLUDED, so verdicts
+    * re-derive identically after a partial admission (the replay-
+    * stability the composed pipeline's crash matrix needs; same
+    * own-doc rule as SubstrIngest). */
+  def screenRejects(spark: SparkSession, batch: DataFrame, artifact: String,
+      dfCap: Int = TextOps.DfCap,
+      batchSides: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    val (batchGrams, batchPostings) = batchSides.getOrElse {
+      val (g, p) = MinHashOps.bandPostings(spark, batch, cache = false)
+      (g.localCheckpoint(true), p.localCheckpoint(true))
+    }
+    val selfPairs = MinHashOps.pairsFromPostings(
+        spark, batchGrams, batchPostings, dfCap)
+      .filter(col("jaccard") >= Threshold)
+      .select(greatest(col("d1"), col("d2")).as("doc_id")).distinct()
+    val crossRejects =
+      if (artifactExists(spark, artifact))
+        MinHashOps.incrementalNearDupVsArtifact(spark, artifact, batch, dfCap,
+            batchSides = Some((batchGrams, batchPostings)))
+          .filter(col("jaccard") >= Threshold)
+          .filter(col("d1") =!= col("d2")) // own-doc exclusion
+          .select(col("d2").as("doc_id")).distinct()
+      else selfPairs.limit(0)
+    selfPairs.union(crossRejects).distinct()
   }
 
   /** Re-derive missing postings from the stored grams — recovery for a

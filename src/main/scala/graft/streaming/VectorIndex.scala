@@ -101,6 +101,13 @@ object VectorIndex {
       .dropDuplicates("vec_id")
       .withColumn("cell", graft.plans.GraftFunctions
         .graftIvfAssign(spark, "v", cents)("cell"))
+      // a vector whose dimensionality mismatches the centroids assigns
+      // cell = NULL (IvfAssignTop2's contract); in the streaming entry
+      // one such row would fail the touched-cells collect, the
+      // checkpoint would replay the batch, and the stream would stall
+      // permanently — drop it here, mirroring search's probe filter
+      // (advice r6)
+      .filter(col("cell").isNotNull)
       .localCheckpoint(true)
     if (assigned.isEmpty) return 0L
     // touched cells: bounded by k (the handful-of-ints collect class)

@@ -71,6 +71,72 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(viaImage.nonEmpty)
   }
 
+  // --- real PCM audio (javax.sound: WAVE/AU/AIFF ship with the JDK) ---
+
+  /** 16-bit signed mono PCM: a deterministic 64-sample ramp, written
+    * into a real audio container via the JDK's own encoder. */
+  private def pcmSamples: Array[Short] =
+    (0 until 64).map(i => ((i * 523) % 8192 - 4096).toShort).toArray
+
+  private def audio(fmt: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+    import javax.sound.sampled._
+    val f = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 1, 2, 8000f, true) // big-endian source
+    val bytes = new Array[Byte](pcmSamples.length * 2)
+    pcmSamples.zipWithIndex.foreach { case (s, i) =>
+      bytes(2 * i) = ((s >> 8) & 0xff).toByte
+      bytes(2 * i + 1) = (s & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), f, pcmSamples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    require(AudioSystem.write(in, fmt, out) > 0, s"JDK cannot write $fmt")
+    out.toByteArray
+  }
+
+  test("known PCM ramp decodes to the exact frame count, integer mean " +
+    "|sample|, and a container-invariant fingerprint (WAV == AIFF == AU " +
+    "while their payload bytes differ)") {
+    import javax.sound.sampled.AudioFileFormat.Type
+    import graft.operators.MultimodalOps.AudioPcmDecoder
+    val wav = audio(Type.WAVE)
+    val aiff = audio(Type.AIFF)
+    val au = audio(Type.AU)
+    assert(!java.util.Arrays.equals(wav, aiff))
+    val fw = AudioPcmDecoder.decode(row(3L, wav))
+    val fa = AudioPcmDecoder.decode(row(3L, aiff))
+    val fu = AudioPcmDecoder.decode(row(3L, au))
+    assert(fw.nFrames == 64L, s"frames: ${fw.nFrames}")
+    val meanAbs = pcmSamples.map(s => math.abs(s.toLong)).sum / 64
+    assert(fw.feature0 == meanAbs, s"mean |sample|: ${fw.feature0} != $meanAbs")
+    assert(fw.fingerprint == fa.fingerprint && fa.fingerprint == fu.fingerprint,
+      "container re-encoding changed the PCM fingerprint")
+    assert(fw.copy(nBytes = 0) == fa.copy(nBytes = 0),
+      "features diverge across containers")
+    // the stub face cannot see the equivalence
+    assert(StubDecoder.decode(row(3L, wav)).fingerprint !=
+      StubDecoder.decode(row(3L, aiff)).fingerprint)
+  }
+
+  test("non-audio payloads degrade to the stub; the decoder composes " +
+    "with the directory ingest end to end") {
+    import graft.operators.MultimodalOps.AudioPcmDecoder
+    val txt = "not audio at all".getBytes("UTF-8")
+    assert(AudioPcmDecoder.decode(row(9L, txt)) == StubDecoder.decode(row(9L, txt)))
+    // directory: one wav + one txt through decodeMediaDir's shape
+    val dir = java.nio.file.Files.createTempDirectory("mm-audio")
+    java.nio.file.Files.write(dir.resolve("clip_5.wav"),
+      audio(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+    java.nio.file.Files.write(dir.resolve("note_6.txt"), txt)
+    val feats = MultimodalOps.decodeMediaDir(spark, dir.toString,
+        decoder = AudioPcmDecoder)
+      .collect().map(f => f.docId -> f).toMap
+    assert(feats(5L).nFrames == 64L, s"wav via ingest: ${feats(5L)}")
+    assert(feats(6L).fingerprint ==
+      StubDecoder.decode(MediaRow(MediaMeta(6L, txt.length.toLong,
+        "text/plain"), txt)).fingerprint)
+  }
+
   test("distributed decode: a Dataset of real images maps through the " +
     "same mapPartitions shape with per-partition parallelism") {
     import spark.implicits._

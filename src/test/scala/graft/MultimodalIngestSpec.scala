@@ -87,6 +87,32 @@ class MultimodalIngestSpec extends SparkSpec {
       "non-image file must take the degrade path")
   }
 
+  test("docId collisions fail loudly instead of silently merging " +
+    "distinct media (advice r6); subdirectory shards hash apart") {
+    val dir = Files.createTempDirectory("mm-collide")
+    Files.write(dir.resolve("img_0042.png"), encode(raster, "png"))
+    Files.write(dir.resolve("doc_0042.txt"), "same digits".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      MultimodalOps.ingestMediaDir(spark, dir.toString)
+    }
+    assert(e.getMessage.contains("img_0042.png")
+      && e.getMessage.contains("doc_0042.txt"), e.getMessage)
+    // the opt-out still ingests (caller owns the naming convention)
+    assert(MultimodalOps.ingestMediaDir(spark, dir.toString,
+      checkIds = false).count() == 2)
+
+    // same extensionless NAME in two shard dirs: root-relative hashing
+    // keeps them distinct (the bare-name digest merged them)
+    val sharded = Files.createTempDirectory("mm-shards")
+    Files.createDirectories(sharded.resolve("s1"))
+    Files.createDirectories(sharded.resolve("s2"))
+    Files.write(sharded.resolve("s1/README"), "a".getBytes("UTF-8"))
+    Files.write(sharded.resolve("s2/README"), "b".getBytes("UTF-8"))
+    val ids = MultimodalOps.ingestMediaDir(spark, sharded.toString)
+      .collect().map(_.meta.docId).toSet
+    assert(ids.size == 2, s"shard README ids collided: $ids")
+  }
+
   test("metadata-only listing prunes `content` from the binaryFile scan") {
     val dir = mediaDir
     val df = MultimodalOps.mediaDirMeta(spark, dir.toString)

@@ -1,0 +1,173 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The composed ingest DAG (r6 verdict #5): cascade semantics (each
+  * screen sees prior survivors only), store COHERENCE (all five stores
+  * admit the same survivor set), the crash matrix (a failure after any
+  * stage converges on replay), the checkpointed streaming face, and a
+  * recorded sustained-throughput figure. */
+class IngestPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Gate-passing text: ≥40 words of 3-10 chars, ≥80% alphabetic, two
+    * stopwords. Distinct `tag`s share only the two stopwords. */
+  private def passText(tag: String, tail: String): String =
+    (Seq("the", "and") ++ (0 until 42).map(k => f"${tag}w$k%03d") :+ tail)
+      .mkString(" ")
+
+  private def row(id: Long, text: String) = (id, text, "en", "s")
+
+  /** The four-reject fixture: per batch — one gate reject, one exact
+    * dup, one near dup (same words, new tail), one substring dup (23 of
+    * 45 tokens verbatim from a keeper, rest fresh). */
+  private def substrText(ofTag: String, freshTag: String): String = {
+    val donor = passText(ofTag, "unused").split(" ").take(23)
+    (donor ++ (0 until 22).map(k => f"${freshTag}x$k%03d")).mkString(" ")
+  }
+
+  private def b1 = Seq(
+    row(1, passText("aaa", "tail1")),
+    row(2, passText("bbb", "tail2")),
+    row(3, "too short to pass the gate"),
+    row(4, passText("aaa", "tail1")), // exact dup of 1
+    row(5, passText("ccc", "tail5")),
+    row(6, passText("ccc", "tail6")), // near dup of 5
+    row(7, substrText("bbb", "ddd"))) // substring dup of 2
+    .toDF("doc_id", "text", "lang", "source")
+
+  private def b2 = Seq(
+    row(8, passText("eee", "tail8")),
+    row(9, passText("aaa", "tail1")),  // exact dup of stored 1
+    row(10, passText("ccc", "tail10")), // near dup of stored 5
+    row(11, substrText("bbb", "fff")))  // substring dup of stored 2
+    .toDF("doc_id", "text", "lang", "source")
+
+  private def corpusIds(root: String): Seq[Long] =
+    spark.read.parquet(IngestPipeline.corpusDir(root))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+
+  /** One comparable snapshot of all five stores. */
+  private def snapshot(root: String): (Seq[Long], Seq[Long], Seq[Long],
+      Set[(Long, Long)], Seq[Long], Seq[String]) = {
+    def ids(p: String): Seq[Long] =
+      if (new java.io.File(p).exists)
+        spark.read.parquet(p).select("doc_id").distinct()
+          .as[Long].collect().sorted.toSeq
+      else Seq.empty
+    val substr = spark.read.parquet(s"${IngestPipeline.substrDir(root)}/grams")
+      .as[(Long, Long)].collect().toSet
+    val vecs = spark.read.parquet(s"${IngestPipeline.indexDir(root)}/vectors")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val stats = CorpusStats.stats(spark, IngestPipeline.statsFile(root))
+      .collect().map(_.toString).toSeq
+    (corpusIds(root), ids(s"${IngestPipeline.nearDir(root)}/grams"),
+      ids(s"${IngestPipeline.nearDir(root)}/postings"), substr, vecs, stats)
+  }
+
+  test("cascade + coherence: each screen rejects its planted dup, and " +
+    "all five stores admit the same survivor set") {
+    val root = Files.createTempDirectory("pipe1").toString + "/p"
+    val r1 = IngestPipeline.mergeBatch(spark, b1, root, batchId = 0L)
+    assert(r1 == IngestPipeline.BatchReport(7, 1, 1, 1, 1, 3), s"batch1: $r1")
+    val r2 = IngestPipeline.mergeBatch(spark, b2, root, batchId = 1L)
+    assert(r2 == IngestPipeline.BatchReport(4, 0, 1, 1, 1, 1), s"batch2: $r2")
+
+    val (corpus, grams, postings, substr, vecs, _) = snapshot(root)
+    assert(corpus == Seq(1L, 2L, 5L, 8L), s"corpus: $corpus")
+    assert(grams == corpus, s"near-dup grams diverge: $grams")
+    assert(postings == corpus, s"near-dup postings diverge: $postings")
+    assert(substr.map(_._1).toSeq.sorted.distinct == corpus,
+      "substring store diverges")
+    assert(vecs == corpus, s"vector index diverges: $vecs")
+
+    // governance counters saw the raw arrivals
+    val st = CorpusStats.stats(spark, IngestPipeline.statsFile(root)).collect()
+    assert(st.length == 1 && st(0).getLong(1) == 11L,
+      s"stats n_docs: ${st.toSeq}")
+
+    // the index SERVES: doc 1's own embedding finds doc 1's neighbors
+    val toks = graft.operators.TextOps.tokens
+    val q = b1.filter(col("doc_id") === 1).withColumn("toks", toks)
+      .select(col("doc_id").as("vec_id"),
+        graft.plans.GraftFunctions.graftHashEmbed(spark, "toks")
+          .cast("array<double>").as("embedding"))
+    val served = VectorIndex.search(spark, IngestPipeline.indexDir(root), q)
+      .collect()
+    assert(served.nonEmpty && served.forall(r => corpus.contains(r.getLong(2))),
+      s"search served non-corpus ids: ${served.toSeq}")
+  }
+
+  test("crash matrix: a failure after EVERY stage converges on replay " +
+    "to the crash-free stores (same batchId, as streaming replays)") {
+    val base = Files.createTempDirectory("pipe2").toString
+    val ref = s"$base/ref"
+    IngestPipeline.mergeBatch(spark, b1, ref, 0L)
+    IngestPipeline.mergeBatch(spark, b2, ref, 1L)
+    val want = snapshot(ref)
+    for (stage <- Seq("neardup", "substr", "index", "corpus", "stats")) {
+      val root = s"$base/crash-$stage"
+      IngestPipeline.mergeBatch(spark, b1, root, 0L)
+      intercept[RuntimeException] {
+        IngestPipeline.mergeBatch(spark, b2, root, 1L,
+          afterStage = s => if (s == stage) throw new RuntimeException(s))
+      }
+      // the replay (streaming's recovery unit, same id) must converge
+      val r = IngestPipeline.mergeBatch(spark, b2, root, 1L)
+      assert(r.admitted <= 1, s"crash@$stage: replay report $r")
+      assert(snapshot(root) == want,
+        s"crash@$stage: stores diverged from the crash-free run")
+    }
+  }
+
+  test("streaming face: two file batches under one checkpoint with a " +
+    "restart build the same coherent stores") {
+    val base = Files.createTempDirectory("pipe3").toString
+    val (src, root, ckpt) = (s"$base/src", s"$base/p", s"$base/ckpt")
+    def json(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text","lang":"en","source":"s"}"""
+    def write(name: String, rows: Seq[String]): Unit = {
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      Files.write(java.nio.file.Paths.get(src, name),
+        rows.mkString("\n").getBytes("UTF-8"))
+      ()
+    }
+    write("b1.json", Seq(
+      json(1, passText("aaa", "tail1")), json(2, passText("bbb", "tail2"))))
+    val q1 = IngestPipeline.ingest(spark, src, root, ckpt).start()
+    q1.processAllAvailable(); q1.stop()
+    assert(corpusIds(root) == Seq(1L, 2L))
+    write("b2.json", Seq(
+      json(3, passText("aaa", "tail3")), // near dup of 1
+      json(4, passText("ggg", "tail4"))))
+    val q2 = IngestPipeline.ingest(spark, src, root, ckpt).start()
+    q2.processAllAvailable(); q2.stop()
+    val (corpus, grams, _, substr, vecs, _) = snapshot(root)
+    assert(corpus == Seq(1L, 2L, 4L), s"corpus: $corpus")
+    assert(grams == corpus && vecs == corpus
+      && substr.map(_._1).toSeq.distinct.sorted == corpus,
+      "streaming stores incoherent")
+  }
+
+  test("throughput: sustained docs/s through the full DAG (recorded in " +
+    "BASELINE.md beside the signal-path events/s)") {
+    val root = Files.createTempDirectory("pipe4").toString + "/p"
+    val batchSize = sys.env.getOrElse("SPARK_GRAFT_PIPE_DOCS", "500").toInt
+    val t0 = System.nanoTime()
+    var admitted = 0L
+    for (b <- 0 until 2) {
+      val docs = (0 until batchSize) // tag stays ≤5 chars: the gate caps
+        .map(i => row(b * 10000L + i, // mean word length at 10
+          passText(f"${('a' + b).toChar}$i%04d", s"t$i")))
+        .toDF("doc_id", "text", "lang", "source")
+      admitted += IngestPipeline.mergeBatch(spark, docs, root, b.toLong).admitted
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(admitted == 2L * batchSize, s"admitted $admitted")
+    info(f"${2 * batchSize} docs in $sec%.1f s = ${2 * batchSize / sec}%.0f docs/s " +
+      s"(local[4], ${batchSize}-doc batches, all five stores maintained)")
+  }
+}

@@ -161,6 +161,23 @@ class VectorIndexSpec extends SparkSpec {
       .map(_.getLong(0)).contains(r.getLong(2)) || r.getLong(2) >= 0))
   }
 
+  test("a dimensionality-mismatched embedding cannot poison the ingest " +
+    "batch: the null-cell row drops, the rest of the batch indexes " +
+    "(advice r6 — a poisoned batch would replay and stall forever)") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("vidx8").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    val good = emb.limit(20).select("vec_id", "embedding")
+    val dim = good.selectExpr("size(embedding)").head().getInt(0)
+    val bad = Seq((900001L, Seq.fill(dim + 3)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val applied = VectorIndex.mergeBatch(spark, good.unionByName(bad), store)
+    assert(applied == 20L, s"applied $applied (want the 20 good rows)")
+    assert(spark.read.parquet(s"$store/vectors")
+      .filter(col("vec_id") === 900001L).isEmpty,
+      "the malformed row must not be indexed")
+  }
+
   test("streaming maintain: a checkpointed file stream builds the same " +
     "index as one-shot ingest, across a restart") {
     import spark.implicits._
