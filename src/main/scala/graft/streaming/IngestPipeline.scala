@@ -158,6 +158,74 @@ object IngestPipeline {
     BatchReport(nIn, nIn - nGated, nExactRej, nNearRej, nSubstrRej, nAdmitted)
   }
 
+  /** Compact every store the pipeline maintains — the one-call
+    * maintenance sweep a long-lived ingest schedules off-peak: the
+    * near-dup artifact and substring store through their own staged
+    * compactors, the vector index to one file per cell, and the corpus
+    * store range-laid on doc_id (tight per-file id spans → the exact
+    * screen's fingerprint probe and any doc_id lookup skip files from
+    * footer stats). Each sub-compaction keeps its own crash discipline;
+    * screening results are invariant (spec-pinned). */
+  def compactAll(spark: SparkSession, root: String, nFiles: Int = 4): Unit = {
+    NearDupIngest.compactArtifact(spark, nearDir(root), nFiles)
+    SubstrIngest.compactStore(spark, substrDir(root), nFiles)
+    VectorIndex.compact(spark, indexDir(root))
+    val live = corpusDir(root)
+    val stage = s"$live.stage"
+    if (!StagedSwap.resume(spark, live, Seq(stage)) &&
+        dirExists(spark, live)) {
+      StagedSwap.clearStale(spark, stage)
+      graft.sources.CorpusSink.writeRangeLayout(
+        spark.read.parquet(live), stage, "doc_id", nFiles)
+      StagedSwap.commit(spark, live, stage)
+    }
+  }
+
+  /** KEYED ERASURE across the composition — the right-to-erasure face
+    * of the whole pipeline: purge the given doc_ids from the corpus
+    * store, the near-dup artifact, and the substring store (staged
+    * full rewrites — erasure is a rare, explicit, audited operation,
+    * so O(store) is the honest cost; the substring bloom is untouched
+    * and simply stays a superset, which the exact confirm absorbs),
+    * and from the vector index via its own touched-cells-only forget.
+    * The governance counters are NOT decremented: they hold additive
+    * aggregates, no per-document content — a dataset card counts what
+    * was processed, not what is retained.
+    *
+    * CONSEQUENCE (the standard erasure/dedup trade, stated rather than
+    * hidden): erasing a document also erases its dedup evidence, so a
+    * future copy of the same text will be ADMITTED as new. Retaining
+    * the hashes would retain derived content the erasure is obligated
+    * to remove. Each per-store rewrite is individually staged/crash-
+    * safe, and the whole call is IDEMPOTENT — a crash between stores
+    * leaves a partially-erased (never corrupted) state that re-running
+    * with the same ids completes, the VectorIndex.forget convergence
+    * argument applied across the composition. Returns the number of
+    * corpus rows removed. */
+  def forget(spark: SparkSession, root: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    var removed = 0L
+    def purge(live: String, alsoCount: Boolean): Unit = {
+      val stage = s"$live.forget"
+      StagedSwap.resume(spark, live, Seq(stage))
+      if (!dirExists(spark, live)) return
+      val cur = spark.read.parquet(live).localCheckpoint(true)
+      val kept = cur.filter(!col("doc_id").isin(ids: _*)).localCheckpoint(true)
+      val delta = cur.count() - kept.count()
+      if (alsoCount) removed += delta
+      if (delta == 0L) return
+      StagedSwap.clearStale(spark, stage)
+      kept.write.parquet(stage)
+      StagedSwap.commit(spark, live, stage)
+    }
+    purge(corpusDir(root), alsoCount = true)
+    purge(s"${nearDir(root)}/grams", alsoCount = false)
+    purge(s"${nearDir(root)}/postings", alsoCount = false)
+    purge(s"${substrDir(root)}/grams", alsoCount = false)
+    VectorIndex.forget(spark, indexDir(root), ids)
+    removed
+  }
+
   /** Streaming entry: JSON documents directory → the five maintained
     * stores under ONE checkpoint. */
   def ingest(spark: SparkSession, srcDir: String, root: String,

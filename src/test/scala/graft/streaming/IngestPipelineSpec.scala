@@ -152,6 +152,57 @@ class IngestPipelineSpec extends SparkSpec {
       "streaming stores incoherent")
   }
 
+  test("compactAll bounds every store's file count and changes no " +
+    "screening or serving result") {
+    val root = Files.createTempDirectory("pipe5").toString + "/p"
+    IngestPipeline.mergeBatch(spark, b1, root, 0L)
+    IngestPipeline.mergeBatch(spark, b2, root, 1L)
+    val pre = snapshot(root)
+    IngestPipeline.compactAll(spark, root, nFiles = 2)
+    assert(snapshot(root) == pre, "compaction changed store contents")
+    def parquetFiles(p: String): Int = {
+      val it = Files.walk(java.nio.file.Paths.get(p)).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    }
+    assert(parquetFiles(IngestPipeline.corpusDir(root)) <= 2)
+    assert(parquetFiles(s"${IngestPipeline.nearDir(root)}/grams") <= 2)
+    assert(parquetFiles(s"${IngestPipeline.substrDir(root)}/grams") <= 2)
+    // screening still works: a replay-shaped dup of stored doc 1
+    val r = IngestPipeline.mergeBatch(spark,
+      Seq(row(40, passText("aaa", "tail1"))).toDF("doc_id", "text", "lang", "source"),
+      root, 2L)
+    assert(r.exactRejected == 1L, s"post-compaction screen: $r")
+  }
+
+  test("forget erases a document from corpus, near-dup artifact, " +
+    "substring store and vector index; a later copy of the erased text " +
+    "is admitted as new (the stated erasure/dedup trade); idempotent") {
+    val root = Files.createTempDirectory("pipe6").toString + "/p"
+    IngestPipeline.mergeBatch(spark, b1, root, 0L)
+    IngestPipeline.mergeBatch(spark, b2, root, 1L)
+    assert(corpusIds(root) == Seq(1L, 2L, 5L, 8L))
+    assert(IngestPipeline.forget(spark, root, Seq(2L)) == 1L)
+    assert(IngestPipeline.forget(spark, root, Seq(2L)) == 0L, "not idempotent")
+    val (corpus, grams, postings, substr, vecs, _) = snapshot(root)
+    assert(corpus == Seq(1L, 5L, 8L) && grams == corpus
+      && postings == corpus && vecs == corpus
+      && substr.map(_._1).toSeq.distinct.sorted == corpus,
+      s"erasure left residue: $corpus / $grams / $vecs")
+    // the erased text's dedup evidence is gone: an exact copy, a near
+    // dup, and a substring dup of old doc 2 now pass their screens
+    val again = Seq(
+      row(50, passText("bbb", "tail2")),   // exact copy of erased 2
+      row(52, substrText("bbb", "hhh")))   // substring dup of erased 2
+      .toDF("doc_id", "text", "lang", "source")
+    val r = IngestPipeline.mergeBatch(spark, again, root, 2L)
+    // 52 is a substring dup OF 50 within the batch (50 keeps its donor
+    // prefix), so exactly one of the pair is admitted
+    assert(r.exactRejected == 0L && r.admitted == 1L,
+      s"erased doc still rejects its future copies: $r")
+  }
+
   test("throughput: sustained docs/s through the full DAG (recorded in " +
     "BASELINE.md beside the signal-path events/s)") {
     val root = Files.createTempDirectory("pipe4").toString + "/p"
