@@ -230,14 +230,34 @@ object MinHashOps {
     * PERSISTED corpus artifact (writeNearDupArtifact): same candidate
     * and verify shape as `incrementalNearDupFrame`, but the corpus side
     * comes off disk — only the batch pays signature work. Output parity
-    * with the in-memory path is pinned by ArtifactDedupSpec. */
+    * with the in-memory path is pinned by ArtifactDedupSpec.
+    *
+    * BOUNDED corpus reads (r7, the SubstrIngest probe discipline
+    * applied here): a micro-batch's band keys are few (≤ Bands × batch
+    * docs), so the postings scan is pre-filtered to them — pushed as a
+    * `band_hash IN (...)` literal filter below the threshold (the
+    * compacted artifact is range-laid on band_hash → parquet min/max
+    * file skipping), a broadcast semi-join above it (one scan, never a
+    * corpus-side shuffle). The df-cut then counts only the touched
+    * buckets — identical semantics, because an equality filter keeps
+    * every retained bucket WHOLE and untouched buckets can produce no
+    * candidate. The grams read for exact verification is bounded the
+    * same way by the candidate d1 ids (grams range-laid on doc_id). A
+    * batch colliding with nothing reads only parquet footers. */
   def incrementalNearDupVsArtifact(spark: SparkSession, artifactPath: String,
       batchDocs: DataFrame, dfCap: Int,
       batchSides: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    val corpusPostings = spark.read.parquet(s"$artifactPath/postings")
-    val corpusGrams = spark.read.parquet(s"$artifactPath/grams")
     val (batchGrams, batchPostings) =
       batchSides.getOrElse(bandPostings(spark, batchDocs))
+    val keys = batchPostings.select("band_hash").distinct()
+      .localCheckpoint(true)
+    val corpusPostings0 = spark.read.parquet(s"$artifactPath/postings")
+    val corpusPostings =
+      if (keys.count() <= ProbeIsinThreshold) {
+        val hs = keys.collect().map(_.getLong(0))
+        corpusPostings0.filter(col("band_hash").isin(hs: _*))
+      } else
+        corpusPostings0.join(broadcast(keys), Seq("band_hash"), "left_semi")
     val corpusCut = TextOps.dfCut(
       corpusPostings, Seq("lang", "band_idx", "band_hash"), dfCap)
     val cand = corpusCut
@@ -247,8 +267,25 @@ object MinHashOps {
         Seq("lang", "band_idx", "band_hash"))
       .select("d1", "d2")
       .distinct()
+      .localCheckpoint(true)
+    val d1s = cand.select("d1").distinct().localCheckpoint(true)
+    val corpusGrams0 = spark.read.parquet(s"$artifactPath/grams")
+    val corpusGrams =
+      if (d1s.count() <= ProbeIsinThreshold) {
+        val ids = d1s.collect().map(_.getLong(0))
+        corpusGrams0.filter(col("doc_id").isin(ids: _*))
+      } else
+        corpusGrams0.join(
+          broadcast(d1s.withColumnRenamed("d1", "doc_id")),
+          Seq("doc_id"), "left_semi")
     verifyJaccard(cand, corpusGrams, batchGrams)
   }
+
+  /** Key count up to which a corpus-side probe is pushed as an IN
+    * literal filter (file skipping on the range-laid artifact); larger
+    * sets fall back to a broadcast semi-join (same as
+    * SubstrIngest.IsinThreshold). */
+  val ProbeIsinThreshold: Int = 4096
 
   /** 16-bit SimHash of the token multiset (token hash = 28-bit md5
     * prefix; per-bit ±1 vote over all tokens; bit set when the vote is

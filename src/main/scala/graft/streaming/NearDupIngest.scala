@@ -105,11 +105,24 @@ object NearDupIngest {
       val (g, p) = MinHashOps.bandPostings(spark, docs, cache = false)
       (g.localCheckpoint(true), p.localCheckpoint(true))
     }
+    // the anti-join's store side is pre-filtered to the batch's own ids
+    // (bounded literals): on the doc_id-range-laid compacted artifact a
+    // batch of genuinely new ids skips every file from footer stats —
+    // the replay probe costs O(batch), not O(store). Past the literal
+    // threshold (an out-of-band bulk load) the probe falls back to the
+    // full column-pruned anti-join.
+    val batchIds = admittedGrams.select("doc_id")
+      .limit(MinHashOps.ProbeIsinThreshold + 1)
+      .collect().map(_.getLong(0)).toSeq
+    val useIsin = batchIds.length <= MinHashOps.ProbeIsinThreshold
+    def storeIds(sub: String): DataFrame = {
+      val all = spark.read.parquet(s"$artifact/$sub").select("doc_id")
+      (if (useIsin) all.filter(col("doc_id").isin(batchIds: _*)) else all)
+        .distinct()
+    }
     val freshGrams0 =
-      if (dirExists(spark, s"$artifact/grams"))
-        admittedGrams.join(
-          spark.read.parquet(s"$artifact/grams").select("doc_id"),
-          Seq("doc_id"), "left_anti")
+      if (dirExists(spark, s"$artifact/grams") && batchIds.nonEmpty)
+        admittedGrams.join(storeIds("grams"), Seq("doc_id"), "left_anti")
       else admittedGrams
     val freshGrams = freshGrams0.localCheckpoint(true)
     val nAdmitted = freshGrams.count()
@@ -117,10 +130,8 @@ object NearDupIngest {
       freshGrams.write.mode(SaveMode.Append).parquet(s"$artifact/grams")
     afterGramsAppend()
     val freshPost0 =
-      if (dirExists(spark, s"$artifact/postings"))
-        admittedPost.join(
-          spark.read.parquet(s"$artifact/postings").select("doc_id").distinct(),
-          Seq("doc_id"), "left_anti")
+      if (dirExists(spark, s"$artifact/postings") && batchIds.nonEmpty)
+        admittedPost.join(storeIds("postings"), Seq("doc_id"), "left_anti")
       else admittedPost
     val freshPost = freshPost0.localCheckpoint(true)
     if (freshPost.count() > 0)

@@ -190,6 +190,27 @@ class NearDupIngestSpec extends SparkSpec {
       "screening diverged after compaction")
   }
 
+  test("soak: per-batch cost stays flat as the artifact grows (corpus " +
+    "probes bounded by the batch's band keys and candidate ids — r7)") {
+    val art = Files.createTempDirectory("nd-soak").toString + "/art"
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "10").toInt
+    val times = (0 until nBatches).map { b =>
+      val docs = (0 until 20)
+        .map(i => (b * 100L + i, "en", phrase(s"b${b}u$i") + s" t$i"))
+        .toDF("doc_id", "lang", "text")
+      val t0 = System.nanoTime()
+      val (ad, rj) = NearDupIngest.mergeBatch(spark, docs, art)
+      assert((ad, rj) == (20L, 0L), s"batch $b: ($ad, $rj)")
+      (System.nanoTime() - t0) / 1e9
+    }
+    info(s"per-batch sec: ${times.map(t => f"$t%.2f").mkString(", ")}")
+    val first = times.take(3).sorted.apply(1)
+    val last = times.takeRight(3).sorted.apply(1)
+    assert(last <= first * 3.0 + 0.5,
+      s"per-batch cost grew with the artifact: first-3 median $first, " +
+        s"last-3 median $last")
+  }
+
   test("streaming ingest: screened corpus converges across two file " +
     "batches with a checkpointed restart") {
     val base = Files.createTempDirectory("nd-stream").toString
