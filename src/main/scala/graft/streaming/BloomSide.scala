@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The shared SIDE-BLOOM discipline that bounds a maintainer's
+  * per-batch store probe (SubstrIngest pioneered it; CorpusIngest and
+  * the composed pipeline's exact screen reuse it): every append writes
+  * a fixed-parameter bloom segment of its keys BEFORE its rows, so the
+  * merged segment set is at all times a SUPERSET of the store — a
+  * bloom miss proves absence (no store read at all), a hit goes to the
+  * exact confirm. Fixed parameters because Spark's BloomFilter refuses
+  * to merge incompatible filters; a crash between bloom and rows
+  * leaves harmless over-selection; false negatives — which would admit
+  * duplicates — cannot occur by construction.
+  *
+  * Segments live in their own directory BESIDE the parquet data (never
+  * inside a directory Spark reads as a table). One segment per append;
+  * compaction rebuilds a single covering segment from the rows and
+  * drops the rest — write-new-first, so the set covers the store at
+  * every instant. */
+private[streaming] object BloomSide {
+
+  /** 2^17 expected keys at 1e-2 fpp ≈ 160 KB per segment; size to the
+    * deployment (or range-shard blooms beside a range-laid store) at
+    * 100 TB — the parameter is the knob, superset-before-append is the
+    * invariant. */
+  val Expected: Long = 1L << 17
+  val Fpp: Double = 1e-2
+
+  /** Candidate-key count up to which the exact confirm is pushed as IN
+    * literals into the store scan; larger sets fall back to a
+    * broadcast semi-join. */
+  val IsinThreshold: Int = 4096
+
+  private def fsOf(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def segPaths(spark: SparkSession,
+      dir: String): Array[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".bf"))
+      .map(_.getPath)
+  }
+
+  /** Merge every segment into one filter; None when no segment exists
+    * (pre-bloom store migration path — callers probe unbounded). */
+  def read(spark: SparkSession, dir: String): Option[BloomFilter] = {
+    val segs = segPaths(spark, dir)
+    if (segs.isEmpty) return None
+    val fs = fsOf(spark, dir)
+    var merged: BloomFilter = null
+    segs.foreach { p =>
+      val in = fs.open(p)
+      try {
+        val b = BloomFilter.readFrom(in)
+        if (merged == null) merged = b else merged.mergeInPlace(b)
+      } finally in.close()
+    }
+    Option(merged)
+  }
+
+  def writeSegment(spark: SparkSession, dir: String,
+      bloom: BloomFilter): Unit = {
+    val fs = fsOf(spark, dir)
+    val seg = new org.apache.hadoop.fs.Path(
+      s"$dir/seg-${java.util.UUID.randomUUID()}.bf")
+    val out = fs.create(seg, true)
+    try bloom.writeTo(out) finally out.close()
+  }
+
+  /** Replace all segments with one covering `bloom`: new first, then
+    * drop the old — the set covers the store at every instant. */
+  def replaceAll(spark: SparkSession, dir: String,
+      bloom: BloomFilter): Unit = {
+    val old = segPaths(spark, dir)
+    writeSegment(spark, dir, bloom)
+    val fs = fsOf(spark, dir)
+    old.foreach(p => fs.delete(p, false))
+  }
+}

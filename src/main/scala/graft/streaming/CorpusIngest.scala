@@ -37,8 +37,20 @@ object CorpusIngest {
   }
 
   /** Merge one micro-batch into the canonical store. Returns the number
-    * of documents actually admitted. */
+    * of documents actually admitted.
+    *
+    * The per-batch store probe is BLOOM-BOUNDED (r7, the shared
+    * BloomSide discipline): each append writes a fingerprint bloom
+    * segment beside the store BEFORE its rows (superset at every
+    * instant — misses prove absence, false negatives cannot occur), so
+    * a batch of entirely fresh texts — the steady state — anti-joins
+    * against nothing and never reads a store byte; bloom-positive
+    * candidates reach an exact confirm over the store's fp column,
+    * pushed as IN literals below the threshold. A pre-bloom store gets
+    * one covering migration segment at its first bloom-era append and
+    * probes unbounded until then. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String): Long = {
+    val bloomDir = s"$store.bloom"
     val fingerprinted = batch
       .withColumn("fp", md5(col("text").cast("binary")))
     // within-batch dedup: EXACTLY ONE keeper row per fp. row_number (not
@@ -51,16 +63,50 @@ object CorpusIngest {
       .filter(col("rn") === 1)
       .drop("rn")
     val fresh =
-      if (storeExists(spark, store))
-        keepers.join(spark.read.parquet(store).select("fp"), Seq("fp"), "left_anti")
-      else keepers
+      if (!storeExists(spark, store)) keepers
+      else BloomSide.read(spark, bloomDir) match {
+        case Some(b) =>
+          val bc = spark.sparkContext.broadcast(b)
+          val might = udf((fp: String) => bc.value.mightContainString(fp))
+          val flagged = keepers.withColumn("__mc", might(col("fp")))
+            .localCheckpoint(true)
+          val maybe = flagged.filter(col("__mc")).drop("__mc")
+          val certain = flagged.filter(!col("__mc")).drop("__mc")
+          val candFps = maybe.select("fp").distinct().localCheckpoint(true)
+          val nCand = candFps.count()
+          if (nCand == 0) certain // store never read
+          else {
+            val storeFps = {
+              val s0 = spark.read.parquet(store).select("fp")
+              if (nCand <= BloomSide.IsinThreshold)
+                s0.filter(col("fp").isin(
+                  candFps.collect().map(_.getString(0)).toSeq: _*))
+              else s0.join(broadcast(candFps), Seq("fp"), "left_semi")
+            }
+            // unionByName: the USING join moved fp to the front
+            certain.unionByName(maybe.join(storeFps, Seq("fp"), "left_anti"))
+          }
+        case None => // pre-bloom store: unbounded exact probe
+          keepers.join(spark.read.parquet(store).select("fp"),
+            Seq("fp"), "left_anti")
+      }
     // materialize BEFORE appending: the plan reads the store's current
     // files; localCheckpoint pins the result so the append can't race
     // its own input listing
     val admitted = fresh.localCheckpoint(true)
     val n = admitted.count()
-    if (n > 0)
+    if (n > 0) {
+      // migration segment for a pre-bloom store, then this batch's own
+      // segment — both BEFORE the rows (superset invariant)
+      if (storeExists(spark, store) &&
+          BloomSide.segPaths(spark, bloomDir).isEmpty)
+        BloomSide.writeSegment(spark, bloomDir,
+          spark.read.parquet(store).select("fp")
+            .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+      BloomSide.writeSegment(spark, bloomDir,
+        admitted.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
       admitted.write.mode(SaveMode.Append).parquet(store)
+    }
     n
   }
 

@@ -42,12 +42,12 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * runs LAST so its batchId records only fully-admitted batches.
   *
   * Scale: the screens inherit their components' bounds — the gate is
-  * shuffle-free per-row arithmetic, the exact screen ships 16-byte
-  * fingerprints, the near-dup screen pays one df-cut + band equi-join
-  * against postings read off disk, the substring screen's store probe
-  * is bloom-pre-screened (zero store bytes for fresh batches), and the
-  * index writes only touched cells. Nothing in the composition adds a
-  * corpus-sized pass. */
+  * shuffle-free per-row arithmetic, the exact and substring screens
+  * are bloom-pre-screened (BloomSide: a batch of fresh text reads ZERO
+  * store bytes), the near-dup screen's postings/grams reads are
+  * bounded by the batch's band keys and candidate ids, and the index
+  * writes only touched cells. Nothing in the composition pays a
+  * corpus-sized pass per batch. */
 object IngestPipeline {
 
   /** Per-batch admission accounting (gate → screens → admitted). */
@@ -91,14 +91,36 @@ object IngestPipeline {
     val keepers = fped.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     val exactCross =
-      if (dirExists(spark, corpus))
-        keepers.join(
-            spark.read.parquet(corpus)
-              .select(col("fp"), col("doc_id").as("store_doc")),
-            Seq("fp"))
-          .filter(col("doc_id") =!= col("store_doc"))
-          .select("doc_id").distinct()
-      else keepers.select("doc_id").limit(0)
+      if (!dirExists(spark, corpus)) keepers.select("doc_id").limit(0)
+      else {
+        // bloom-bounded probe (BloomSide): a batch of fresh texts reads
+        // zero corpus bytes; candidates reach an exact (fp, doc_id)
+        // confirm so own-doc rows can be excluded
+        val keepFp = keepers.select("doc_id", "fp")
+        val cand = BloomSide.read(spark, s"$corpus.bloom") match {
+          case Some(b) =>
+            val bc = spark.sparkContext.broadcast(b)
+            val might = udf((fp: String) => bc.value.mightContainString(fp))
+            keepFp.filter(might(col("fp")))
+          case None => keepFp // pre-bloom store: unbounded probe
+        }
+        val candFps = cand.select("fp").distinct().localCheckpoint(true)
+        val nCand = candFps.count()
+        if (nCand == 0) keepers.select("doc_id").limit(0)
+        else {
+          val stored = {
+            val s0 = spark.read.parquet(corpus)
+              .select(col("fp"), col("doc_id").as("store_doc"))
+            if (nCand <= BloomSide.IsinThreshold)
+              s0.filter(col("fp").isin(
+                candFps.collect().map(_.getString(0)).toSeq: _*))
+            else s0.join(broadcast(candFps), Seq("fp"), "left_semi")
+          }
+          keepFp.join(stored, Seq("fp"))
+            .filter(col("doc_id") =!= col("store_doc"))
+            .select("doc_id").distinct()
+        }
+      }
     val docs1 = keepers.join(exactCross, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     val nExactRej = nGated - docs1.count()
@@ -143,8 +165,18 @@ object IngestPipeline {
             Seq("doc_id"), "left_anti")
         else survivors
       val freshPinned = freshDocs.localCheckpoint(true)
-      if (!freshPinned.isEmpty)
+      if (!freshPinned.isEmpty) {
+        // fp bloom segment BEFORE the rows (BloomSide superset
+        // invariant), with the pre-bloom migration segment if needed
+        if (dirExists(spark, corpus) &&
+            BloomSide.segPaths(spark, s"$corpus.bloom").isEmpty)
+          BloomSide.writeSegment(spark, s"$corpus.bloom",
+            spark.read.parquet(corpus).select("fp")
+              .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+        BloomSide.writeSegment(spark, s"$corpus.bloom",
+          freshPinned.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
         freshPinned.write.mode(SaveMode.Append).parquet(corpus)
+      }
       afterStage("corpus")
     }
 
@@ -172,21 +204,28 @@ object IngestPipeline {
     VectorIndex.compact(spark, indexDir(root))
     val live = corpusDir(root)
     val stage = s"$live.stage"
-    if (!StagedSwap.resume(spark, live, Seq(stage)) &&
-        dirExists(spark, live)) {
+    val swapped = StagedSwap.resume(spark, live, Seq(stage))
+    if (!swapped && dirExists(spark, live)) {
       StagedSwap.clearStale(spark, stage)
       graft.sources.CorpusSink.writeRangeLayout(
         spark.read.parquet(live), stage, "doc_id", nFiles)
       StagedSwap.commit(spark, live, stage)
     }
+    // rebuild the fp bloom to ONE covering segment — also sheds the
+    // superset slack erasure (`forget`) leaves behind
+    if (dirExists(spark, live))
+      BloomSide.replaceAll(spark, s"$live.bloom",
+        spark.read.parquet(live).select("fp")
+          .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
   }
 
   /** KEYED ERASURE across the composition — the right-to-erasure face
     * of the whole pipeline: purge the given doc_ids from the corpus
     * store, the near-dup artifact, and the substring store (staged
     * full rewrites — erasure is a rare, explicit, audited operation,
-    * so O(store) is the honest cost; the substring bloom is untouched
-    * and simply stays a superset, which the exact confirm absorbs),
+    * so O(store) is the honest cost; the side blooms are untouched
+    * and simply stay supersets, which the exact confirms absorb and
+    * compactAll's rebuild sheds),
     * and from the vector index via its own touched-cells-only forget.
     * The governance counters are NOT decremented: they hold additive
     * aggregates, no per-document content — a dataset card counts what

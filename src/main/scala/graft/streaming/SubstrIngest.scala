@@ -55,14 +55,9 @@ import org.apache.spark.util.sketch.BloomFilter
   * StagedSwap discipline. */
 object SubstrIngest {
 
-  /** Fixed bloom parameters — every segment must share them so
-    * segments merge (Spark's BloomFilter refuses incompatible merges).
-    * 2^17 expected hashes at 1e-2 fpp ≈ 160 KB per segment; size to
-    * the deployment's store (or range-shard the bloom beside the
-    * range-laid store) at 100 TB — the parameter is the knob, the
-    * superset-before-append ordering is the invariant. */
-  val BloomExpected: Long = 1L << 17
-  val BloomFpp: Double = 1e-2
+  /** Fixed bloom parameters — shared via BloomSide so segments merge. */
+  val BloomExpected: Long = BloomSide.Expected
+  val BloomFpp: Double = BloomSide.Fpp
 
   /** Candidate-hash count up to which the exact probe is pushed as
     * literals into the store scan (file/row-group skipping on the
@@ -76,45 +71,14 @@ object SubstrIngest {
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
-  private def hfs(spark: SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def bloomDir(store: String) = s"$store/bloom"
 
-  private def bloomSegs(spark: SparkSession,
-      store: String): Array[org.apache.hadoop.fs.Path] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$store/bloom")
-    val fs = hfs(spark, store)
-    if (!fs.exists(dir)) Array.empty
-    else fs.listStatus(dir).filter(_.getPath.getName.endsWith(".bf"))
-      .map(_.getPath)
-  }
-
-  /** Merge every bloom segment into one filter; None when no segment
-    * exists — callers then probe without a pre-screen (exact, just
-    * unbounded: the pre-bloom-store migration path). */
-  private def readBloom(spark: SparkSession, store: String): Option[BloomFilter] = {
-    val segs = bloomSegs(spark, store)
-    if (segs.isEmpty) return None
-    val fs = hfs(spark, store)
-    var merged: BloomFilter = null
-    segs.foreach { p =>
-      val in = fs.open(p)
-      try {
-        val b = BloomFilter.readFrom(in)
-        if (merged == null) merged = b else merged.mergeInPlace(b)
-      } finally in.close()
-    }
-    Option(merged)
-  }
+  private def readBloom(spark: SparkSession, store: String): Option[BloomFilter] =
+    BloomSide.read(spark, bloomDir(store))
 
   private def writeBloomSegment(spark: SparkSession, store: String,
-      bloom: BloomFilter): Unit = {
-    val fs = hfs(spark, store)
-    val seg = new org.apache.hadoop.fs.Path(
-      s"$store/bloom/seg-${java.util.UUID.randomUUID()}.bf")
-    val out = fs.create(seg, true)
-    try bloom.writeTo(out) finally out.close()
-  }
+      bloom: BloomFilter): Unit =
+    BloomSide.writeSegment(spark, bloomDir(store), bloom)
 
   /** ONE bounded store probe per batch: every stored (doc_id, h) row
     * whose hash appears in the pinned batch gram frame — EXACT and
@@ -214,7 +178,8 @@ object SubstrIngest {
       // MIGRATION: a pre-bloom store gets one full-store segment before
       // the first bloom-era append — partial bloom coverage would turn
       // the pre-screen into a false-negative source (missed duplicates)
-      if (dirExists(spark, live) && bloomSegs(spark, store).isEmpty)
+      if (dirExists(spark, live) &&
+          BloomSide.segPaths(spark, bloomDir(store)).isEmpty)
         writeBloomSegment(spark, store,
           spark.read.parquet(live).select("h")
             .stat.bloomFilter("h", BloomExpected, BloomFpp))
@@ -282,14 +247,11 @@ object SubstrIngest {
         spark.read.parquet(live), stage, "h", nFiles)
       StagedSwap.commit(spark, live, stage)
     }
-    // bloom rebuild: write the merged segment FIRST, then drop the old
-    // ones — at every instant the segment set covers the store
-    val old = bloomSegs(spark, store)
-    writeBloomSegment(spark, store,
+    // bloom rebuild: write the covering segment FIRST, then drop the
+    // old ones — at every instant the segment set covers the store
+    BloomSide.replaceAll(spark, bloomDir(store),
       spark.read.parquet(live).select("h").distinct()
         .stat.bloomFilter("h", BloomExpected, BloomFpp))
-    val fs = hfs(spark, store)
-    old.foreach(p => fs.delete(p, false))
   }
 
   /** Streaming entry: JSON documents directory → screened hash store. */

@@ -41,6 +41,33 @@ class CorpusIngestSpec extends SparkSpec {
       "keeper is the min doc_id")
   }
 
+  test("soak: per-batch cost stays flat as the store grows (the fp " +
+    "bloom keeps fresh batches off the store — r7), and a bloom-era " +
+    "store still rejects known texts exactly") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("canon-soak").toString + "/store"
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "10").toInt
+    val times = (0 until nBatches).map { b =>
+      val docs = (0 until 50)
+        .map(i => (b * 100L + i, s"text b$b i$i unique", "en", "s"))
+        .toDF("doc_id", "text", "lang", "source")
+      val t0 = System.nanoTime()
+      assert(CorpusIngest.mergeBatch(spark, docs, store) == 50L)
+      (System.nanoTime() - t0) / 1e9
+    }
+    info(s"per-batch sec: ${times.map(t => f"$t%.2f").mkString(", ")}")
+    val first = times.take(3).sorted.apply(1)
+    val last = times.takeRight(3).sorted.apply(1)
+    assert(last <= first * 3.0 + 0.5,
+      s"per-batch cost grew with the store: $first -> $last")
+    // exactness through the bloom path: a known text still drops, a
+    // bloom-false-positive-shaped fresh one is still admitted
+    val probe = Seq((90001L, "text b0 i0 unique", "en", "s"),
+      (90002L, "never seen before", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(CorpusIngest.mergeBatch(spark, probe, store) == 1L)
+  }
+
   test("watermark-horizon dedup: duplicates inside the horizon drop via " +
     "bounded state; a key aged out past the watermark is admitted again") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
