@@ -125,15 +125,26 @@ object IngestPipeline {
       .localCheckpoint(true)
     val nExactRej = nGated - docs1.count()
 
-    // 3. near-duplicate screen (cascaded: exact survivors only)
-    val nearRej = NearDupIngest.screenRejects(spark, docs1, nearDir(root), dfCap)
+    // 3. near-duplicate screen (cascaded: exact survivors only). The
+    // band signatures are derived ONCE and pinned — the screen and the
+    // admission below both consume them
+    val (grams1, post1) = {
+      val (g, p) = graft.operators.MinHashOps.bandPostings(
+        spark, docs1, cache = false)
+      (g.localCheckpoint(true), p.localCheckpoint(true))
+    }
+    val nearRej = NearDupIngest.screenRejects(spark, docs1, nearDir(root),
+        dfCap, batchSides = Some((grams1, post1)))
       .localCheckpoint(true)
     val nNearRej = nearRej.count()
     val docs2 = docs1.join(nearRej, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
-    // 4. exact-substring screen (cascaded again)
-    val substrRej = SubstrIngest.screen(spark, docs2, substrDir(root), k)
+    // 4. exact-substring screen (cascaded again) — one gram derivation
+    // + one store probe, shared with the admission
+    val substrProbe = SubstrIngest.probe(spark, docs2, substrDir(root), k)
+    val substrRej = SubstrIngest
+      .screenWith(spark, docs2, substrDir(root), k, substrProbe)
       .filter(col("reject")).select("doc_id").localCheckpoint(true)
     val nSubstrRej = substrRej.count()
     val survivors = docs2.join(substrRej, Seq("doc_id"), "left_anti")
@@ -143,9 +154,14 @@ object IngestPipeline {
     // 5. admissions — each independently idempotent; order is free
     // (replay-stable screens), corpus last is merely conventional
     if (nAdmitted > 0) {
-      NearDupIngest.admit(spark, survivors, nearDir(root))
+      val survivorIds = survivors.select("doc_id")
+      NearDupIngest.admit(spark, survivors, nearDir(root),
+        batchSides = Some((
+          grams1.join(survivorIds, Seq("doc_id"), "left_semi"),
+          post1.join(survivorIds, Seq("doc_id"), "left_semi"))))
       afterStage("neardup")
-      SubstrIngest.admit(spark, survivors, substrDir(root), k)
+      SubstrIngest.admit(spark, survivors, substrDir(root), k,
+        pre = Some(substrProbe))
       afterStage("substr")
       val vecs = survivors.withColumn("toks", TextOps.tokens)
         .select(col("doc_id").as("vec_id"),

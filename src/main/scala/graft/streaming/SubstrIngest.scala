@@ -197,17 +197,39 @@ object SubstrIngest {
 
   /** The ADMISSION half for PRE-SCREENED docs (the composed-pipeline
     * face, r6 verdict #5): append their distinct (doc_id, h) rows via
-    * the bounded probe's anti-join, bloom-before-rows. Returns docs
-    * actually appended. */
+    * the bounded probe's anti-join, bloom-before-rows. `pre` reuses a
+    * probe built over a SUPERSET batch (its pos rows are filtered to
+    * `docs`; extra storeHits rows belong to other doc ids and cannot
+    * match the (doc_id, h) anti-join). Returns docs actually appended. */
   def admit(spark: SparkSession, docs: DataFrame, store: String,
       k: Int = TextOps.SubstrK,
-      afterBloomWrite: () => Unit = () => ()): Long = {
-    val pos = TextOps.substrPosFrame(docs, k).localCheckpoint(true)
-    val storeHits = probeStore(spark, pos, store)
-    val fresh = pos.select("doc_id", "h").distinct()
+      afterBloomWrite: () => Unit = () => (),
+      pre: Option[BatchProbe] = None): Long = {
+    val (pos0, storeHits) = pre match {
+      case Some(p) =>
+        (p.pos.join(docs.select("doc_id"), Seq("doc_id"), "left_semi"),
+          p.storeHits)
+      case None =>
+        val p = TextOps.substrPosFrame(docs, k).localCheckpoint(true)
+        (p, probeStore(spark, p, store))
+    }
+    val fresh = pos0.select("doc_id", "h").distinct()
       .join(storeHits, Seq("doc_id", "h"), "left_anti")
       .localCheckpoint(true)
     appendFresh(spark, store, fresh, afterBloomWrite)
+  }
+
+  /** Pinned per-batch probe state — ONE gram derivation + ONE store
+    * probe serving both the screen and the admission (the composed
+    * pipeline runs them as separate stages and must not pay the md5
+    * transform or the store probe twice per batch). */
+  private[streaming] final case class BatchProbe(pos: DataFrame,
+      storeHits: DataFrame)
+
+  private[streaming] def probe(spark: SparkSession, batch: DataFrame,
+      store: String, k: Int = TextOps.SubstrK): BatchProbe = {
+    val pos = TextOps.substrPosFrame(batch, k).localCheckpoint(true)
+    BatchProbe(pos, probeStore(spark, pos, store))
   }
 
   /** Screen WITHOUT admitting — the report face (doc_id, n_tokens,
@@ -215,14 +237,17 @@ object SubstrIngest {
     * probe as mergeBatch (own-doc rows excluded), so replaying a batch
     * this store already absorbed reports the ORIGINAL verdicts. */
   def screen(spark: SparkSession, batch: DataFrame, store: String,
-      k: Int = TextOps.SubstrK): DataFrame = {
-    val pos = TextOps.substrPosFrame(batch, k).localCheckpoint(true)
+      k: Int = TextOps.SubstrK): DataFrame =
+    screenWith(spark, batch, store, k, probe(spark, batch, store, k))
+
+  private[streaming] def screenWith(spark: SparkSession, batch: DataFrame,
+      store: String, k: Int, pre: BatchProbe): DataFrame = {
+    val pos = pre.pos
     val batchMin = pos.groupBy("h").agg(min(col("doc_id")).as("mn"))
     val withinDup = pos.join(batchMin, "h")
       .filter(col("doc_id") > col("mn")).select("doc_id", "pos")
-    val storeHits = probeStore(spark, pos, store)
     val stats = TextOps.substrIslands(
-      withinDup.union(crossDupPos(pos, storeHits)).distinct(), k)
+      withinDup.union(crossDupPos(pos, pre.storeHits)).distinct(), k)
     batch.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .join(stats, Seq("doc_id"), "left")
