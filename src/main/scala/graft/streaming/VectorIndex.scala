@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * computes assignment in-session per query run; a production vector
   * search pays that once at INGEST and serves every query from disk.
   *
-  *   $store/centroids/      (cid, v, dot_self) — trained once, ≤k rows
-  *   $store/vectors/cell=N/ (vec_id, v, dot_self) — one row per
-  *                          vector, PARTITIONED BY ITS COARSE CELL
+  *   $store/centroids[@E]/      (cid, v, dot_self) — ≤k rows
+  *   $store/vectors[@E]/cell=N/ (vec_id, v, dot_self) — one row per
+  *                              vector, PARTITIONED BY ITS COARSE CELL
+  *   (@E = the serving epoch `retrain` blue/green-swaps; unversioned
+  *   names are the legacy epoch-less layout and keep working)
   *
   * The layout is the index: a search assigns its query to nprobe=2
   * cells and reads ONLY those `cell=` directories (file-source
@@ -41,8 +43,39 @@ object VectorIndex {
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(DoubleType))))
 
-  private def centDir(store: String) = s"$store/centroids"
-  private def vecDir(store: String) = s"$store/vectors"
+  /** EPOCH RESOLUTION — the blue/green layout `retrain` swaps between:
+    * an epoch-N index lives at `centroids@N` / `vectors@N`; a store
+    * with no epoch dirs uses the legacy unversioned names (epoch-less
+    * stores keep working, no migration). The COMMIT POINT of an epoch
+    * is the existence of its `vectors@N` directory — retrain renames
+    * `centroids@N` into place FIRST, so whenever vectors@N exists its
+    * centroids do too; the serving epoch is simply the highest N. A
+    * crash mid-retrain leaves only `.tmp`-suffixed dirs or a lower
+    * epoch serving — never a mixed centroid/assignment pair (a new
+    * quantizer over an old layout would silently probe wrong cells). */
+  private val EpochRe = "^vectors@(\\d+)$".r
+
+  private def epochOf(spark: SparkSession, store: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val ns = fs.listStatus(p).flatMap(s => s.getPath.getName match {
+      case EpochRe(n) => Some(n.toLong)
+      case _ => None
+    })
+    if (ns.isEmpty) None else Some(ns.max)
+  }
+
+  private def centDir(spark: SparkSession, store: String): String =
+    epochOf(spark, store) match {
+      case Some(n) => s"$store/centroids@$n"
+      case None => s"$store/centroids"
+    }
+  private def vecDir(spark: SparkSession, store: String): String =
+    epochOf(spark, store) match {
+      case Some(n) => s"$store/vectors@$n"
+      case None => s"$store/vectors"
+    }
 
   /** (vec_id, v double-view, ‖v‖²), zero-norm rows dropped — the same
     * normalized view the in-session ANN tier computes (uncached: ingest
@@ -62,19 +95,19 @@ object VectorIndex {
       k: Int = 16): Unit =
     normed(seed).orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cid"), col("v"), col("dot_self"))
-      .coalesce(1).write.mode("overwrite").parquet(centDir(store))
+      .coalesce(1).write.mode("overwrite").parquet(centDir(spark, store))
 
   /** The trained centroids as bounded driver state (≤k rows — the same
     * collect class as the in-session init). */
   private def centroids(spark: SparkSession,
       store: String): Seq[(Long, Seq[Double], Double)] =
-    spark.read.parquet(centDir(store))
+    spark.read.parquet(centDir(spark, store))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toIndexedSeq
 
   private def vectorsExist(spark: SparkSession, store: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(vecDir(store))
+    val p = new org.apache.hadoop.fs.Path(vecDir(spark, store))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p)
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -115,7 +148,7 @@ object VectorIndex {
       .collect().map(_.getLong(0)).toSeq
     val cur =
       if (vectorsExist(spark, store))
-        spark.read.parquet(vecDir(store))
+        spark.read.parquet(vecDir(spark, store))
           .filter(col("cell").isin(touched: _*))
           .select("vec_id")
           .localCheckpoint(true)
@@ -127,7 +160,7 @@ object VectorIndex {
     val applied = fresh.count()
     if (applied > 0)
       fresh.select("cell", "vec_id", "v", "dot_self")
-        .write.mode("append").partitionBy("cell").parquet(vecDir(store))
+        .write.mode("append").partitionBy("cell").parquet(vecDir(spark, store))
     applied
   }
 
@@ -168,7 +201,7 @@ object VectorIndex {
     // filter FIRST (on the inferred partition attribute — directory
     // pruning), then cast: partition-type inference reads `cell=N` as
     // int, but the served schema must match emb_ann_ivf's long
-    val cand = spark.read.parquet(vecDir(store))
+    val cand = spark.read.parquet(vecDir(spark, store))
       .filter(col("cell").isin(probed: _*))
       .withColumn("cell", col("cell").cast("long"))
     val sims = cand.join(broadcast(q), col("cell") === col("probe"))
@@ -189,20 +222,121 @@ object VectorIndex {
     * present) is resumed by the next merge/search. O(store), at the
     * operator's command. */
   def compact(spark: SparkSession, store: String): Unit = {
-    val stage = s"${vecDir(store)}.compact"
+    val stage = s"${vecDir(spark, store)}.compact"
     if (resumePendingCompact(spark, store)) return
     if (!vectorsExist(spark, store)) return
     StagedSwap.clearStale(spark, stage)
-    spark.read.parquet(vecDir(store))
+    spark.read.parquet(vecDir(spark, store))
       .withColumn("cell", col("cell").cast("long"))
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(stage)
-    StagedSwap.commit(spark, vecDir(store), stage)
+    StagedSwap.commit(spark, vecDir(spark, store), stage)
   }
 
+  /** Resume an interrupted compaction swap. Stages are located BY NAME
+    * (any `vectors[@N].compact` under the store), not through epoch
+    * resolution: the interrupted swap deleted the live dir, so the
+    * resolver cannot see the epoch whose stage is pending. */
   private def resumePendingCompact(spark: SparkSession,
-      store: String): Boolean =
-    StagedSwap.resume(spark, vecDir(store), Seq(s"${vecDir(store)}.compact"))
+      store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val stageRe = "^(vectors(?:@\\d+)?)\\.compact$".r
+    fs.listStatus(p).map(_.getPath.getName).foldLeft(false) {
+      case (acc, stageRe(live)) =>
+        StagedSwap.resume(spark, s"$store/$live",
+          Seq(s"$store/$live.compact")) || acc
+      case (acc, _) => acc
+    }
+  }
+
+  /** OFFLINE RETRAIN — rebuild the coarse quantizer from the store's
+    * OWN vectors and re-lay every assignment: the production answer to
+    * quantizer drift (the ingest-time centroids were seeded from the
+    * first batch; as the corpus grows the seed stops reflecting the
+    * distribution and cell sizes skew). Re-seeds from the k lowest
+    * vec_ids (the deterministic init every IVF face uses), refines
+    * with `lloydIters` mean-recentering steps (per-cell element-wise
+    * means — k×dim rows collected per step, the bounded-driver-state
+    * class; empty cells keep their previous centroid), then writes the
+    * NEXT EPOCH beside the serving one and commits blue/green: stage
+    * dirs under `.tmp` names, rename centroids@N+1 first, vectors@N+1
+    * last (the commit point), then best-effort delete of older epochs
+    * and strays. A crash at any point leaves the old epoch serving —
+    * never a new quantizer over an old layout. O(store) by nature (it
+    * rewrites the index); run at the compaction cadence, with ingest
+    * quiesced (the single-maintainer contract every offline op here
+    * shares). */
+  def retrain(spark: SparkSession, store: String, k: Int = 16,
+      lloydIters: Int = 1): Unit = {
+    resumePendingCompact(spark, store)
+    if (!vectorsExist(spark, store)) return
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = spark.read.parquet(vecDir(spark, store))
+      .select("vec_id", "v", "dot_self")
+      .localCheckpoint(true)
+    // deterministic seed, then bounded Lloyd refinement
+    var cents: Seq[(Long, Seq[Double], Double)] =
+      cur.orderBy("vec_id").limit(k)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .toIndexedSeq
+    for (_ <- 0 until lloydIters) {
+      val dim = cents.head._2.length
+      val means = cur
+        .withColumn("cell", graft.plans.GraftFunctions
+          .graftIvfAssign(spark, "v", cents)("cell"))
+        .filter(col("cell").isNotNull)
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg(col("x")).as("m"))
+        .collect() // ≤ k×dim rows — bounded driver state
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val v = new Array[Double](dim)
+          rows.foreach(r => v(r.getInt(1)) = r.getDouble(2))
+          cell -> v.toSeq
+        }
+      cents = cents.map { case (cid, oldV, oldD) =>
+        means.get(cid) match {
+          case Some(v) => (cid, v, v.map(x => x * x).sum)
+          case None => (cid, oldV, oldD) // empty cell: keep centroid
+        }
+      }
+    }
+    val next = epochOf(spark, store).getOrElse(0L) + 1L
+    val (cLive, xLive) = (s"$store/centroids@$next", s"$store/vectors@$next")
+    StagedSwap.clearStale(spark, s"$cLive.tmp")
+    StagedSwap.clearStale(spark, s"$xLive.tmp")
+    import spark.implicits._
+    cents.toDF("cid", "v", "dot_self")
+      .coalesce(1).write.parquet(s"$cLive.tmp")
+    cur.withColumn("cell", graft.plans.GraftFunctions
+        .graftIvfAssign(spark, "v", cents)("cell"))
+      .filter(col("cell").isNotNull)
+      .select("cell", "vec_id", "v", "dot_self")
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$xLive.tmp")
+    // a crashed earlier attempt may have orphaned centroids@next (its
+    // vectors never committed, or epochOf would have resolved past it);
+    // an orphan left in place would make the rename below a silent
+    // no-op and pair this run's assignment with stale centroids
+    fs.delete(new org.apache.hadoop.fs.Path(cLive), true)
+    // centroids first, vectors last = the commit point
+    fs.rename(new org.apache.hadoop.fs.Path(s"$cLive.tmp"),
+      new org.apache.hadoop.fs.Path(cLive))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$xLive.tmp"),
+      new org.apache.hadoop.fs.Path(xLive))
+    ()
+    // best-effort cleanup of superseded epochs / legacy dirs / strays
+    val keep = Set(s"centroids@$next", s"vectors@$next")
+    fs.listStatus(new org.apache.hadoop.fs.Path(store)).foreach { s =>
+      val n = s.getPath.getName
+      if (!keep(n) && (n.startsWith("centroids") || n.startsWith("vectors")))
+        fs.delete(s.getPath, true)
+    }
+  }
 
   /** KEYED DELETION — the right-to-erasure face for embeddings (a
     * vector IS derived personal data when the document was): purge the
@@ -229,7 +363,7 @@ object VectorIndex {
     // resumes the stage and serves the supposedly-erased vectors again
     resumePendingCompact(spark, store)
     if (!vectorsExist(spark, store)) return 0L
-    val all = spark.read.parquet(vecDir(store))
+    val all = spark.read.parquet(vecDir(spark, store))
     val touched = all.filter(col("vec_id").isin(ids: _*))
       .select("cell").distinct().collect()
       .map(_.get(0).toString.toLong).toSeq
@@ -243,13 +377,13 @@ object VectorIndex {
     kept.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell")
-      .parquet(vecDir(store))
+      .parquet(vecDir(spark, store))
     val present = kept.select("cell").distinct().collect()
       .map(_.get(0).toString.toLong).toSet
     val fs = new org.apache.hadoop.fs.Path(store)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(present).foreach { c =>
-      val d = new org.apache.hadoop.fs.Path(s"${vecDir(store)}/cell=$c")
+      val d = new org.apache.hadoop.fs.Path(s"${vecDir(spark, store)}/cell=$c")
       if (fs.exists(d)) fs.delete(d, true)
     }
     removed

@@ -178,6 +178,59 @@ class VectorIndexSpec extends SparkSpec {
       "the malformed row must not be indexed")
   }
 
+  test("retrain: blue/green epoch swap rebuilds the quantizer from the " +
+    "store's own vectors — ids preserved, serving continuous, ingest " +
+    "and compaction keep working in the new epoch, crash windows leave " +
+    "the old epoch serving") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("vidx9").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    VectorIndex.mergeBatch(spark, emb.limit(300), store)
+    val qs = emb.filter(col("vec_id") < 3)
+    def servedIds() = VectorIndex.search(spark, store, qs)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    def storedIds() = spark.read
+      .parquet(s"$store/${if (new java.io.File(s"$store/vectors").exists) "vectors" else "vectors@1"}")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val idsBefore = storedIds()
+    assert(servedIds().nonEmpty)
+
+    // crash window 1: stage dirs written, nothing renamed — simulate by
+    // planting stray .tmp dirs; the old epoch must keep serving and the
+    // next retrain must clear them
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$store/centroids@1.tmp"))
+    fs.mkdirs(new Path(s"$store/vectors@1.tmp"))
+    assert(servedIds().nonEmpty, "strays must not affect serving")
+
+    // crash window 2: centroids@1 renamed, vectors@1 not — old epoch
+    // still serves (the commit point is the vectors dir)
+    fs.mkdirs(new Path(s"$store/centroids@1"))
+    assert(servedIds().nonEmpty, "an uncommitted epoch must not serve")
+
+    VectorIndex.retrain(spark, store, lloydIters = 1)
+    assert(fs.exists(new Path(s"$store/vectors@1")), "epoch 1 not committed")
+    assert(!fs.exists(new Path(s"$store/vectors")), "legacy dirs not cleaned")
+    assert(!fs.exists(new Path(s"$store/vectors@1.tmp")), "strays not cleaned")
+    val after = spark.read.parquet(s"$store/vectors@1")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(after == idsBefore, "retrain lost or invented vectors")
+    val served = VectorIndex.search(spark, store, qs).collect()
+    assert(served.nonEmpty && served.forall(r => after.contains(r.getLong(2))))
+
+    // the new epoch is a live index: ingest into it, search finds it,
+    // compaction still swaps cleanly, a second retrain advances to @2
+    VectorIndex.mergeBatch(spark, emb.filter(col("vec_id").between(300, 339)), store)
+    assert(spark.read.parquet(s"$store/vectors@1")
+      .filter(col("vec_id") >= 300).count() > 0, "post-retrain ingest missed")
+    VectorIndex.compact(spark, store)
+    assert(servedIds().nonEmpty)
+    VectorIndex.retrain(spark, store, lloydIters = 0)
+    assert(fs.exists(new Path(s"$store/vectors@2")) &&
+      !fs.exists(new Path(s"$store/vectors@1")), "epoch did not advance")
+    assert(servedIds().nonEmpty)
+  }
+
   test("streaming maintain: a checkpointed file stream builds the same " +
     "index as one-shot ingest, across a restart") {
     import spark.implicits._
