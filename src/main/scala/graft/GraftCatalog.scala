@@ -70,7 +70,8 @@ object GraftCatalog {
     "events_overlap_theta", // per-partition sketch collect + driver algebra
     "vocab_unigram",      // EM training: seed + per-round usage collects
     "doc_unigram_segment", // trains (collects) the piece table first
-    "emb_hash_ann")       // collected coarse-centroid seed vectors
+    "emb_hash_ann",       // collected coarse-centroid seed vectors
+    "doc_ingest_cascade") // screen cascade: per-stage localCheckpoints
 
   /** Register library queries as temp views `graft_<name>` — the
     * operator surface behind plain `SELECT * FROM graft_doc_tfidf`.

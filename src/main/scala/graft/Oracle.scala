@@ -2310,6 +2310,118 @@ FROM a ORDER BY source""",
     // repeated literally.
     "doc_gopher_rules" -> gopherSql,
 
+    // Twin of streaming.IngestPipeline.cascade — the COMPOSED ingest
+    // re-derived end to end in SQL under the same empty-store
+    // semantics: whitespace normalization, the gopher gate (shared
+    // gopherSqlFrom over the normalized text), PII redaction in
+    // PiiPatterns order (interpolated from the one definition), the
+    // exact-fingerprint keeper (lowest doc_id per md5 of the redacted
+    // text), the minhash band screen over exact survivors (sig/band
+    // constants shared with dedup_minhash_lsh, df-cut cap mirrored,
+    // exact-Jaccard >= 0.5 = NearDupIngest.Threshold, the HIGHER id of
+    // every verified pair rejected regardless of the lower peer's own
+    // admission), and the positional 8-gram substring screen over near
+    // survivors (lower-id-peer convention — NOT substringSql's
+    // symmetric min!=max — islands with gap > 8, reject iff
+    // 2*dup_tokens > n_tokens). Each screen sees only the previous
+    // screen's survivors; the CASE settles each doc at its first
+    // rejecting stage.
+    "doc_ingest_cascade" -> {
+      import graft.operators.MinHashOps.{P, K, Bands, RowsPerBand, hashParams}
+      val Seq(em, ph, ip, id9) = graft.operators.TextOps.PiiPatterns.map(_._2)
+      val gid = "(CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % " + P + ")"
+      val sigElems = (0 until K).map { i =>
+        val (a, b) = hashParams(i)
+        s"list_min(list_transform(grams, g -> ($a * $gid + $b) % $P))"
+      }.mkString("[", ", ", "]")
+      val bandElems = (0 until Bands).map { b =>
+        (0 until RowsPerBand).foldLeft("0") { (acc, r) =>
+          s"(($acc * 1009 + sig[${b * RowsPerBand + r + 1}]) % $P)"
+        }
+      }.mkString("[", ", ", "]")
+      s"""WITH nrm AS (
+  SELECT doc_id, lang, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+  FROM documents),
+gp AS (SELECT doc_id FROM (${gopherSqlFrom("nrm")}) WHERE gopher_pass),
+red AS (
+  SELECT n.doc_id, n.lang,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      n.text, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
+      '$ip', '<IP>', 'g'), '$id9', '<ID>', 'g') AS text
+  FROM nrm n JOIN gp USING (doc_id)),
+ek AS (
+  SELECT doc_id, lang, text,
+    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM red),
+k1 AS (SELECT doc_id, lang, text FROM ek WHERE rn = 1),
+dg AS (SELECT doc_id, lang, $gramsExpr AS grams FROM k1),
+d2 AS (SELECT * FROM dg WHERE len(grams) > 0),
+sigs AS (SELECT doc_id, lang, grams, $sigElems AS sig FROM d2),
+bands AS (SELECT doc_id, lang, $bandElems AS bands FROM sigs),
+e0 AS (SELECT doc_id, lang, unnest(bands) AS band_hash,
+        generate_subscripts(bands, 1) AS band_idx FROM bands),
+e AS (
+  -- df-cut twin (TextOps.dfCut; the two caps MUST move together)
+  SELECT doc_id, lang, band_hash, band_idx FROM e0
+  QUALIFY count(*) OVER (PARTITION BY lang, band_idx, band_hash) <= 1000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM e a JOIN e b ON a.lang = b.lang AND a.band_idx = b.band_idx
+    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+nrj AS (
+  SELECT DISTINCT c.d2 AS doc_id FROM cand c
+  JOIN d2 g1 ON g1.doc_id = c.d1 JOIN d2 g2 ON g2.doc_id = c.d2
+  WHERE CAST(len(list_intersect(g1.grams, g2.grams)) AS DOUBLE)
+    / (len(g1.grams) + len(g2.grams) - len(list_intersect(g1.grams, g2.grams))) >= 5e-1),
+ns AS (SELECT k1.doc_id, k1.text FROM k1 LEFT JOIN nrj USING (doc_id)
+  WHERE nrj.doc_id IS NULL),
+st AS (
+  SELECT doc_id, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
+  FROM ns),
+st2 AS (SELECT doc_id, toks, n_tokens,
+  CAST(greatest(n_tokens - 7, 0) AS BIGINT) AS n_grams FROM st),
+sp0 AS (
+  SELECT doc_id, n_grams,
+    list_transform(range(1, CAST(n_grams AS INT) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS hs
+  FROM st2),
+sp1 AS (SELECT doc_id, unnest(range(1, CAST(n_grams AS INT) + 1)) AS i,
+  unnest(hs) AS h FROM sp0),
+sp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM sp1),
+smin AS (SELECT h, min(doc_id) AS mn FROM sp GROUP BY h),
+sdp AS (SELECT sp.doc_id, sp.pos FROM sp JOIN smin USING (h)
+  WHERE sp.doc_id > smin.mn),
+sisl AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+      THEN 1 ELSE 0 END AS brk
+  FROM sdp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+sisl2 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM sisl),
+ssp AS (SELECT doc_id, island, MIN(pos) AS p0, MAX(pos) AS p1
+  FROM sisl2 GROUP BY 1, 2),
+sd AS (SELECT doc_id, CAST(SUM(p1 - p0 + 8) AS BIGINT) AS dup_tokens
+  FROM ssp GROUP BY 1),
+srj AS (
+  SELECT st.doc_id FROM st JOIN sd USING (doc_id)
+  WHERE sd.dup_tokens * 2 > st.n_tokens)
+SELECT d.doc_id,
+  CASE WHEN ek.doc_id IS NULL THEN 'gate'
+       WHEN ek.rn > 1 THEN 'exact'
+       WHEN nrj.doc_id IS NOT NULL THEN 'near'
+       WHEN srj.doc_id IS NOT NULL THEN 'substr'
+       ELSE 'admitted' END AS stage
+FROM documents d
+LEFT JOIN ek ON ek.doc_id = d.doc_id
+LEFT JOIN nrj ON nrj.doc_id = d.doc_id
+LEFT JOIN srj ON srj.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+    },
+
     // Twin of TextOps.mixSample: alpha=0.5 temperature mixture with the
     // sqrt quantized to the 2^20 integer grid so the denominator is an
     // order-independent INTEGER sum; one fixed-order division per
@@ -2483,12 +2595,15 @@ GROUP BY doc_id ORDER BY doc_id"""
 
   // Twin of TextOps.gopherRules: mean word length from len(text)
   // (single-space-joined corpus), per-word regexp/stop-set counts,
-  // thresholds repeated literally. Shared with doc_training_set.
-  private lazy val gopherSql: String =
+  // thresholds repeated literally. Shared with doc_training_set and —
+  // over the whitespace-normalized source — the ingest-cascade twin.
+  private lazy val gopherSql: String = gopherSqlFrom("documents")
+
+  private def gopherSqlFrom(src: String): String =
     s"""WITH t AS (
   SELECT doc_id, text, $tokensExpr AS toks,
     CAST(len($tokensExpr) AS BIGINT) AS n_words
-  FROM documents),
+  FROM $src),
 s AS (
   SELECT doc_id, n_words,
     CAST(len(text) - n_words + 1 AS DOUBLE) / n_words AS mean_wl,

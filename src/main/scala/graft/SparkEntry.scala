@@ -118,6 +118,9 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),
     "corpus_report" -> ((s, d) => TextOps.corpusReport(s, d)),
+    // the composed ingest's batch face: gate → exact → near → substring
+    // cascade, per-doc settling stage (streaming.IngestPipeline)
+    "doc_ingest_cascade" -> ((s, d) => streaming.IngestPipeline.cascade(s, d)),
     "doc_length_histogram" -> ((s, d) => TextOps.lengthHistogram(s, d)),
     "doc_mix_sample" -> ((s, d) => TextOps.mixSample(s, d)),
     "doc_token_budget" -> ((s, d) => TextOps.tokenBudget(s, d)),

@@ -67,21 +67,32 @@ object IngestPipeline {
   def indexDir(root: String): String = s"$root/index"
   def statsFile(root: String): String = s"$root/stats.tsv"
 
-  /** Run one micro-batch through the full DAG. `afterStage` fires after
-    * each store commits ("neardup", "substr", "index", "corpus",
-    * "stats") — the crash-injection seam for the spec's matrix. */
-  def mergeBatch(spark: SparkSession, batch: DataFrame, root: String,
-      batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
-      afterStage: String => Unit = _ => ()): BatchReport = {
+  /** The pinned per-stage frames of ONE batch's screen cascade — the
+    * single derivation both faces consume: `mergeBatch` (streaming,
+    * real stores) adds the admissions; `cascade` (the oracle-checked
+    * batch query) reads the stage memberships. Every frame is
+    * localCheckpointed, so stage counts re-read pinned partitions. */
+  private[streaming] final case class ScreenState(
+      gated: DataFrame,    // gate survivors
+      docs1: DataFrame,    // + exact-screen survivors
+      nearRej: DataFrame,  // (doc_id) near-dup rejections among docs1
+      docs2: DataFrame,    // + near-screen survivors
+      substrRej: DataFrame, // (doc_id) substring rejections among docs2
+      survivors: DataFrame, // the final admitted set
+      grams: DataFrame, postings: DataFrame,
+      substrProbe: SubstrIngest.BatchProbe)
+
+  /** Gate → exact → near-dup → substring, each screen seeing only the
+    * previous screen's survivors, every store probe own-doc-excluded
+    * (replay stability). Against ABSENT stores this degrades to the
+    * pure within-batch semantics the `doc_ingest_cascade` oracle
+    * re-derives in SQL. */
+  private def runScreens(spark: SparkSession, pinned: DataFrame,
+      root: String, dfCap: Int, k: Int): ScreenState = {
     val corpus = corpusDir(root)
-    // the batch feeds the gate AND the governance rollup — pin it once
-    val pinned = batch.localCheckpoint(true)
-    val nIn = pinned.count()
-    if (nIn == 0) return BatchReport(0, 0, 0, 0, 0, 0)
 
     // 1. stateless quality/PII gate
     val gated = CorpusIngest.gate(pinned).localCheckpoint(true)
-    val nGated = gated.count()
 
     // 2. exact-text screen: one keeper per fingerprint within the batch
     // (lowest doc_id), plus any store fingerprint held by a DIFFERENT
@@ -123,11 +134,10 @@ object IngestPipeline {
       }
     val docs1 = keepers.join(exactCross, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
-    val nExactRej = nGated - docs1.count()
 
     // 3. near-duplicate screen (cascaded: exact survivors only). The
     // band signatures are derived ONCE and pinned — the screen and the
-    // admission below both consume them
+    // admission both consume them
     val (grams1, post1) = {
       val (g, p) = graft.operators.MinHashOps.bandPostings(
         spark, docs1, cache = false)
@@ -136,7 +146,6 @@ object IngestPipeline {
     val nearRej = NearDupIngest.screenRejects(spark, docs1, nearDir(root),
         dfCap, batchSides = Some((grams1, post1)))
       .localCheckpoint(true)
-    val nNearRej = nearRej.count()
     val docs2 = docs1.join(nearRej, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
@@ -146,9 +155,31 @@ object IngestPipeline {
     val substrRej = SubstrIngest
       .screenWith(spark, docs2, substrDir(root), k, substrProbe)
       .filter(col("reject")).select("doc_id").localCheckpoint(true)
-    val nSubstrRej = substrRej.count()
     val survivors = docs2.join(substrRej, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    ScreenState(gated, docs1, nearRej, docs2, substrRej, survivors,
+      grams1, post1, substrProbe)
+  }
+
+  /** Run one micro-batch through the full DAG. `afterStage` fires after
+    * each store commits ("neardup", "substr", "index", "corpus",
+    * "stats") — the crash-injection seam for the spec's matrix. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, root: String,
+      batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
+      afterStage: String => Unit = _ => ()): BatchReport = {
+    val corpus = corpusDir(root)
+    // the batch feeds the gate AND the governance rollup — pin it once
+    val pinned = batch.localCheckpoint(true)
+    val nIn = pinned.count()
+    if (nIn == 0) return BatchReport(0, 0, 0, 0, 0, 0)
+
+    val scr = runScreens(spark, pinned, root, dfCap, k)
+    val nGated = scr.gated.count()
+    val nExactRej = nGated - scr.docs1.count()
+    val nNearRej = scr.nearRej.count()
+    val nSubstrRej = scr.substrRej.count()
+    val (grams1, post1) = (scr.grams, scr.postings)
+    val (substrProbe, survivors) = (scr.substrProbe, scr.survivors)
     val nAdmitted = survivors.count()
 
     // 5. admissions — each independently idempotent; order is free
@@ -204,6 +235,72 @@ object IngestPipeline {
     afterStage("stats")
 
     BatchReport(nIn, nIn - nGated, nExactRej, nNearRej, nSubstrRej, nAdmitted)
+  }
+
+  /** BATCH face of the composed ingest — the `doc_ingest_cascade`
+    * query: the documents table fed through the SAME screen cascade as
+    * one `mergeBatch` micro-batch against EMPTY stores, reporting per
+    * document which stage settled it: 'gate' (failed the quality
+    * gate), 'exact' (an exact-text duplicate of a lower-id gate
+    * survivor), 'near' (near-duplicate of a lower-id exact survivor,
+    * Jaccard ≥ 0.5 on banded-LSH candidates), 'substr' (more than half
+    * its tokens covered by 8-gram spans a lower-id near survivor also
+    * holds), or 'admitted'.
+    *
+    * This is the one place the COMPOSITION itself is oracle-checked:
+    * the DuckDB twin re-derives the full cascade — gate thresholds,
+    * redaction, fingerprint keeper, minhash bands with the df-cut,
+    * exact-Jaccard verify, positional-gram islands — independently in
+    * SQL, so the stage a document lands in (not just each screen in
+    * isolation) is pinned bit-exact. IngestPipelineSpec additionally
+    * pins this frame against a real `mergeBatch` run's BatchReport and
+    * admitted store content (empty-store parity by construction:
+    * `runScreens` is the shared derivation).
+    *
+    * Scale: inherits each screen's bounds — no store exists, so the
+    * only pair work is the banded within-batch sweep (df-cut capped)
+    * and the substring hash groups (bounded two-long aggregate).
+    *
+    * Like the near-dup labels (TextOps.nearDupLabels), the stage frame
+    * is a CORPUS-LEVEL release decision — a pure function of (session,
+    * dir) — so it is memoized per (session, dir): the cascade's four
+    * screen derivations (signatures, positional grams, pair sweeps)
+    * run once per corpus state, not once per consumer/rep. The frame
+    * is stage-pinned (localCheckpoint) inside cascadeFrame, so the
+    * memo holds materialized blocks; unpersistAll clears it with the
+    * rest of the artifact state. */
+  def cascade(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.memo(
+      s"ingest-cascade:${System.identityHashCode(spark)}:$dir") {
+      cascadeFrame(spark, graft.Tables.documentsPar(spark, dir)
+        .select("doc_id", "lang", "source", "text"))
+        .localCheckpoint(true)
+    }.orderBy("doc_id")
+
+  private[streaming] def cascadeFrame(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    val pinned = docs.localCheckpoint(true)
+    // stores under a path that never exists (the screens only probe,
+    // never create): every cross-store probe degrades to the pure
+    // within-batch screen
+    val scr = runScreens(spark, pinned, "/graft-absent-ingest-root",
+      TextOps.DfCap, TextOps.SubstrK)
+    pinned.select("doc_id")
+      .join(scr.gated.select(col("doc_id"), lit(true).as("g")),
+        Seq("doc_id"), "left")
+      .join(scr.docs1.select(col("doc_id"), lit(true).as("k")),
+        Seq("doc_id"), "left")
+      .join(scr.nearRej.select(col("doc_id"), lit(true).as("nr")),
+        Seq("doc_id"), "left")
+      .join(scr.substrRej.select(col("doc_id"), lit(true).as("sr")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("g").isNull, lit("gate"))
+          .when(col("k").isNull, lit("exact"))
+          .when(col("nr").isNotNull, lit("near"))
+          .when(col("sr").isNotNull, lit("substr"))
+          .otherwise(lit("admitted")).as("stage"))
+      .orderBy("doc_id")
   }
 
   /** Compact every store the pipeline maintains — the one-call

@@ -101,6 +101,26 @@ class IngestPipelineSpec extends SparkSpec {
       s"search served non-corpus ids: ${served.toSeq}")
   }
 
+  test("batch face parity: doc_ingest_cascade's stage frame agrees " +
+    "with a real mergeBatch run — per-stage counts match the " +
+    "BatchReport and the 'admitted' rows are exactly the corpus store") {
+    val stages = IngestPipeline.cascadeFrame(spark, b1)
+      .as[(Long, String)].collect().toMap
+    assert(stages.size == 7, s"one row per input doc: $stages")
+    val n = stages.values.groupBy(identity).view.mapValues(_.size).toMap
+    val root = Files.createTempDirectory("pipe7").toString + "/p"
+    val r = IngestPipeline.mergeBatch(spark, b1, root, batchId = 0L)
+    assert(r == IngestPipeline.BatchReport(7,
+      n.getOrElse("gate", 0).toLong, n.getOrElse("exact", 0).toLong,
+      n.getOrElse("near", 0).toLong, n.getOrElse("substr", 0).toLong,
+      n.getOrElse("admitted", 0).toLong),
+      s"cascade stages $n vs mergeBatch $r")
+    val admittedIds = stages.collect {
+      case (id, "admitted") => id }.toSeq.sorted
+    assert(admittedIds == corpusIds(root),
+      s"cascade admitted $admittedIds vs corpus ${corpusIds(root)}")
+  }
+
   test("crash matrix: a failure after EVERY stage converges on replay " +
     "to the crash-free stores (same batchId, as streaming replays)") {
     val base = Files.createTempDirectory("pipe2").toString
