@@ -16,7 +16,9 @@ import org.apache.spark.sql.SparkSession
   *    and round-over-round comparisons no longer confound warmup
   *    protocol with plan changes). Since round 7 the pass runs
   *    CONCURRENTLY (r6 verdict #3) — cold_value is the phase
-  *    wall-clock, cold_sum the serial equivalent. The warm medians
+  *    wall-clock; cold_sum adds up per-query submission-to-finish
+  *    spans measured UNDER that concurrency (queueing included), so
+  *    it upper-bounds — it is not — a serial cold total. The warm medians
   *    that follow measure steady state, the production regime where
   *    artifacts are materialized once;
   *  - a query that throws is recorded in an "errors" map (name → message)
@@ -47,9 +49,12 @@ object Bench {
     // one session lets Spark's scheduler overlap them. `cold_value` is
     // therefore the PHASE WALL-CLOCK — time from a fresh JVM until
     // every query has run once, the number an operator actually waits —
-    // with the serial-equivalent sum reported beside it as `cold_sum`;
-    // per-query cold entries overlap under concurrency and measure
-    // each query's own submission-to-finish span. Shared memo builds
+    // with the per-query spans summed beside it as `cold_sum`. Those
+    // spans are measured UNDER the concurrency — they include time
+    // queued behind the other pool entries' work — so cold_sum is an
+    // UPPER BOUND on (not an estimate of) what a serial cold pass
+    // would total; compare serial history against cold_value's
+    // pre-r7 serial recordings, never against cold_sum. Shared memo builds
     // racing (TrieMap getOrElseUpdate may double-evaluate) waste work,
     // never correctness — one winner is kept. (SPARK_GRAFT_WARMUP=0
     // skips the pass; warm reps then start cold and cold_* report -1.)
@@ -107,7 +112,8 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // cold_value = concurrent-phase wall; cold_sum = serial equivalent
+    // cold_value = concurrent-phase wall; cold_sum = contended-span sum
+    // (an upper bound on a serial cold pass, see above)
     val coldTotal = if (cold.isEmpty) -1.0 else coldWall
     val coldSum = if (cold.isEmpty) -1.0 else cold.values.filter(_ >= 0).sum
     // field order matters: the driver keeps only the TAIL of the output

@@ -50,7 +50,6 @@ object CorpusIngest {
     * one covering migration segment at its first bloom-era append and
     * probes unbounded until then. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String): Long = {
-    val bloomDir = s"$store.bloom"
     val fingerprinted = batch
       .withColumn("fp", md5(col("text").cast("binary")))
     // within-batch dedup: EXACTLY ONE keeper row per fp. row_number (not
@@ -62,52 +61,69 @@ object CorpusIngest {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-    val fresh =
-      if (!storeExists(spark, store)) keepers
-      else BloomSide.read(spark, bloomDir) match {
-        case Some(b) =>
-          val bc = spark.sparkContext.broadcast(b)
-          val might = udf((fp: String) => bc.value.mightContainString(fp))
-          val flagged = keepers.withColumn("__mc", might(col("fp")))
-            .localCheckpoint(true)
-          val maybe = flagged.filter(col("__mc")).drop("__mc")
-          val certain = flagged.filter(!col("__mc")).drop("__mc")
-          val candFps = maybe.select("fp").distinct().localCheckpoint(true)
-          val nCand = candFps.count()
-          if (nCand == 0) certain // store never read
-          else {
-            val storeFps = {
-              val s0 = spark.read.parquet(store).select("fp")
-              if (nCand <= BloomSide.IsinThreshold)
-                s0.filter(col("fp").isin(
-                  candFps.collect().map(_.getString(0)).toSeq: _*))
-              else s0.join(broadcast(candFps), Seq("fp"), "left_semi")
-            }
-            // unionByName: the USING join moved fp to the front
-            certain.unionByName(maybe.join(storeFps, Seq("fp"), "left_anti"))
-          }
-        case None => // pre-bloom store: unbounded exact probe
-          keepers.join(spark.read.parquet(store).select("fp"),
-            Seq("fp"), "left_anti")
-      }
+      .localCheckpoint(true) // the probe and the anti-join both consume it
+    val hits = probeStore(spark, keepers, store)
     // materialize BEFORE appending: the plan reads the store's current
     // files; localCheckpoint pins the result so the append can't race
     // its own input listing
-    val admitted = fresh.localCheckpoint(true)
+    val admitted = keepers
+      .join(hits.select("fp").distinct(), Seq("fp"), "left_anti")
+      .localCheckpoint(true)
     val n = admitted.count()
-    if (n > 0) {
-      // migration segment for a pre-bloom store, then this batch's own
-      // segment — both BEFORE the rows (superset invariant)
-      if (storeExists(spark, store) &&
-          BloomSide.segPaths(spark, bloomDir).isEmpty)
-        BloomSide.writeSegment(spark, bloomDir,
-          spark.read.parquet(store).select("fp")
-            .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
-      BloomSide.writeSegment(spark, bloomDir,
-        admitted.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
-      admitted.write.mode(SaveMode.Append).parquet(store)
-    }
+    if (n > 0) appendFresh(spark, store, admitted)
     n
+  }
+
+  /** ONE bounded store probe per batch — the SubstrIngest.probeStore
+    * discipline applied to the exact tier, shared by `mergeBatch` and
+    * the composed pipeline's exact screen: every stored (fp, doc_id)
+    * row whose fingerprint appears among `keepers` — EXACT and
+    * COMPLETE for the batch's fps (the bloom can only over-select), so
+    * it serves both the cross screen (whose caller excludes own-doc
+    * rows) and the append's anti-join. Empty frame — zero store bytes
+    * read — when the bloom clears the whole batch. */
+  private[streaming] def probeStore(spark: SparkSession, keepers: DataFrame,
+      store: String): DataFrame = {
+    val empty = keepers.select(col("fp"), col("doc_id").as("store_doc"))
+      .limit(0).localCheckpoint(true)
+    if (!storeExists(spark, store)) return empty
+    val batchFp0 = keepers.select("fp").distinct()
+    val batchFp = BloomSide.read(spark, s"$store.bloom") match {
+      case Some(b) =>
+        val bc = spark.sparkContext.broadcast(b)
+        val might = udf((fp: String) => bc.value.mightContainString(fp))
+        batchFp0.filter(might(col("fp")))
+      case None => batchFp0 // pre-bloom store: no pre-screen
+    }
+    val cand = batchFp.localCheckpoint(true)
+    val nCand = cand.count()
+    if (nCand == 0) return empty // fresh batch: store never read
+    val s0 = spark.read.parquet(store)
+      .select(col("fp"), col("doc_id").as("store_doc"))
+    val hits =
+      if (nCand <= BloomSide.IsinThreshold)
+        s0.filter(col("fp").isin(
+          cand.collect().map(_.getString(0)).toSeq: _*))
+      else s0.join(broadcast(cand), Seq("fp"), "left_semi")
+    hits.localCheckpoint(true)
+  }
+
+  /** The shared append tail (bloom-before-rows, with the pre-bloom
+    * migration segment — the superset invariant): `admitted` must
+    * already be anti-joined against the store and PINNED, so the
+    * append cannot race its own input listing. Shared by `mergeBatch`
+    * and the composed pipeline's corpus admission. */
+  private[streaming] def appendFresh(spark: SparkSession, store: String,
+      admitted: DataFrame): Unit = {
+    val bloomDir = s"$store.bloom"
+    if (storeExists(spark, store) &&
+        BloomSide.segPaths(spark, bloomDir).isEmpty)
+      BloomSide.writeSegment(spark, bloomDir,
+        spark.read.parquet(store).select("fp")
+          .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+    BloomSide.writeSegment(spark, bloomDir,
+      admitted.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+    admitted.write.mode(SaveMode.Append).parquet(store)
   }
 
   val timedDocSchema: StructType = docSchema.add("ts", TimestampType)

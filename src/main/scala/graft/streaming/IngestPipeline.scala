@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.TextOps
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -90,48 +90,32 @@ object IngestPipeline {
   private def runScreens(spark: SparkSession, pinned: DataFrame,
       root: String, dfCap: Int, k: Int): ScreenState = {
     val corpus = corpusDir(root)
+    // resume an interrupted compactAll/forget swap of the corpus store
+    // BEFORE the existence probes below (StagedSwap's contract) — a
+    // mid-swap corpus would otherwise read as absent: the exact screen
+    // degrades, duplicates are admitted, and the recreated live dir
+    // would strand (then lose, at the next clearStale) the only copy.
+    // The near-dup and substring components resume their own stages.
+    StagedSwap.resume(spark, corpus, Seq(s"$corpus.stage", s"$corpus.forget"))
 
     // 1. stateless quality/PII gate
     val gated = CorpusIngest.gate(pinned).localCheckpoint(true)
 
     // 2. exact-text screen: one keeper per fingerprint within the batch
     // (lowest doc_id), plus any store fingerprint held by a DIFFERENT
-    // doc_id (own-doc exclusion — replay stability)
+    // doc_id (own-doc exclusion — replay stability). The store probe is
+    // CorpusIngest.probeStore — the same bloom-bounded probe the
+    // standalone maintainer uses (a batch of fresh texts reads zero
+    // corpus bytes).
     val fped = gated.withColumn("fp", md5(col("text").cast("binary")))
     val w = Window.partitionBy("fp").orderBy("doc_id")
     val keepers = fped.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-    val exactCross =
-      if (!dirExists(spark, corpus)) keepers.select("doc_id").limit(0)
-      else {
-        // bloom-bounded probe (BloomSide): a batch of fresh texts reads
-        // zero corpus bytes; candidates reach an exact (fp, doc_id)
-        // confirm so own-doc rows can be excluded
-        val keepFp = keepers.select("doc_id", "fp")
-        val cand = BloomSide.read(spark, s"$corpus.bloom") match {
-          case Some(b) =>
-            val bc = spark.sparkContext.broadcast(b)
-            val might = udf((fp: String) => bc.value.mightContainString(fp))
-            keepFp.filter(might(col("fp")))
-          case None => keepFp // pre-bloom store: unbounded probe
-        }
-        val candFps = cand.select("fp").distinct().localCheckpoint(true)
-        val nCand = candFps.count()
-        if (nCand == 0) keepers.select("doc_id").limit(0)
-        else {
-          val stored = {
-            val s0 = spark.read.parquet(corpus)
-              .select(col("fp"), col("doc_id").as("store_doc"))
-            if (nCand <= BloomSide.IsinThreshold)
-              s0.filter(col("fp").isin(
-                candFps.collect().map(_.getString(0)).toSeq: _*))
-            else s0.join(broadcast(candFps), Seq("fp"), "left_semi")
-          }
-          keepFp.join(stored, Seq("fp"))
-            .filter(col("doc_id") =!= col("store_doc"))
-            .select("doc_id").distinct()
-        }
-      }
+    val keepFp = keepers.select("doc_id", "fp")
+    val exactCross = keepFp
+      .join(CorpusIngest.probeStore(spark, keepFp, corpus), Seq("fp"))
+      .filter(col("doc_id") =!= col("store_doc"))
+      .select("doc_id").distinct()
     val docs1 = keepers.join(exactCross, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
 
@@ -200,8 +184,11 @@ object IngestPipeline {
             .cast("array<double>").as("embedding"))
       // first non-empty survivor batch seeds the coarse quantizer (the
       // deterministic lowest-id init every IVF face uses); training is
-      // an idempotent overwrite, so a crash right after it replays fine
-      if (!dirExists(spark, s"${indexDir(root)}/centroids"))
+      // an idempotent overwrite, so a crash right after it replays
+      // fine. The probe resolves through the EPOCH layout (isTrained):
+      // a legacy-path dirExists here would re-train every batch after
+      // a retrain swap, pairing fresh centroids with the old layout
+      if (!VectorIndex.isTrained(spark, indexDir(root)))
         VectorIndex.train(spark, vecs, indexDir(root))
       VectorIndex.mergeBatch(spark, vecs, indexDir(root))
       afterStage("index")
@@ -212,18 +199,10 @@ object IngestPipeline {
             Seq("doc_id"), "left_anti")
         else survivors
       val freshPinned = freshDocs.localCheckpoint(true)
-      if (!freshPinned.isEmpty) {
-        // fp bloom segment BEFORE the rows (BloomSide superset
-        // invariant), with the pre-bloom migration segment if needed
-        if (dirExists(spark, corpus) &&
-            BloomSide.segPaths(spark, s"$corpus.bloom").isEmpty)
-          BloomSide.writeSegment(spark, s"$corpus.bloom",
-            spark.read.parquet(corpus).select("fp")
-              .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
-        BloomSide.writeSegment(spark, s"$corpus.bloom",
-          freshPinned.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
-        freshPinned.write.mode(SaveMode.Append).parquet(corpus)
-      }
+      // shared append tail: fp bloom segment BEFORE the rows (BloomSide
+      // superset invariant), with the pre-bloom migration segment
+      if (!freshPinned.isEmpty)
+        CorpusIngest.appendFresh(spark, corpus, freshPinned)
       afterStage("corpus")
     }
 
@@ -317,7 +296,7 @@ object IngestPipeline {
     VectorIndex.compact(spark, indexDir(root))
     val live = corpusDir(root)
     val stage = s"$live.stage"
-    val swapped = StagedSwap.resume(spark, live, Seq(stage))
+    val swapped = StagedSwap.resume(spark, live, Seq(stage, s"$live.forget"))
     if (!swapped && dirExists(spark, live)) {
       StagedSwap.clearStale(spark, stage)
       graft.sources.CorpusSink.writeRangeLayout(

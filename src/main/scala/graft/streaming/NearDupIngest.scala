@@ -32,12 +32,25 @@ object NearDupIngest {
     fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Resume an interrupted stage→live swap (compactArtifact's `.tmp`,
+    * the composed pipeline's `.forget`) BEFORE any live-dir existence
+    * probe — StagedSwap's contract: probing first silently no-ops on a
+    * mid-swap artifact, the cross screen degrades to within-batch, and
+    * a later stale-stage delete would drop the only copy. */
+  private def resumeSwaps(spark: SparkSession, artifact: String): Unit =
+    for (sub <- Seq("grams", "postings")) {
+      val live = s"$artifact/$sub"
+      StagedSwap.resume(spark, live, Seq(s"$live.tmp", s"$live.forget"))
+    }
+
   /** Both halves present — the only state in which the cross-screen may
     * read the artifact (a half-written artifact from the crash window
     * below must not fail the batch with a read error; it degrades to
     * the no-corpus path and heals on the replay). */
-  private def artifactExists(spark: SparkSession, artifact: String): Boolean =
+  private def artifactExists(spark: SparkSession, artifact: String): Boolean = {
+    resumeSwaps(spark, artifact)
     dirExists(spark, s"$artifact/grams") && dirExists(spark, s"$artifact/postings")
+  }
 
   /** Screen one batch and admit its non-near-dup documents into the
     * artifact. Returns (admitted, rejected) doc counts — admitted =
@@ -101,6 +114,7 @@ object NearDupIngest {
   def admit(spark: SparkSession, docs: DataFrame, artifact: String,
       batchSides: Option[(DataFrame, DataFrame)] = None,
       afterGramsAppend: () => Unit = () => ()): Long = {
+    resumeSwaps(spark, artifact) // never append beside a mid-swap stage
     val (admittedGrams, admittedPost) = batchSides.getOrElse {
       val (g, p) = MinHashOps.bandPostings(spark, docs, cache = false)
       (g.localCheckpoint(true), p.localCheckpoint(true))
@@ -177,6 +191,7 @@ object NearDupIngest {
     * appended. Idempotent; a healthy artifact is a no-op. Returns the
     * number of repaired docs. */
   def repairArtifact(spark: SparkSession, artifact: String): Long = {
+    resumeSwaps(spark, artifact)
     if (!dirExists(spark, s"$artifact/grams")) return 0L
     val grams = spark.read.parquet(s"$artifact/grams")
     val orphans0 =

@@ -21,10 +21,13 @@ import org.apache.spark.util.sketch.BloomFilter
   * LOWER doc_id wins: a position is duplicated iff a lower-id PEER in
   * the same batch holds the same hash — regardless of whether that
   * peer is itself admitted (the convention every dedup tier shares);
-  * across batches any stored hash of a DIFFERENT document counts. The
-  * own-doc exclusion is what makes a verbatim replay re-derive the
-  * SAME rejections instead of matching each admitted doc against its
-  * own stored hashes (r6 verdict defect #1).
+  * across batches any stored hash of a document OUTSIDE the batch
+  * counts. Excluding ALL batch members' stored rows from the cross
+  * screen — not just the probing doc's own (r6 verdict defect #1) —
+  * is what makes a replay after ANY prefix of the admissions
+  * re-derive the SAME verdicts: own-doc exclusion alone still let a
+  * replayed lower-id doc match its higher-id batch peer's freshly
+  * stored hashes and flip a mass-based verdict.
   *
   * Replay/crash safety is per-ROW idempotence: fresh hashes anti-join
   * the store at (doc_id, h) granularity, so a verbatim replay appends
@@ -86,8 +89,20 @@ object SubstrIngest {
     * so it serves both the cross-dup screen and the append anti-join.
     * Empty frame (zero store bytes read) when the bloom clears the
     * whole batch. Result is localCheckpointed: two consumers. */
+  /** Resume an interrupted stage→live swap (compactStore's `.stage`,
+    * the composed pipeline's `.forget`) BEFORE any live-dir existence
+    * probe — StagedSwap's contract: probing first silently no-ops on a
+    * mid-swap store, the screen degrades to within-batch, duplicates
+    * are admitted, and a later clearStale would drop the only copy. */
+  private def resumeSwaps(spark: SparkSession, store: String): Unit = {
+    val live = s"$store/grams"
+    StagedSwap.resume(spark, live, Seq(s"$live.stage", s"$live.forget"))
+    ()
+  }
+
   private def probeStore(spark: SparkSession, pos: DataFrame,
       store: String): DataFrame = {
+    resumeSwaps(spark, store)
     val live = s"$store/grams"
     val empty = pos.select("doc_id", "h").limit(0).localCheckpoint(true)
     if (!dirExists(spark, live)) return empty
@@ -117,13 +132,23 @@ object SubstrIngest {
   }
 
   /** Cross-store duplicated positions: a batch position is duplicated
-    * iff a DIFFERENT document holds its hash in the store. */
-  private def crossDupPos(pos: DataFrame, storeHits: DataFrame): DataFrame =
+    * iff a document OUTSIDE THE BATCH holds its hash in the store.
+    * ALL batch members' stored rows are excluded, not just the probing
+    * doc's own — own-doc exclusion alone is not replay-stable: after a
+    * partial admission, a replayed LOWER-id doc would start matching
+    * its higher-id batch peer's freshly stored hashes and flip a
+    * verdict the first run made with those hashes absent (the
+    * within-batch gate is mass-based, not pairwise-symmetric, so the
+    * near-dup screen's argument does not transfer). Within-batch
+    * duplication is governed solely by the lower-id-peer rule. */
+  private def crossDupPos(pos: DataFrame, storeHits: DataFrame): DataFrame = {
+    val batchIds = pos.select(col("doc_id").as("store_doc")).distinct()
     pos.join(
-        storeHits.select(col("h"), col("doc_id").as("store_doc")),
+        storeHits.select(col("h"), col("doc_id").as("store_doc"))
+          .join(batchIds, Seq("store_doc"), "left_anti"),
         Seq("h"))
-      .filter(col("doc_id") =!= col("store_doc")) // own-doc exclusion
       .select("doc_id", "pos")
+  }
 
   /** Screen one batch and admit its clean documents' hashes. Returns
     * (admitted, rejected) doc counts — admitted counts docs whose
@@ -172,6 +197,7 @@ object SubstrIngest {
     * store. Returns distinct docs appended. */
   private def appendFresh(spark: SparkSession, store: String,
       fresh: DataFrame, afterBloomWrite: () => Unit): Long = {
+    resumeSwaps(spark, store) // never append beside a mid-swap stage
     val live = s"$store/grams"
     val nAdmitted = fresh.select("doc_id").distinct().count()
     if (nAdmitted > 0) {
@@ -265,7 +291,7 @@ object SubstrIngest {
   def compactStore(spark: SparkSession, store: String, nFiles: Int = 4): Unit = {
     val live = s"$store/grams"
     val stage = s"$store/grams.stage"
-    if (!StagedSwap.resume(spark, live, Seq(stage))) {
+    if (!StagedSwap.resume(spark, live, Seq(stage, s"$live.forget"))) {
       if (!dirExists(spark, live)) return
       StagedSwap.clearStale(spark, stage)
       graft.sources.CorpusSink.writeRangeLayout(

@@ -106,6 +106,19 @@ object VectorIndex {
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1).toIndexedSeq
 
+  /** Whether a coarse quantizer exists under the CURRENT epoch — the
+    * entry-point probe for first-batch training. Callers must resolve
+    * through this, never probe the legacy `centroids` path directly:
+    * after `retrain`'s epoch swap only `centroids@N` exists, and a
+    * legacy-path probe would re-train every batch — overwriting the
+    * epoch's centroids while its `vectors@N` keep the old cell layout,
+    * exactly the mixed state the epoch commit order exists to prevent. */
+  def isTrained(spark: SparkSession, store: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(centDir(spark, store))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
   private def vectorsExist(spark: SparkSession, store: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(vecDir(spark, store))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -362,6 +375,36 @@ object VectorIndex {
     // erasure call would silently no-op — then the next merge/search
     // resumes the stage and serves the supposedly-erased vectors again
     resumePendingCompact(spark, store)
+    val removed = purgeVectors(spark, store, ids)
+    // AFTER the vector purge, and on every call regardless of whether
+    // it removed anything (a retry of a run that crashed between purge
+    // and scrub must still complete the scrub): the quantizer's seed
+    // vectors ARE documents' embeddings (cid = the seed doc's vec_id,
+    // v = its embedding verbatim — train and retrain both seed this
+    // way), so erasing a seed doc must not leave its embedding on disk
+    // in centroids — the same "derived content" obligation stated for
+    // the vectors. Rebuild the quantizer from the remaining corpus
+    // (blue/green retrain — erasure is already the rare, audited
+    // O(store) operation); an emptied store drops the quantizer dirs
+    // instead (nothing remains to seed from), returning it to the
+    // untrained state.
+    if (isTrained(spark, store)
+        && centroids(spark, store).exists(c => ids.contains(c._1))) {
+      if (vectorsExist(spark, store)) retrain(spark, store)
+      else {
+        val fs = new org.apache.hadoop.fs.Path(store)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.listStatus(new org.apache.hadoop.fs.Path(store)).foreach { s =>
+          if (s.getPath.getName.startsWith("centroids"))
+            fs.delete(s.getPath, true)
+        }
+      }
+    }
+    removed
+  }
+
+  private def purgeVectors(spark: SparkSession, store: String,
+      ids: Seq[Long]): Long = {
     if (!vectorsExist(spark, store)) return 0L
     val all = spark.read.parquet(vecDir(spark, store))
     val touched = all.filter(col("vec_id").isin(ids: _*))

@@ -50,6 +50,20 @@ class IngestPipelineSpec extends SparkSpec {
     spark.read.parquet(IngestPipeline.corpusDir(root))
       .select("doc_id").as[Long].collect().sorted.toSeq
 
+  /** The index's vectors dir under either layout — erasing a quantizer
+    * seed doc triggers the blue/green retrain, which moves the store to
+    * the epoch names. (Lexical max is fine below epoch 10 in a spec.) */
+  private def vecsDir(root: String): String = {
+    val idx = IngestPipeline.indexDir(root)
+    val p = new org.apache.hadoop.fs.Path(idx)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names =
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.startsWith("vectors") && !n.contains("."))
+      else Array.empty[String]
+    s"$idx/${if (names.isEmpty) "vectors" else names.max}"
+  }
+
   /** One comparable snapshot of all five stores. */
   private def snapshot(root: String): (Seq[Long], Seq[Long], Seq[Long],
       Set[(Long, Long)], Seq[Long], Seq[String]) = {
@@ -60,7 +74,7 @@ class IngestPipelineSpec extends SparkSpec {
       else Seq.empty
     val substr = spark.read.parquet(s"${IngestPipeline.substrDir(root)}/grams")
       .as[(Long, Long)].collect().toSet
-    val vecs = spark.read.parquet(s"${IngestPipeline.indexDir(root)}/vectors")
+    val vecs = spark.read.parquet(vecsDir(root))
       .select("vec_id").as[Long].collect().sorted.toSeq
     val stats = CorpusStats.stats(spark, IngestPipeline.statsFile(root))
       .collect().map(_.toString).toSeq
@@ -143,6 +157,30 @@ class IngestPipelineSpec extends SparkSpec {
     }
   }
 
+  test("a retrained index keeps serving through the pipeline: the next " +
+    "mergeBatch must NOT re-seed the quantizer (the legacy-path probe " +
+    "would pair fresh centroids with the old epoch's cell layout)") {
+    val root = Files.createTempDirectory("pipe8").toString + "/p"
+    IngestPipeline.mergeBatch(spark, b1, root, 0L)
+    VectorIndex.retrain(spark, IngestPipeline.indexDir(root), k = 2)
+    val centAfterRetrain = spark.read
+      .parquet(s"${IngestPipeline.indexDir(root)}/centroids@1")
+      .collect().map(_.toString).sorted.toSeq
+    val r = IngestPipeline.mergeBatch(spark, b2, root, 1L)
+    assert(r.admitted == 1L, s"post-retrain batch: $r")
+    val centAfterBatch = spark.read
+      .parquet(s"${IngestPipeline.indexDir(root)}/centroids@1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(centAfterBatch == centAfterRetrain,
+      "mergeBatch re-trained over the retrained epoch's layout")
+    // and the index stays coherent with the corpus (epoch layout)
+    val vecs = spark.read
+      .parquet(s"${IngestPipeline.indexDir(root)}/vectors@1")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(vecs == corpusIds(root),
+      s"index diverged post-retrain: $vecs vs ${corpusIds(root)}")
+  }
+
   test("streaming face: two file batches under one checkpoint with a " +
     "restart build the same coherent stores") {
     val base = Files.createTempDirectory("pipe3").toString
@@ -170,6 +208,32 @@ class IngestPipelineSpec extends SparkSpec {
     assert(grams == corpus && vecs == corpus
       && substr.map(_._1).toSeq.distinct.sorted == corpus,
       "streaming stores incoherent")
+  }
+
+  test("an interrupted maintenance swap (forget/compactAll crash " +
+    "between delete and rename) is resumed by the next batch: the " +
+    "store must not read as absent — screens would degrade, duplicates " +
+    "would be admitted, and the only copy could later be lost") {
+    val base = Files.createTempDirectory("pipe9").toString
+    val ref = s"$base/ref"
+    IngestPipeline.mergeBatch(spark, b1, ref, 0L)
+    val r2ref = IngestPipeline.mergeBatch(spark, b2, ref, 1L)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for ((rel, stage) <- Seq(
+        "corpus" -> "corpus.forget",
+        "neardup/grams" -> "neardup/grams.tmp",
+        "substr/grams" -> "substr/grams.stage")) {
+      val root = s"$base/sw-${rel.replace('/', '_')}"
+      IngestPipeline.mergeBatch(spark, b1, root, 0L)
+      // simulate the mid-swap crash window: live renamed to the stage
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/$rel"),
+        new org.apache.hadoop.fs.Path(s"$root/$stage")), s"setup $stage")
+      val r2 = IngestPipeline.mergeBatch(spark, b2, root, 1L)
+      assert(r2 == r2ref, s"mid-swap $stage: $r2 != $r2ref")
+      assert(corpusIds(root) == corpusIds(ref),
+        s"mid-swap $stage: corpus diverged")
+    }
   }
 
   test("compactAll bounds every store's file count and changes no " +

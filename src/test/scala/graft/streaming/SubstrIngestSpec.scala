@@ -55,6 +55,29 @@ class SubstrIngestSpec extends SparkSpec {
     assert(storeIds(store) == Seq(10L, 20L, 30L, 40L))
   }
 
+  test("within-batch ASYMMETRIC overlap is replay-stable: a lower-id " +
+    "doc must not start matching its higher-id peer's stored hashes on " +
+    "replay (batch-member exclusion, not just own-doc)") {
+    val store = Files.createTempDirectory("ss-asym").toString + "/st"
+    // X (id 1): the 14-token block + 12 fresh = 26 tokens; Y (id 2):
+    // the same block + 16 fresh = 30 tokens. First run: X is the lower
+    // id (dup 0); Y's 7 shared positions merge to one 14-token island,
+    // 2·14 ≤ 30 — BOTH admitted. A replay must re-derive (0 appended,
+    // 0 rejected); own-doc-only exclusion scored X against Y's stored
+    // block (2·14 > 26) and flipped X to rejected.
+    val x = (1L, "en",
+      phrase("p") + " " + (0 until 12).map(k => s"xf$k").mkString(" "))
+    val y = (2L, "en",
+      phrase("p") + " " + (0 until 16).map(k => s"yf$k").mkString(" "))
+    val b = Seq(x, y).toDF("doc_id", "lang", "text")
+    assert(SubstrIngest.mergeBatch(spark, b, store) == (2L, 0L))
+    assert(storeIds(store) == Seq(1L, 2L))
+    assert(SubstrIngest.mergeBatch(spark, b, store) == (0L, 0L),
+      "replay flipped a within-batch asymmetric-overlap verdict")
+    val rep = SubstrIngest.screen(spark, b, store).collect()
+    assert(rep.forall(!_.getBoolean(3)), s"screen rejects on replay: ${rep.toSeq}")
+  }
+
   test("screen (the report face) is replay-stable: the same batch " +
     "screened before and after its own admission reports identical rows") {
     val store = Files.createTempDirectory("ss-screen").toString + "/st"

@@ -231,6 +231,38 @@ class VectorIndexSpec extends SparkSpec {
     assert(servedIds().nonEmpty)
   }
 
+  test("erasing a quantizer SEED doc scrubs its embedding from the " +
+    "centroids (blue/green retrain from the remainder — the same " +
+    "derived-content obligation as the vectors); retry is idempotent; " +
+    "full erasure drops the quantizer dirs entirely") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("vidx10").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    VectorIndex.mergeBatch(spark, emb, store)
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def centDirs() = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(_.startsWith("centroids")).toSeq
+    def cids() = centDirs().flatMap(d => spark.read.parquet(s"$store/$d")
+      .select("cid").as[Long].collect()).toSet
+    val seed = cids().min
+    assert(VectorIndex.forget(spark, store, Seq(seed)) == 1L)
+    assert(!cids().contains(seed),
+      s"erased seed $seed still referenced by the quantizer")
+    // retry (a run that crashed between purge and scrub) stays clean
+    assert(VectorIndex.forget(spark, store, Seq(seed)) == 0L)
+    assert(!cids().contains(seed))
+    // the rebuilt quantizer serves, and ingest keeps working
+    val qs = emb.filter(col("vec_id").between(20, 22))
+    assert(VectorIndex.search(spark, store, qs).collect().nonEmpty)
+    // erase EVERYTHING: no quantizer (= no seed embedding) may remain
+    val vdir = fs.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(n => n.startsWith("vectors") && !n.contains(".")).head
+    val allIds = spark.read.parquet(s"$store/$vdir")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(VectorIndex.forget(spark, store, allIds) == allIds.length.toLong)
+    assert(centDirs().isEmpty, "quantizer dirs survived full erasure")
+  }
+
   test("streaming maintain: a checkpointed file stream builds the same " +
     "index as one-shot ingest, across a restart") {
     import spark.implicits._
