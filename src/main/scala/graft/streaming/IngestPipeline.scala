@@ -311,6 +311,25 @@ object IngestPipeline {
           .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
   }
 
+  /** METADATA-FILTERED vector search over the composed store — the
+    * "filtered ANN" face every production vector store ships: `pred`
+    * evaluates against the corpus store's columns (lang, source, the
+    * gate's quality/PII signal columns), the keep-set is the
+    * column-pruned doc_id projection of the filtered corpus, and the
+    * index search post-filters its probed-cell candidates against it
+    * BEFORE the top-k rank — every returned neighbor satisfies the
+    * predicate, and the k slots are not wasted on filtered-out
+    * vectors. Scale: the predicate pushes into the corpus parquet scan
+    * (doc_id + predicate columns only), candidates are bounded to the
+    * probed cells, and the store/index COHERENCE invariant is what
+    * makes the doc_id ≡ vec_id join sound. Semantics and the
+    * selective-filter trade are stated on VectorIndex.search. */
+  def searchCorpus(spark: SparkSession, root: String, queries: DataFrame,
+      pred: org.apache.spark.sql.Column, k: Int = 3): DataFrame =
+    VectorIndex.search(spark, indexDir(root), queries, k,
+      restrict = Some(spark.read.parquet(corpusDir(root))
+        .filter(pred).select(col("doc_id").as("vec_id"))))
+
   /** KEYED ERASURE across the composition — the right-to-erasure face
     * of the whole pipeline: purge the given doc_ids from the corpus
     * store, the near-dup artifact, and the substring store (staged

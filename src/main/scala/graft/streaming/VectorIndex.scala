@@ -181,9 +181,19 @@ object VectorIndex {
     * queries from the persisted index: assign each query to its two
     * coarse cells, read ONLY the probed `cell=` partitions, exact
     * rerank. Output matches `emb_ann_ivf`'s schema/semantics
-    * (self-matches excluded, ties to the lower vec_id). */
+    * (self-matches excluded, ties to the lower vec_id).
+    *
+    * `restrict` (filtered ANN): an optional keep-set frame with a
+    * `vec_id` column — probed-cell candidates are semi-joined against
+    * it BEFORE the top-k rank, so every returned neighbor is in the
+    * set and the k slots are not wasted on filtered-out vectors.
+    * POST-filtering semantics, the standard trade: a highly selective
+    * keep-set can leave fewer than k matches in the probed cells;
+    * raising nprobe or partitioning indexes by the filter column is
+    * the production escalation. Candidates are already bounded to the
+    * probed cells, so the semi-join's left side stays small. */
   def search(spark: SparkSession, store: String, queries: DataFrame,
-      k: Int = 3): DataFrame = {
+      k: Int = 3, restrict: Option[DataFrame] = None): DataFrame = {
     resumePendingCompact(spark, store)
     val cents = centroids(spark, store)
     val asg: Column = graft.plans.GraftFunctions
@@ -214,9 +224,14 @@ object VectorIndex {
     // filter FIRST (on the inferred partition attribute — directory
     // pruning), then cast: partition-type inference reads `cell=N` as
     // int, but the served schema must match emb_ann_ivf's long
-    val cand = spark.read.parquet(vecDir(spark, store))
+    val cand0 = spark.read.parquet(vecDir(spark, store))
       .filter(col("cell").isin(probed: _*))
       .withColumn("cell", col("cell").cast("long"))
+    val cand = restrict match {
+      case Some(keep) =>
+        cand0.join(keep.select("vec_id").distinct(), Seq("vec_id"), "left_semi")
+      case None => cand0
+    }
     val sims = cand.join(broadcast(q), col("cell") === col("probe"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("sim", graft.operators.EmbeddingOps.dot(col("qv"), col("v"))

@@ -287,6 +287,27 @@ class IngestPipelineSpec extends SparkSpec {
       s"erased doc still rejects its future copies: $r")
   }
 
+  test("metadata-filtered search over the composed store: every " +
+    "neighbor satisfies the corpus predicate (filtered ANN; the " +
+    "store/index coherence invariant makes doc_id ≡ vec_id sound)") {
+    val root = Files.createTempDirectory("pipe10").toString + "/p"
+    val docs = (0 until 6).map(i => (i.toLong,
+        passText(f"m$i%03d", s"tail$i"), "en",
+        if (i % 2 == 0) "sa" else "sb"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = IngestPipeline.mergeBatch(spark, docs, root, 0L)
+    assert(r.admitted == 6L, s"fixture must fully admit: $r")
+    val qs = docs.withColumn("toks", graft.operators.TextOps.tokens)
+      .select(col("doc_id").as("vec_id"),
+        graft.plans.GraftFunctions.graftHashEmbed(spark, "toks")
+          .cast("array<double>").as("embedding"))
+      .filter(col("vec_id") < 2)
+    val res = IngestPipeline.searchCorpus(spark, root, qs,
+      col("source") === "sa").collect()
+    assert(res.nonEmpty && res.forall(_.getLong(2) % 2 == 0),
+      s"filtered search returned a non-sa doc: ${res.toSeq}")
+  }
+
   test("throughput: sustained docs/s through the full DAG (recorded in " +
     "BASELINE.md beside the signal-path events/s)") {
     val root = Files.createTempDirectory("pipe4").toString + "/p"

@@ -263,6 +263,32 @@ class VectorIndexSpec extends SparkSpec {
     assert(centDirs().isEmpty, "quantizer dirs survived full erasure")
   }
 
+  test("filtered ANN: restricting to the full id set is identity; a " +
+    "proper subset returns only kept neighbors, identically to an " +
+    "index holding just those vectors under the same quantizer") {
+    val store = Files.createTempDirectory("vidx11").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    VectorIndex.mergeBatch(spark, emb, store)
+    val qs = emb.filter(col("vec_id") < 3)
+    val plain = VectorIndex.search(spark, store, qs).collect().toSeq
+    assert(VectorIndex.search(spark, store, qs,
+      restrict = Some(emb.select("vec_id"))).collect().toSeq == plain,
+      "full-set restrict must be the identity")
+    val filtered = VectorIndex.search(spark, store, qs,
+      restrict = Some(emb.filter(col("vec_id") % 2 === 0).select("vec_id")))
+      .collect().toSeq
+    assert(filtered.nonEmpty && filtered.forall(_.getLong(2) % 2 == 0),
+      s"restricted search served a filtered-out vector: $filtered")
+    // parity law: same quantizer (trained from the same seed frame),
+    // only the kept vectors ingested — post-filtering candidates must
+    // equal the subset-only index's serving exactly
+    val store2 = Files.createTempDirectory("vidx12").toString + "/idx"
+    VectorIndex.train(spark, emb, store2)
+    VectorIndex.mergeBatch(spark, emb.filter(col("vec_id") % 2 === 0), store2)
+    assert(VectorIndex.search(spark, store2, qs).collect().toSeq == filtered,
+      "filtered search diverged from the subset-only index")
+  }
+
   test("streaming maintain: a checkpointed file stream builds the same " +
     "index as one-shot ingest, across a restart") {
     import spark.implicits._
