@@ -80,7 +80,9 @@ object IngestPipeline {
       substrRej: DataFrame, // (doc_id) substring rejections among docs2
       survivors: DataFrame, // the final admitted set
       grams: DataFrame, postings: DataFrame,
-      substrProbe: SubstrIngest.BatchProbe)
+      substrProbe: SubstrIngest.BatchProbe,
+      exactHits: DataFrame) // (fp, store_doc) corpus probe — complete
+                            // for the batch's fps
 
   /** Gate → exact → near-dup → substring, each screen seeing only the
     * previous screen's survivors, every store probe own-doc-excluded
@@ -112,8 +114,9 @@ object IngestPipeline {
     val keepers = fped.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
     val keepFp = keepers.select("doc_id", "fp")
+    val exactHits = CorpusIngest.probeStore(spark, keepFp, corpus)
     val exactCross = keepFp
-      .join(CorpusIngest.probeStore(spark, keepFp, corpus), Seq("fp"))
+      .join(exactHits, Seq("fp"))
       .filter(col("doc_id") =!= col("store_doc"))
       .select("doc_id").distinct()
     val docs1 = keepers.join(exactCross, Seq("doc_id"), "left_anti")
@@ -142,7 +145,7 @@ object IngestPipeline {
     val survivors = docs2.join(substrRej, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     ScreenState(gated, docs1, nearRej, docs2, substrRej, survivors,
-      grams1, post1, substrProbe)
+      grams1, post1, substrProbe, exactHits)
   }
 
   /** Run one micro-batch through the full DAG. `afterStage` fires after
@@ -192,12 +195,14 @@ object IngestPipeline {
         VectorIndex.train(spark, vecs, indexDir(root))
       VectorIndex.mergeBatch(spark, vecs, indexDir(root))
       afterStage("index")
-      val freshDocs =
-        if (dirExists(spark, corpus))
-          survivors.join(
-            spark.read.parquet(corpus).select("doc_id"),
-            Seq("doc_id"), "left_anti")
-        else survivors
+      // replay absorption rides the batch's OWN bloom-bounded probe
+      // (exactHits is complete for the batch's fps): a survivor whose
+      // fp is already stored — its own prior admission, the only way a
+      // survivor's fp reaches the store — anti-joins out on fp, and a
+      // fresh batch reads ZERO corpus bytes here (the former doc_id
+      // anti-join re-scanned the whole store every batch)
+      val freshDocs = survivors.join(
+        scr.exactHits.select("fp").distinct(), Seq("fp"), "left_anti")
       val freshPinned = freshDocs.localCheckpoint(true)
       // shared append tail: fp bloom segment BEFORE the rows (BloomSide
       // superset invariant), with the pre-bloom migration segment
@@ -325,10 +330,20 @@ object IngestPipeline {
     * makes the doc_id ≡ vec_id join sound. Semantics and the
     * selective-filter trade are stated on VectorIndex.search. */
   def searchCorpus(spark: SparkSession, root: String, queries: DataFrame,
-      pred: org.apache.spark.sql.Column, k: Int = 3): DataFrame =
+      pred: org.apache.spark.sql.Column, k: Int = 3): DataFrame = {
+    val corpus = corpusDir(root)
+    // resume-before-probe (StagedSwap's contract), same as runScreens;
+    // an absent corpus (fresh root, or everything forgotten) keeps
+    // nothing — served as the empty result, not a missing-path error
+    StagedSwap.resume(spark, corpus, Seq(s"$corpus.stage", s"$corpus.forget"))
+    val keep =
+      if (dirExists(spark, corpus))
+        spark.read.parquet(corpus).filter(pred)
+          .select(col("doc_id").as("vec_id"))
+      else queries.select(col("vec_id")).limit(0)
     VectorIndex.search(spark, indexDir(root), queries, k,
-      restrict = Some(spark.read.parquet(corpusDir(root))
-        .filter(pred).select(col("doc_id").as("vec_id"))))
+      restrict = Some(keep))
+  }
 
   /** KEYED ERASURE across the composition — the right-to-erasure face
     * of the whole pipeline: purge the given doc_ids from the corpus
@@ -357,7 +372,12 @@ object IngestPipeline {
     var removed = 0L
     def purge(live: String, alsoCount: Boolean): Unit = {
       val stage = s"$live.forget"
-      StagedSwap.resume(spark, live, Seq(stage))
+      // resume ANY pending swap of this store — its own `.forget` AND
+      // the compaction stages (`.stage`, `.tmp`): a probe-first erasure
+      // on a mid-compaction store would report 0 removed, and the next
+      // batch's resume would resurrect the supposedly-erased rows
+      StagedSwap.resume(spark, live,
+        Seq(stage, s"$live.stage", s"$live.tmp"))
       if (!dirExists(spark, live)) return
       val cur = spark.read.parquet(live).localCheckpoint(true)
       val kept = cur.filter(!col("doc_id").isin(ids: _*)).localCheckpoint(true)

@@ -218,15 +218,17 @@ object NearDupIngest {
     * rename is resumed by the `.tmp` probe at the next compaction. */
   def compactArtifact(spark: SparkSession, artifact: String,
       nFiles: Int = 4): Unit = {
+    // heals `.tmp` AND `.forget` mid-swaps (the pipeline's keyed
+    // erasure stages its rewrites under `.forget` — an entry that
+    // resumed only its own tmp would leave a crashed erasure's store
+    // reading as absent and silently skip the compaction)
+    resumeSwaps(spark, artifact)
     val conf = spark.sparkContext.hadoopConfiguration
     for ((sub, key) <- Seq("grams" -> "doc_id", "postings" -> "band_hash")) {
       val live = new org.apache.hadoop.fs.Path(s"$artifact/$sub")
       val tmp = new org.apache.hadoop.fs.Path(s"$artifact/$sub.tmp")
       val fs = live.getFileSystem(conf)
-      if (fs.exists(tmp) && !fs.exists(live)) {
-        fs.rename(tmp, live) // resume an interrupted swap
-        ()
-      } else if (fs.exists(live)) {
+      if (fs.exists(live)) {
         if (fs.exists(tmp)) fs.delete(tmp, true) // stale stage
         graft.sources.CorpusSink.writeRangeLayout(
           spark.read.parquet(live.toString), tmp.toString, key, nFiles)

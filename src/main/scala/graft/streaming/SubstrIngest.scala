@@ -83,12 +83,6 @@ object SubstrIngest {
       bloom: BloomFilter): Unit =
     BloomSide.writeSegment(spark, bloomDir(store), bloom)
 
-  /** ONE bounded store probe per batch: every stored (doc_id, h) row
-    * whose hash appears in the pinned batch gram frame — EXACT and
-    * COMPLETE for the batch's hashes (the bloom can only over-select),
-    * so it serves both the cross-dup screen and the append anti-join.
-    * Empty frame (zero store bytes read) when the bloom clears the
-    * whole batch. Result is localCheckpointed: two consumers. */
   /** Resume an interrupted stage→live swap (compactStore's `.stage`,
     * the composed pipeline's `.forget`) BEFORE any live-dir existence
     * probe — StagedSwap's contract: probing first silently no-ops on a
@@ -100,6 +94,12 @@ object SubstrIngest {
     ()
   }
 
+  /** ONE bounded store probe per batch: every stored (doc_id, h) row
+    * whose hash appears in the pinned batch gram frame — EXACT and
+    * COMPLETE for the batch's hashes (the bloom can only over-select),
+    * so it serves both the cross-dup screen and the append anti-join.
+    * Empty frame (zero store bytes read) when the bloom clears the
+    * whole batch. Result is localCheckpointed: two consumers. */
   private def probeStore(spark: SparkSession, pos: DataFrame,
       store: String): DataFrame = {
     resumeSwaps(spark, store)

@@ -142,7 +142,14 @@ object VectorIndex {
   def mergeBatch(spark: SparkSession, batch: DataFrame,
       store: String): Long = {
     resumePendingCompact(spark, store)
+    // a store whose quantizer was dropped by the full-erasure scrub
+    // (or never trained) SELF-HEALS here instead of throwing — a
+    // throwing foreachBatch would replay and stall the maintain()
+    // stream forever: the batch re-seeds the quantizer, the same
+    // first-batch rule the composed pipeline applies
+    if (!isTrained(spark, store)) train(spark, batch, store)
     val cents = centroids(spark, store)
+    if (cents.isEmpty) return 0L // nothing indexable seeded a quantizer
     val assigned = normed(batch)
       .dropDuplicates("vec_id")
       .withColumn("cell", graft.plans.GraftFunctions
@@ -195,7 +202,19 @@ object VectorIndex {
   def search(spark: SparkSession, store: String, queries: DataFrame,
       k: Int = 3, restrict: Option[DataFrame] = None): DataFrame = {
     resumePendingCompact(spark, store)
+    def emptyResult = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("q_id", LongType), StructField("cell", LongType),
+        StructField("vec_id", LongType), StructField("rn", IntegerType),
+        StructField("sim", DoubleType))))
+    // a store whose quantizer was dropped by the full-erasure scrub
+    // (or that was never trained) serves the EMPTY result — the same
+    // contract as the trained-but-empty store below, not a
+    // missing-path error
+    if (!isTrained(spark, store)) return emptyResult
     val cents = centroids(spark, store)
+    if (cents.isEmpty) return emptyResult
     val asg: Column = graft.plans.GraftFunctions
       .graftIvfAssign(spark, "qv", cents)
     val q = normed(queries)
@@ -211,13 +230,7 @@ object VectorIndex {
       .localCheckpoint(true)
     // a trained-but-empty store (no merge yet, or fully forgotten)
     // serves the EMPTY result, not an unreadable-path error
-    if (!vectorsExist(spark, store))
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("q_id", LongType), StructField("cell", LongType),
-          StructField("vec_id", LongType), StructField("rn", IntegerType),
-          StructField("sim", DoubleType))))
+    if (!vectorsExist(spark, store)) return emptyResult
     // probed cells as LITERALS so the filter prunes at the directory
     // level — bounded by k centroids, not by query count
     val probed = q.select("probe").distinct().collect().map(_.getLong(0))
@@ -403,9 +416,11 @@ object VectorIndex {
     // O(store) operation); an emptied store drops the quantizer dirs
     // instead (nothing remains to seed from), returning it to the
     // untrained state.
-    if (isTrained(spark, store)
-        && centroids(spark, store).exists(c => ids.contains(c._1))) {
-      if (vectorsExist(spark, store)) retrain(spark, store)
+    val cents = if (isTrained(spark, store)) centroids(spark, store) else Nil
+    if (cents.exists(c => ids.contains(c._1))) {
+      // preserve the quantizer's cell count — a k=16 default here would
+      // silently resize an index trained/retrained with a different k
+      if (vectorsExist(spark, store)) retrain(spark, store, k = cents.size)
       else {
         val fs = new org.apache.hadoop.fs.Path(store)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)

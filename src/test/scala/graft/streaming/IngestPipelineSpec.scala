@@ -234,6 +234,16 @@ class IngestPipelineSpec extends SparkSpec {
       assert(corpusIds(root) == corpusIds(ref),
         s"mid-swap $stage: corpus diverged")
     }
+    // the keyed erasure ITSELF resumes a mid-compaction swap: with the
+    // corpus sitting at corpus.stage, forget must remove the doc, not
+    // report 0 and let the next batch resurrect it
+    val root2 = s"$base/sw-forget"
+    IngestPipeline.mergeBatch(spark, b1, root2, 0L)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root2/corpus"),
+      new org.apache.hadoop.fs.Path(s"$root2/corpus.stage")))
+    assert(IngestPipeline.forget(spark, root2, Seq(1L)) == 1L,
+      "forget no-opped on a mid-compaction-swap corpus")
+    assert(!corpusIds(root2).contains(1L), "erased doc resurrected")
   }
 
   test("compactAll bounds every store's file count and changes no " +
@@ -306,6 +316,10 @@ class IngestPipelineSpec extends SparkSpec {
       col("source") === "sa").collect()
     assert(res.nonEmpty && res.forall(_.getLong(2) % 2 == 0),
       s"filtered search returned a non-sa doc: ${res.toSeq}")
+    // a root with no stores serves the empty result, not a path error
+    assert(IngestPipeline.searchCorpus(spark,
+      Files.createTempDirectory("pipe11").toString + "/fresh", qs,
+      col("source") === "sa").isEmpty)
   }
 
   test("throughput: sustained docs/s through the full DAG (recorded in " +

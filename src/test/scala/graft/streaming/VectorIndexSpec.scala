@@ -261,6 +261,14 @@ class VectorIndexSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(VectorIndex.forget(spark, store, allIds) == allIds.length.toLong)
     assert(centDirs().isEmpty, "quantizer dirs survived full erasure")
+    // the emptied store SERVES (empty) and SELF-HEALS: search returns
+    // no rows instead of a missing-path error, and the next batch
+    // re-seeds the quantizer instead of stalling a maintain() stream
+    assert(VectorIndex.search(spark, store, qs).isEmpty,
+      "fully-erased store must serve the empty result")
+    assert(VectorIndex.mergeBatch(spark, emb.limit(10), store) == 10L,
+      "post-erasure batch must re-seed and index")
+    assert(VectorIndex.search(spark, store, qs).collect().nonEmpty)
   }
 
   test("filtered ANN: restricting to the full id set is identity; a " +
