@@ -256,6 +256,40 @@ object VectorIndex {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF BALANCE diagnostic — the index-side twin of the
+    * events_key_skew pre-flight: per-cell vector counts, each cell's
+    * share, and the max-to-mean skew factor (1.0 = perfectly uniform).
+    * A drifted quantizer concentrates vectors in hot cells, which
+    * degrades both probe cost (a probed hot cell scans a corpus-sized
+    * partition) and recall (nprobe=2 covers less of the mass) — this
+    * report is what decides when `retrain` is worth its O(store) cost.
+    * Scale: reads the vec_id column only (column-pruned) and
+    * aggregates to ≤k rows; the skew product is computed in DOUBLE
+    * (the events_key_skew overflow lesson). */
+  def stats(spark: SparkSession, store: String): DataFrame = {
+    resumePendingCompact(spark, store)
+    def emptyStats = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("cell", LongType), StructField("n_vectors", LongType),
+        StructField("share", DoubleType),
+        StructField("skew_factor", DoubleType))))
+    if (!vectorsExist(spark, store)) return emptyStats
+    val counts = spark.read.parquet(vecDir(spark, store))
+      .select(col("cell").cast("long").as("cell"), col("vec_id"))
+      .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+    val w = Window.partitionBy()
+    counts
+      .withColumn("n_rows", sum(col("n_vectors")).over(w))
+      .withColumn("n_cells", count(lit(1)).over(w))
+      .withColumn("mx", max(col("n_vectors")).over(w))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_rows")).as("share"),
+        (col("mx").cast("double") * col("n_cells") / col("n_rows"))
+          .as("skew_factor"))
+      .orderBy(col("n_vectors").desc, col("cell"))
+  }
+
   /** Compact the per-batch file accumulation to one file per cell —
     * the same staged-rewrite + delete/rename swap as
     * `Scd2Maintain.compactLog`: a crash before the swap leaves the

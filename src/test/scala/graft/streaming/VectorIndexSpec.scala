@@ -271,6 +271,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.search(spark, store, qs).collect().nonEmpty)
   }
 
+  test("stats: per-cell counts conserve the store, shares sum to 1, " +
+    "the skew factor is the max-to-mean ratio, and erasure moves it") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("vidx13").toString + "/idx"
+    assert(VectorIndex.stats(spark, store).isEmpty, "absent store: empty")
+    VectorIndex.train(spark, emb, store)
+    VectorIndex.mergeBatch(spark, emb, store)
+    val s = VectorIndex.stats(spark, store).collect()
+    val n = emb.count()
+    assert(s.map(_.getLong(1)).sum == n, "counts must conserve the store")
+    assert(math.abs(s.map(_.getDouble(2)).sum - 1.0) < 1e-9,
+      "shares must sum to 1")
+    val want = s.map(_.getLong(1)).max.toDouble * s.length / n
+    assert(s.forall(r => math.abs(r.getDouble(3) - want) < 1e-12),
+      s"skew factor ${s.head.getDouble(3)} != $want")
+    assert(s.head.getLong(1) == s.map(_.getLong(1)).max,
+      "rows must order heaviest-first")
+    // erase the heaviest cell's vectors: the report must follow
+    val hot = s.head.getLong(0)
+    val hotIds = spark.read.parquet(
+        s"$store/vectors").filter(col("cell") === hot)
+      .select("vec_id").as[Long].collect().toSeq
+    VectorIndex.forget(spark, store, hotIds)
+    val s2 = VectorIndex.stats(spark, store).collect()
+    assert(s2.map(_.getLong(1)).sum == n - hotIds.length)
+    assert(!s2.map(_.getLong(0)).contains(hot), "emptied cell still listed")
+  }
+
   test("filtered ANN: restricting to the full id set is identity; a " +
     "proper subset returns only kept neighbors, identically to an " +
     "index holding just those vectors under the same quantizer") {
