@@ -330,7 +330,8 @@ object IngestPipeline {
     * makes the doc_id ≡ vec_id join sound. Semantics and the
     * selective-filter trade are stated on VectorIndex.search. */
   def searchCorpus(spark: SparkSession, root: String, queries: DataFrame,
-      pred: org.apache.spark.sql.Column, k: Int = 3): DataFrame = {
+      pred: org.apache.spark.sql.Column, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
     val corpus = corpusDir(root)
     // resume-before-probe (StagedSwap's contract), same as runScreens;
     // an absent corpus (fresh root, or everything forgotten) keeps
@@ -342,7 +343,7 @@ object IngestPipeline {
           .select(col("doc_id").as("vec_id"))
       else queries.select(col("vec_id")).limit(0)
     VectorIndex.search(spark, indexDir(root), queries, k,
-      restrict = Some(keep))
+      restrict = Some(keep), nprobe = nprobe)
   }
 
   /** KEYED ERASURE across the composition — the right-to-erasure face

@@ -196,11 +196,22 @@ object VectorIndex {
     * set and the k slots are not wasted on filtered-out vectors.
     * POST-filtering semantics, the standard trade: a highly selective
     * keep-set can leave fewer than k matches in the probed cells;
-    * raising nprobe or partitioning indexes by the filter column is
-    * the production escalation. Candidates are already bounded to the
-    * probed cells, so the semi-join's left side stays small. */
+    * raising `nprobe` (below) or partitioning indexes by the filter
+    * column is the production escalation. Candidates are already
+    * bounded to the probed cells, so the semi-join's left side stays
+    * small.
+    *
+    * `nprobe`: cells probed per query. 2 (the default) rides the
+    * codegen'd IvfAssignTop2 expression and is bit-identical to
+    * emb_ann_ivf; any other value scores the query against every
+    * centroid with the composed form (query side only — queries are
+    * the small frame; the same q·c − ½‖c‖² objective, ties to the
+    * lower cid) and probes the top nprobe cells. nprobe = #centroids
+    * degrades gracefully to exact brute-force search (spec-pinned) —
+    * the recall escalation for selective `restrict` filters. */
   def search(spark: SparkSession, store: String, queries: DataFrame,
-      k: Int = 3, restrict: Option[DataFrame] = None): DataFrame = {
+      k: Int = 3, restrict: Option[DataFrame] = None,
+      nprobe: Int = 2): DataFrame = {
     resumePendingCompact(spark, store)
     def emptyResult = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -215,19 +226,39 @@ object VectorIndex {
     if (!isTrained(spark, store)) return emptyResult
     val cents = centroids(spark, store)
     if (cents.isEmpty) return emptyResult
-    val asg: Column = graft.plans.GraftFunctions
-      .graftIvfAssign(spark, "qv", cents)
-    val q = normed(queries)
+    val qBase = normed(queries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("dot_self").as("q_dot"))
-      .withColumn("asg", asg)
-      .withColumn("probe", explode(array(col("asg.cell"), col("asg.cell2"))))
-      // a single-centroid quantizer assigns cell2 = null ("null iff 1
-      // centroid" — IvfAssignTop2's contract); the null probe can
-      // never join, drop it before the collect below would NPE on it
-      .filter(col("probe").isNotNull)
-      .drop("asg")
-      .localCheckpoint(true)
+    val q = (if (nprobe == 2) {
+        val asg: Column = graft.plans.GraftFunctions
+          .graftIvfAssign(spark, "qv", cents)
+        qBase
+          .withColumn("asg", asg)
+          .withColumn("probe",
+            explode(array(col("asg.cell"), col("asg.cell2"))))
+          // a single-centroid quantizer assigns cell2 = null ("null iff
+          // 1 centroid" — IvfAssignTop2's contract); the null probe can
+          // never join, drop it before the collect below would NPE
+          .filter(col("probe").isNotNull)
+          .drop("asg")
+      } else {
+        // composed top-N assignment, query side only (the small frame;
+        // ingest stays on the codegen'd top-2 expression): the same
+        // q·c − ½‖c‖² objective IvfAssignTop2 maximizes, ties to the
+        // lower cid
+        import spark.implicits._
+        val centsDf = broadcast(cents.toDF("cid", "cv", "c_dot"))
+        val pw = Window.partitionBy("q_id")
+          .orderBy(col("pscore").desc, col("cid"))
+        qBase.crossJoin(centsDf)
+          .withColumn("pscore",
+            graft.operators.EmbeddingOps.dot(col("qv"), col("cv"))
+              - lit(0.5) * col("c_dot"))
+          .withColumn("prn", row_number().over(pw))
+          .filter(col("prn") <= nprobe)
+          .select(col("q_id"), col("qv"), col("q_dot"),
+            col("cid").as("probe"))
+      }).localCheckpoint(true)
     // a trained-but-empty store (no merge yet, or fully forgotten)
     // serves the EMPTY result, not an unreadable-path error
     if (!vectorsExist(spark, store)) return emptyResult

@@ -325,6 +325,52 @@ class VectorIndexSpec extends SparkSpec {
       "filtered search diverged from the subset-only index")
   }
 
+  test("nprobe escalation: probing every cell degrades gracefully to " +
+    "exact brute-force cosine top-k (bit-equal sims), and the best " +
+    "served similarity is monotone in nprobe") {
+    import graft.operators.EmbeddingOps
+    val store = Files.createTempDirectory("vidx14").toString + "/idx"
+    VectorIndex.train(spark, emb, store)
+    VectorIndex.mergeBatch(spark, emb, store)
+    val qs = emb.filter(col("vec_id") < 3)
+    val nCells = spark.read.parquet(s"$store/centroids").count().toInt
+    val full = VectorIndex.search(spark, store, qs, nprobe = nCells)
+      .select("q_id", "vec_id", "rn", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    // independent brute force: same fold-order dot, all stored vectors
+    val ev = emb
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(
+          col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("ds", EmbeddingOps.dot(col("v"), col("v")))
+      .filter(col("ds") > 0.0)
+    val qv = ev.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("ds").as("qd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("sim").desc, col("vec_id"))
+    val brute = ev.crossJoin(qv)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", EmbeddingOps.dot(col("qv"), col("v"))
+        / (sqrt(col("qd")) * sqrt(col("ds"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("q_id", "vec_id", "rn", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      .toSet
+    assert(full == brute,
+      s"all-cells probe diverged from brute force: ${full.take(3)}")
+    // monotone: the best served similarity never drops as nprobe grows
+    def best(n: Int): Map[Long, Double] =
+      VectorIndex.search(spark, store, qs, nprobe = n)
+        .filter(col("rn") === 1).collect()
+        .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val (b2, b4) = (best(2), best(4))
+    assert(b4.forall { case (qid, s4) =>
+      b2.get(qid).forall(_ <= s4 + 1e-15) },
+      s"nprobe=4 served worse than nprobe=2: $b2 vs $b4")
+  }
+
   test("streaming maintain: a checkpointed file stream builds the same " +
     "index as one-shot ingest, across a restart") {
     import spark.implicits._
