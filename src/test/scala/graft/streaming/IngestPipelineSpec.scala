@@ -322,6 +322,28 @@ class IngestPipelineSpec extends SparkSpec {
       col("source") === "sa").isEmpty)
   }
 
+  test("pipeline soak: per-batch cost stays flat as all five stores " +
+    "grow — every tier's store probe is bounded, so a fresh batch " +
+    "reads no store bytes on any screen or admission path") {
+    val root = Files.createTempDirectory("pipe-soak").toString + "/p"
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "8").toInt
+    val times = (0 until nBatches).map { b =>
+      val docs = (0 until 30)
+        .map(i => row(b * 1000L + i, passText(f"b${b}%01dx$i%02d", s"t$b-$i")))
+        .toDF("doc_id", "text", "lang", "source")
+      val t0 = System.nanoTime()
+      val r = IngestPipeline.mergeBatch(spark, docs, root, b.toLong)
+      assert(r.admitted == 30L, s"batch $b: $r")
+      (System.nanoTime() - t0) / 1e9
+    }
+    info(s"per-batch sec: ${times.map(t => f"$t%.2f").mkString(", ")}")
+    val first = times.take(3).sorted.apply(1)
+    val last = times.takeRight(3).sorted.apply(1)
+    assert(last <= first * 3.0 + 2.0,
+      s"per-batch cost grew with the stores: first-3 median $first, " +
+        s"last-3 median $last")
+  }
+
   test("throughput: sustained docs/s through the full DAG (recorded in " +
     "BASELINE.md beside the signal-path events/s)") {
     val root = Files.createTempDirectory("pipe4").toString + "/p"
