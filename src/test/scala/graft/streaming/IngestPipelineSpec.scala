@@ -210,6 +210,50 @@ class IngestPipelineSpec extends SparkSpec {
       "streaming stores incoherent")
   }
 
+  test("randomized trials: any id-ordered batch split with random " +
+    "crash injection + replay converges to the reference stores " +
+    "(seeded; generalizes the fixed crash matrix)") {
+    val rnd = new scala.util.Random(7)
+    val base = Files.createTempDirectory("piperand").toString
+    val ref = s"$base/ref"
+    IngestPipeline.mergeBatch(spark, b1, ref, 0L)
+    IngestPipeline.mergeBatch(spark, b2, ref, 1L)
+    val want = snapshot(ref)
+    // id-ordered splits model the stream's arrival order: every
+    // interacting pair's LOWER (winning) member lands in the stores
+    // no later than its higher peer, so any such split must produce
+    // the same admitted set as the 2-batch reference
+    val ids = b1.unionByName(b2).select("doc_id").as[Long].collect().sorted
+    val stages = Seq("neardup", "substr", "index", "corpus", "stats")
+    for (trial <- 0 until 3) {
+      val root = s"$base/t$trial"
+      val cutIds = rnd.shuffle(ids.drop(1).toSeq).take(rnd.nextInt(3) + 1).toSet
+      val batches = ids.foldLeft(Vector(Vector.empty[Long])) { (acc, id) =>
+        if (cutIds(id)) acc :+ Vector(id)
+        else acc.init :+ (acc.last :+ id)
+      }.filter(_.nonEmpty)
+      var bid = 0L
+      for (bIds <- batches) {
+        val batch = b1.unionByName(b2).filter(col("doc_id").isin(bIds: _*))
+        if (rnd.nextBoolean()) {
+          // inject a crash after a random stage commit (which may not
+          // fire if the batch admits nothing — then no crash happens)
+          val stage = stages(rnd.nextInt(stages.length))
+          try {
+            IngestPipeline.mergeBatch(spark, batch, root, bid,
+              afterStage = s =>
+                if (s == stage) throw new RuntimeException(s"crash@$s"))
+            ()
+          } catch { case _: RuntimeException => () }
+        }
+        IngestPipeline.mergeBatch(spark, batch, root, bid) // the replay
+        bid += 1
+      }
+      assert(snapshot(root) == want,
+        s"trial $trial (cuts $cutIds) diverged from the reference")
+    }
+  }
+
   test("an interrupted maintenance swap (forget/compactAll crash " +
     "between delete and rename) is resumed by the next batch: the " +
     "store must not read as absent — screens would degrade, duplicates " +
