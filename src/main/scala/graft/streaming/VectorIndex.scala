@@ -212,6 +212,7 @@ object VectorIndex {
   def search(spark: SparkSession, store: String, queries: DataFrame,
       k: Int = 3, restrict: Option[DataFrame] = None,
       nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     resumePendingCompact(spark, store)
     def emptyResult = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -305,12 +306,21 @@ object VectorIndex {
         StructField("cell", LongType), StructField("n_vectors", LongType),
         StructField("share", DoubleType),
         StructField("skew_factor", DoubleType))))
-    if (!vectorsExist(spark, store)) return emptyStats
+    if (!isTrained(spark, store) || !vectorsExist(spark, store))
+      return emptyStats
+    // EVERY trained cell is listed — empty ones at 0 — and the skew
+    // denominator is the TRAINED cell count: dividing by the count of
+    // non-empty cells would read total concentration into one cell
+    // (the exact drift this diagnostic exists to detect) as a
+    // perfectly uniform skew_factor of 1.0
+    import spark.implicits._
+    val cells = centroids(spark, store).map(_._1).toDF("cell")
     val counts = spark.read.parquet(vecDir(spark, store))
       .select(col("cell").cast("long").as("cell"), col("vec_id"))
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
     val w = Window.partitionBy()
-    counts
+    cells.join(counts, Seq("cell"), "left")
+      .withColumn("n_vectors", coalesce(col("n_vectors"), lit(0L)))
       .withColumn("n_rows", sum(col("n_vectors")).over(w))
       .withColumn("n_cells", count(lit(1)).over(w))
       .withColumn("mx", max(col("n_vectors")).over(w))

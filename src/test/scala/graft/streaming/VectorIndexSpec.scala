@@ -280,14 +280,30 @@ class VectorIndexSpec extends SparkSpec {
     VectorIndex.mergeBatch(spark, emb, store)
     val s = VectorIndex.stats(spark, store).collect()
     val n = emb.count()
+    val nTrained = spark.read.parquet(s"$store/centroids").count().toInt
+    assert(s.length == nTrained,
+      "every TRAINED cell must be listed (empty ones at 0)")
     assert(s.map(_.getLong(1)).sum == n, "counts must conserve the store")
     assert(math.abs(s.map(_.getDouble(2)).sum - 1.0) < 1e-9,
       "shares must sum to 1")
-    val want = s.map(_.getLong(1)).max.toDouble * s.length / n
+    val want = s.map(_.getLong(1)).max.toDouble * nTrained / n
     assert(s.forall(r => math.abs(r.getDouble(3) - want) < 1e-12),
       s"skew factor ${s.head.getDouble(3)} != $want")
     assert(s.head.getLong(1) == s.map(_.getLong(1)).max,
       "rows must order heaviest-first")
+    // the DETECTION property: a near-empty store (16 trained cells, 5
+    // vectors) must read as heavily skewed, not uniform — a
+    // non-empty-cells denominator would report 1.0 for total
+    // concentration, the exact drift this diagnostic exists to catch
+    val store3 = Files.createTempDirectory("vidx15").toString + "/idx"
+    VectorIndex.train(spark, emb, store3)
+    VectorIndex.mergeBatch(spark, emb.limit(5), store3)
+    val s3 = VectorIndex.stats(spark, store3).collect()
+    assert(s3.length == 16 && s3.map(_.getLong(1)).sum == 5)
+    assert(s3.count(_.getLong(1) == 0L) >= 11,
+      "empty trained cells missing from the report")
+    assert(s3.head.getDouble(3) >= 16.0 / 5,
+      s"concentration must register as skew: ${s3.head.getDouble(3)}")
     // erase the heaviest cell's vectors: the report must follow
     val hot = s.head.getLong(0)
     val hotIds = spark.read.parquet(
