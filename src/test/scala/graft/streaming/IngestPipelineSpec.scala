@@ -210,6 +210,26 @@ class IngestPipelineSpec extends SparkSpec {
       "streaming stores incoherent")
   }
 
+  test("real-corpus parity: the oracle-checked doc_ingest_cascade " +
+    "equals one mergeBatch of the sf documents table — stage counts " +
+    "match the BatchReport and the admitted set IS the corpus store") {
+    val root = Files.createTempDirectory("pipecorpus").toString + "/p"
+    val docs = graft.Tables.documentsPar(spark, sf())
+      .select("doc_id", "lang", "source", "text")
+    val stages = IngestPipeline.cascadeFrame(spark, docs)
+      .as[(Long, String)].collect()
+    val n = stages.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val r = IngestPipeline.mergeBatch(spark, docs, root, 0L)
+    assert(r == IngestPipeline.BatchReport(stages.length.toLong,
+      n.getOrElse("gate", 0L), n.getOrElse("exact", 0L),
+      n.getOrElse("near", 0L), n.getOrElse("substr", 0L),
+      n.getOrElse("admitted", 0L)),
+      s"cascade stages $n vs real-corpus mergeBatch $r")
+    val admitted = stages.collect { case (id, "admitted") => id }.sorted.toSeq
+    assert(corpusIds(root) == admitted,
+      "the admitted stage rows must be exactly the corpus store")
+  }
+
   test("randomized trials: any id-ordered batch split with random " +
     "crash injection + replay converges to the reference stores " +
     "(seeded; generalizes the fixed crash matrix)") {
