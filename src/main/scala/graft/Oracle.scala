@@ -2260,6 +2260,64 @@ FROM a ORDER BY doc_id""",
     // posexplode.
     "doc_substring_dedup" -> substringSql,
 
+    // Twin of TextOps.substringStrip — ExactSubstr's REMOVAL side:
+    // the same positional-gram derivation as substringSql, but the
+    // duplicated set uses the LOWER-id-peer convention (keep-first-
+    // occurrence: min-holder keeps its copy; min!=max would delete
+    // both), islands merge as in the report, and the kept tokens
+    // reassemble by an index anti-join + ordered list aggregate.
+    "doc_substring_strip" ->
+      s"""WITH t AS (
+  SELECT doc_id, $tokensExpr AS toks,
+    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
+  FROM documents),
+t2 AS (
+  SELECT doc_id, toks, n_tokens,
+    CAST(greatest(n_tokens - 7, 0) AS BIGINT) AS n_grams
+  FROM t),
+p0 AS (
+  SELECT doc_id, n_grams,
+    list_transform(range(1, CAST(n_grams AS INT) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS hs
+  FROM t2),
+p1 AS (
+  SELECT doc_id,
+    unnest(range(1, CAST(n_grams AS INT) + 1)) AS i,
+    unnest(hs) AS h
+  FROM p0),
+p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM p1),
+mnh AS (SELECT h, min(doc_id) AS mn FROM p GROUP BY h),
+dp AS (SELECT p.doc_id, p.pos FROM p JOIN mnh USING (h)
+  WHERE p.doc_id > mnh.mn),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+      THEN 1 ELSE 0 END AS brk
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl2 AS (
+  SELECT doc_id, pos,
+    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl),
+sp AS (SELECT doc_id, island, MIN(pos) AS a, MAX(pos) + 7 AS b
+  FROM isl2 GROUP BY 1, 2),
+tok AS (SELECT doc_id, unnest(toks) AS tk,
+    CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS i FROM t),
+kept AS (
+  SELECT tok.doc_id, tok.tk, tok.i
+  FROM tok LEFT JOIN sp ON sp.doc_id = tok.doc_id
+    AND tok.i >= sp.a AND tok.i <= sp.b
+  WHERE sp.doc_id IS NULL),
+ka AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+    array_to_string(list(tk ORDER BY i), ' ') AS stripped
+  FROM kept GROUP BY 1)
+SELECT t.doc_id, t.n_tokens,
+  CAST(t.n_tokens - coalesce(ka.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+  CAST(coalesce(ka.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+  coalesce(ka.stripped, '') AS stripped
+FROM t LEFT JOIN ka USING (doc_id) ORDER BY t.doc_id""",
+
     // Twin of TextOps.lengthHistogram: bucket = bit length − 1 (both
     // engines' bin() emits no leading zeros — no floating log), bounds
     // via checked shifts on small exponents, share per source.

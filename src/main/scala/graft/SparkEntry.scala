@@ -114,6 +114,7 @@ object SparkEntry {
     "doc_gopher_rules" -> ((s, d) => TextOps.gopherRules(s, d)),
     "doc_span_dedup" -> ((s, d) => TextOps.spanDedup(s, d)),
     "doc_substring_dedup" -> ((s, d) => TextOps.substringDedup(s, d)),
+    "doc_substring_strip" -> ((s, d) => TextOps.substringStrip(s, d)),
     "doc_leakage_split" -> ((s, d) => TextOps.leakageSplit(s, d)),
     "dedup_keep_best" -> ((s, d) => TextOps.dedupKeepBest(s, d)),
     "doc_training_set" -> ((s, d) => TextOps.trainingSet(s, d)),

@@ -571,7 +571,18 @@ object TextOps {
     * fold — windows partition by doc_id, bounded by document length)
     * and emit (n_spans, n_dup_pos, dup_tokens). Shared by the batch
     * face and streaming.SubstrIngest. */
-  private[graft] def substrIslands(dupPos: DataFrame, k: Int): DataFrame = {
+  private[graft] def substrIslands(dupPos: DataFrame, k: Int): DataFrame =
+    substrSpanExtents(dupPos, k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("n_pos")).as("n_dup_pos"),
+        sum(col("p1") - col("p0") + k).as("dup_tokens"))
+
+  /** The per-(doc, island) extent stage `substrIslands` folds into
+    * counts — exposed because the strip face needs the spans
+    * themselves. Windows partition by doc_id (bounded by document
+    * length); islands are disjoint by construction. */
+  private[graft] def substrSpanExtents(dupPos: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     dupPos
@@ -582,10 +593,6 @@ object TextOps {
       .groupBy("doc_id", "island")
       .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"),
         count(lit(1)).as("n_pos"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("n_pos")).as("n_dup_pos"),
-        sum(col("p1") - col("p0") + k).as("dup_tokens"))
   }
 
   /** substringDedup without the presentation sort (qualityStats'
@@ -617,6 +624,57 @@ object TextOps {
         (col("n_tokens") - coalesce(col("dup_tokens"), lit(0L))).as("clean_tokens"),
         (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
+  }
+
+  /** EXACT-SUBSTRING REMOVAL (`doc_substring_strip`) — the other half
+    * of Lee et al. 2022's ExactSubstr: `substringDedup` REPORTS the
+    * duplicated mass (and the ingest tier REJECTS majority-duplicated
+    * documents); production pipelines additionally STRIP the
+    * duplicated spans from the surviving copies, so exactly ONE
+    * occurrence of every duplicated passage remains in the corpus.
+    * Keep-first-occurrence at the document grain: a position is
+    * stripped iff a LOWER doc_id holds the same K-gram hash (the
+    * lower-id-peer convention the ingest tier shares) — the lowest
+    * holder keeps its copy verbatim; the report's symmetric min≠max
+    * convention would delete BOTH copies. Within-document repetition
+    * is deliberately untouched (`repetition`'s signal, not cross-doc
+    * mass); an exact duplicate of a lower doc strips to empty text.
+    *
+    * Shape: the shared positional-gram artifact feeds one bounded
+    * min-per-hash aggregate (two-long state, no df-cut needed — the
+    * substringDedup argument) and the same gaps-and-islands merge;
+    * per-doc span lists are bounded by document length, and the kept
+    * tokens reassemble in order with ONE index-filter higher-order
+    * function per row — no shuffle after the span aggregation.
+    * Output: (doc_id, n_tokens, removed_tokens, kept_tokens,
+    * stripped). */
+  def substringStrip(spark: SparkSession, dir: String): DataFrame =
+    substringStripFrame(Tables.documentsPar(spark, dir), SubstrK)
+
+  private[graft] def substringStripFrame(docs: DataFrame, k: Int): DataFrame = {
+    val pos = graft.Artifacts.shared(substrPosFrame(docs, k))
+    val lowest = pos.groupBy("h").agg(min(col("doc_id")).as("mn"))
+    val dp = pos.join(lowest, "h")
+      .filter(col("doc_id") > col("mn")).select("doc_id", "pos")
+    val spans = substrSpanExtents(dp, k)
+      .select(col("doc_id"),
+        struct(col("p0").as("a"), (col("p1") + (k - 1)).as("b")).as("sp"))
+      .groupBy("doc_id")
+      .agg(collect_list(col("sp")).as("spans"))
+    docs
+      .withColumn("toks", tokens)
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("spans", coalesce(col("spans"),
+        array().cast("array<struct<a:bigint,b:bigint>>")))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> NOT exists(spans, s -> i >= s.a AND i <= s.b))"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long")
+          .as("removed_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        array_join(col("kept"), " ").as("stripped"))
+      .orderBy("doc_id")
   }
 
   /** GOPHER-style rule signals (Rae et al. 2021 §A1.1; same family as

@@ -65,6 +65,56 @@ class SubstringDedupSpec extends SparkSpec {
     assert(m(4L) == ((1L, 13L, 20L)))
   }
 
+  /** Fixture corpus → (doc_id → (n_tokens, removed, kept, stripped)). */
+  private def runStrip(docs: Seq[(Long, String)]):
+      Map[Long, (Long, Long, Long, String)] = {
+    import spark.implicits._
+    TextOps.substringStripFrame(docs.toDF("doc_id", "text"), K).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+  }
+
+  test("substring strip: keep-first-occurrence — the lower doc keeps " +
+    "its copy verbatim, the higher doc loses exactly the island's " +
+    "token coverage, an exact duplicate strips to empty text, and " +
+    "short / self-repeating docs are untouched") {
+    val shared = words("dup", 12)
+    val d1 = s"${words("a", 10)} $shared ${words("b", 10)}"
+    val d2 = s"${words("c", 10)} $shared ${words("d", 10)}"
+    val selfRep = ((words("x", K) + " ") * 3).trim
+    val short = words("s", K - 1)
+    val m = runStrip(Seq(1L -> d1, 2L -> d2, 3L -> d1,
+      4L -> short, 5L -> selfRep))
+    assert(m(1L) == ((32L, 0L, 32L, d1)), s"lower doc touched: ${m(1L)}")
+    // doc 2: shared grams at positions 10..14 → one island covering
+    // token indexes 10..21 — exactly the 12 shared tokens
+    val d2kept = s"${words("c", 10)} ${words("d", 10)}"
+    assert(m(2L) == ((32L, 12L, 20L, d2kept)), s"got ${m(2L)}")
+    assert(m(3L) == ((32L, 32L, 0L, "")), "exact dup must strip to empty")
+    assert(m(4L) == ((K - 1L, 0L, K - 1L, short)), "sub-K doc touched")
+    assert(m(5L) == ((3L * K, 0L, 3L * K, selfRep)),
+      "self-repetition is repetition's signal — strip must not touch it")
+  }
+
+  test("substring strip conserves tokens on the real corpus, the kept " +
+    "text re-tokenizes to kept_tokens, and strip only touches docs " +
+    "the symmetric report already flags (lower-id ⊂ min≠max)") {
+    val docs = graft.Tables.documentsPar(spark, sf()).select("doc_id", "text")
+    val strip = TextOps.substringStripFrame(docs, K).collect()
+    assert(strip.nonEmpty && strip.exists(_.getLong(2) > 0),
+      "fixture corpus must exercise real stripping")
+    assert(strip.forall(r => r.getLong(2) + r.getLong(3) == r.getLong(1)),
+      "removed + kept must equal n_tokens")
+    assert(strip.forall(r =>
+      r.getString(4).split(" ").count(_.nonEmpty) == r.getLong(3)),
+      "stripped text must re-tokenize to kept_tokens")
+    val flagged = TextOps.substringDedupFrame(docs).collect()
+      .filter(_.getLong(5) > 0L).map(_.getLong(0)).toSet
+    assert(strip.filter(_.getLong(2) > 0).forall(r => flagged(r.getLong(0))),
+      "strip touched a doc the symmetric report calls clean")
+  }
+
   test("corpus-hot boilerplate (a span shared by EVERY document) is " +
     "flagged everywhere with bounded aggregate state — the no-df-cut claim") {
     val boiler = words("footer", 12)
