@@ -2261,31 +2261,14 @@ FROM a ORDER BY doc_id""",
     "doc_substring_dedup" -> substringSql,
 
     // Twin of TextOps.substringStrip — ExactSubstr's REMOVAL side:
-    // the same positional-gram derivation as substringSql, but the
-    // duplicated set uses the LOWER-id-peer convention (keep-first-
-    // occurrence: min-holder keeps its copy; min!=max would delete
-    // both), islands merge as in the report, and the kept tokens
-    // reassemble by an index anti-join + ordered list aggregate.
+    // the SAME positional-gram CTE prefix as substringSql (shared via
+    // substrPosCtes so the two cannot drift), but the duplicated set
+    // uses the LOWER-id-peer convention (keep-first-occurrence:
+    // min-holder keeps its copy; min!=max would delete both), islands
+    // merge as in the report, and the kept tokens reassemble by an
+    // index anti-join + ordered list aggregate.
     "doc_substring_strip" ->
-      s"""WITH t AS (
-  SELECT doc_id, $tokensExpr AS toks,
-    CAST(len($tokensExpr) AS BIGINT) AS n_tokens
-  FROM documents),
-t2 AS (
-  SELECT doc_id, toks, n_tokens,
-    CAST(greatest(n_tokens - 7, 0) AS BIGINT) AS n_grams
-  FROM t),
-p0 AS (
-  SELECT doc_id, n_grams,
-    list_transform(range(1, CAST(n_grams AS INT) + 1),
-      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 15)) AS BIGINT)) AS hs
-  FROM t2),
-p1 AS (
-  SELECT doc_id,
-    unnest(range(1, CAST(n_grams AS INT) + 1)) AS i,
-    unnest(hs) AS h
-  FROM p0),
-p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM p1),
+      s"""WITH $substrPosCtes,
 mnh AS (SELECT h, min(doc_id) AS mn FROM p GROUP BY h),
 dp AS (SELECT p.doc_id, p.pos FROM p JOIN mnh USING (h)
   WHERE p.doc_id > mnh.mn),
@@ -2571,10 +2554,12 @@ SELECT q_id, vec_id,
   CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS INT) AS rn, sim
 FROM sims QUALIFY rn <= 5 ORDER BY q_id, rn""")
 
-  /** twin of TextOps.substringDedup — shared by doc_substring_dedup
-    * and the corpus_report rollup */
-  private lazy val substringSql: String =
-      s"""WITH t AS (
+  /** Shared positional-gram CTE prefix (t, t2, p0, p1, p) — the ONE
+    * derivation the substring REPORT and STRIP twins both build on,
+    * so an edit to the gram convention (hash width, K, tokenizer)
+    * moves them together. */
+  private lazy val substrPosCtes: String =
+    s"""t AS (
   SELECT doc_id, $tokensExpr AS toks,
     CAST(len($tokensExpr) AS BIGINT) AS n_tokens
   FROM documents),
@@ -2592,7 +2577,12 @@ p1 AS (
     unnest(range(1, CAST(n_grams AS INT) + 1)) AS i,
     unnest(hs) AS h
   FROM p0),
-p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM p1),
+p AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, h FROM p1)"""
+
+  /** twin of TextOps.substringDedup — shared by doc_substring_dedup
+    * and the corpus_report rollup */
+  private lazy val substringSql: String =
+      s"""WITH $substrPosCtes,
 dh AS (SELECT h FROM p GROUP BY h HAVING min(doc_id) <> max(doc_id)),
 dp AS (SELECT p.doc_id, p.pos FROM p JOIN dh USING (h)),
 isl AS (

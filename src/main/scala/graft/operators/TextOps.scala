@@ -578,6 +578,18 @@ object TextOps {
         sum(col("n_pos")).as("n_dup_pos"),
         sum(col("p1") - col("p0") + k).as("dup_tokens"))
 
+  /** The (h, mn, mx) per-hash doc-id bounds — ONE full-corpus
+    * aggregate over the shared gram frame serving BOTH the report's
+    * min≠max duplicated-hash filter and the strip's lower-id-peer
+    * rule (running the two as separate aggregates paid the largest
+    * intermediate's shuffle twice per session). Cached like the gram
+    * frame itself; the aggregate state stays two longs per group. */
+  private def substrHashBounds(docs: DataFrame, k: Int): DataFrame =
+    graft.Artifacts.shared(
+      graft.Artifacts.shared(substrPosFrame(docs, k))
+        .groupBy("h")
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx")))
+
   /** The per-(doc, island) extent stage `substrIslands` folds into
     * counts — exposed because the strip face needs the spans
     * themselves. Windows partition by doc_id (bounded by document
@@ -610,8 +622,7 @@ object TextOps {
     val pos = graft.Artifacts.shared(substrPosFrame(docs, k))
     // cross-document duplicated hashes: min≠max over doc_id — two longs
     // of aggregate state per group, hot grams stay bounded
-    val dupH = pos.groupBy("h")
-      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val dupH = substrHashBounds(docs, k)
       .filter(col("mn") =!= col("mx"))
       .select("h")
     val perDoc = substrIslands(pos.join(dupH, "h").select("doc_id", "pos"), k)
@@ -647,14 +658,25 @@ object TextOps {
     * tokens reassemble in order with ONE index-filter higher-order
     * function per row — no shuffle after the span aggregation.
     * Output: (doc_id, n_tokens, removed_tokens, kept_tokens,
-    * stripped). */
+    * stripped).
+    *
+    * CAVEAT the report tier doesn't share: a 60-bit hash COLLISION is
+    * destructive here — it deletes up to K tokens of innocent text,
+    * where in `substringDedup` it only inflated a count (and the
+    * bit-exact oracle, sharing the hash, is blind to it). Birthday
+    * bound: ~1 expected collision near 2^30 ≈ 1e9 distinct grams, so
+    * at the 100 TB scale the hardening is a verbatim token-compare on
+    * the dp candidates against the min-holder's slice (one extra
+    * bounded join of the collided positions only) before stripping —
+    * named here rather than silently risked. */
   def substringStrip(spark: SparkSession, dir: String): DataFrame =
     substringStripFrame(Tables.documentsPar(spark, dir), SubstrK)
 
   private[graft] def substringStripFrame(docs: DataFrame, k: Int): DataFrame = {
     val pos = graft.Artifacts.shared(substrPosFrame(docs, k))
-    val lowest = pos.groupBy("h").agg(min(col("doc_id")).as("mn"))
-    val dp = pos.join(lowest, "h")
+    // doc_id > mn already implies mn != mx — the ONE shared bounds
+    // aggregate serves the report's min≠max filter and this rule
+    val dp = pos.join(substrHashBounds(docs, k).select("h", "mn"), "h")
       .filter(col("doc_id") > col("mn")).select("doc_id", "pos")
     val spans = substrSpanExtents(dp, k)
       .select(col("doc_id"),
