@@ -112,18 +112,76 @@ object CorpusIngest {
     * migration segment — the superset invariant): `admitted` must
     * already be anti-joined against the store and PINNED, so the
     * append cannot race its own input listing. Shared by `mergeBatch`
-    * and the composed pipeline's corpus admission. */
+    * and the composed pipeline's corpus admission. Since round 8 it
+    * maintains a SECOND side bloom over doc_id (`$store.idbloom`, same
+    * segment discipline, both blooms before the rows) so the composed
+    * pipeline's doc_id guard (`dropStoredIds`) stays zero-store-bytes
+    * for fresh batches; a pre-idbloom store gets its covering
+    * migration segment at the first round-8-era append. */
   private[streaming] def appendFresh(spark: SparkSession, store: String,
       admitted: DataFrame): Unit = {
     val bloomDir = s"$store.bloom"
-    if (storeExists(spark, store) &&
-        BloomSide.segPaths(spark, bloomDir).isEmpty)
-      BloomSide.writeSegment(spark, bloomDir,
-        spark.read.parquet(store).select("fp")
-          .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+    val idBloomDir = s"$store.idbloom"
+    if (storeExists(spark, store)) {
+      if (BloomSide.segPaths(spark, bloomDir).isEmpty)
+        BloomSide.writeSegment(spark, bloomDir,
+          spark.read.parquet(store).select("fp")
+            .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+      if (BloomSide.segPaths(spark, idBloomDir).isEmpty)
+        BloomSide.writeSegment(spark, idBloomDir,
+          spark.read.parquet(store).select("doc_id")
+            .stat.bloomFilter("doc_id", BloomSide.Expected, BloomSide.Fpp))
+    }
     BloomSide.writeSegment(spark, bloomDir,
       admitted.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+    BloomSide.writeSegment(spark, idBloomDir,
+      admitted.stat.bloomFilter("doc_id", BloomSide.Expected, BloomSide.Fpp))
     admitted.write.mode(SaveMode.Append).parquet(store)
+  }
+
+  /** Bounded doc_id guard for the composed pipeline's corpus admission
+    * (r7 ADVICE #1): drop batch rows whose doc_id the store already
+    * holds, so corpus doc_ids stay UNIQUE BY CONSTRUCTION — the
+    * doc_id ≡ vec_id coherence key searchCorpus and the governance
+    * counters rely on. The fp anti-join absorbs verbatim re-delivery;
+    * this guard absorbs the remaining case, a stored doc_id
+    * re-delivered with CHANGED text (which passes every screen — its
+    * fp is new). Keep-old is the system-wide convention: every other
+    * store's admission anti-joins at doc_id grain, so dropping the
+    * changed row here keeps the five stores coherent (to actually
+    * change a document: forget, then re-ingest — the doc_id
+    * immutability contract).
+    *
+    * Cost shape: the idbloom pre-screen clears a fresh batch without
+    * reading a store byte; bloom-positive ids reach an exact confirm
+    * pushed as IN literals into the doc_id column (footer min/max
+    * skipping on the range-laid store), falling back to a broadcast
+    * semi-join past the threshold — the same bounds as every other
+    * per-batch probe in this file. A pre-idbloom store probes its
+    * doc_id column unbounded until the first round-8-era append
+    * migrates it. */
+  private[streaming] def dropStoredIds(spark: SparkSession, batch: DataFrame,
+      store: String): DataFrame = {
+    if (!storeExists(spark, store)) return batch
+    val ids0 = batch.select("doc_id").distinct()
+    val ids = BloomSide.read(spark, s"$store.idbloom") match {
+      case Some(b) =>
+        val bc = spark.sparkContext.broadcast(b)
+        val might = udf((id: Long) => bc.value.mightContainLong(id))
+        ids0.filter(might(col("doc_id")))
+      case None => ids0 // pre-idbloom store: no pre-screen
+    }
+    val cand = ids.localCheckpoint(true)
+    val nCand = cand.count()
+    if (nCand == 0) return batch // fresh batch: store never read
+    val s0 = spark.read.parquet(store).select("doc_id")
+    val stored =
+      if (nCand <= BloomSide.IsinThreshold)
+        s0.filter(col("doc_id").isin(
+          cand.collect().map(_.getLong(0)).toSeq: _*))
+      else s0.join(broadcast(cand), Seq("doc_id"), "left_semi")
+    batch.join(stored.distinct().localCheckpoint(true),
+      Seq("doc_id"), "left_anti")
   }
 
   val timedDocSchema: StructType = docSchema.add("ts", TimestampType)

@@ -200,9 +200,19 @@ object IngestPipeline {
       // fp is already stored — its own prior admission, the only way a
       // survivor's fp reaches the store — anti-joins out on fp, and a
       // fresh batch reads ZERO corpus bytes here (the former doc_id
-      // anti-join re-scanned the whole store every batch)
-      val freshDocs = survivors.join(
-        scr.exactHits.select("fp").distinct(), Seq("fp"), "left_anti")
+      // anti-join re-scanned the whole store every batch). The fp
+      // anti-join alone misses a stored doc_id re-delivered with
+      // CHANGED text (new fp, passes every screen) — that row would
+      // break corpus doc_id uniqueness, the doc_id ≡ vec_id coherence
+      // key — so a second bounded guard drops already-stored doc_ids
+      // (idbloom pre-screen: still zero store bytes for fresh
+      // batches). Keep-old matches every other store's doc_id-grain
+      // anti-join; changing a document means forget-then-reingest
+      // (the doc_id immutability contract, as VectorIndex states).
+      val freshDocs = CorpusIngest.dropStoredIds(spark,
+        survivors.join(
+          scr.exactHits.select("fp").distinct(), Seq("fp"), "left_anti"),
+        corpus)
       val freshPinned = freshDocs.localCheckpoint(true)
       // shared append tail: fp bloom segment BEFORE the rows (BloomSide
       // superset invariant), with the pre-bloom migration segment
@@ -261,13 +271,27 @@ object IngestPipeline {
         .localCheckpoint(true)
     }.orderBy("doc_id")
 
+  /** A JVM-unique root that is asserted ABSENT on the default
+    * filesystem — the screens only probe, never create, so running
+    * them against it degrades every cross-store probe to the pure
+    * within-batch screen the oracle re-derives. A fixed literal here
+    * (r7's "/graft-absent-ingest-root") could silently collide with
+    * prior junk on a shared cluster and screen against it with no
+    * error (r7 ADVICE #3); the UUID path makes collision implausible
+    * and the assert makes it LOUD instead of silent. */
+  private lazy val absentRoot: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-absent-ingest-${java.util.UUID.randomUUID()}"
+
   private[streaming] def cascadeFrame(spark: SparkSession,
       docs: DataFrame): DataFrame = {
     val pinned = docs.localCheckpoint(true)
-    // stores under a path that never exists (the screens only probe,
-    // never create): every cross-store probe degrades to the pure
-    // within-batch screen
-    val scr = runScreens(spark, pinned, "/graft-absent-ingest-root",
+    // stores under a path that never exists: every cross-store probe
+    // degrades to the pure within-batch screen
+    val ap = new org.apache.hadoop.fs.Path(absentRoot)
+    require(!ap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(ap),
+      s"cascade's empty-store root unexpectedly exists: $absentRoot")
+    val scr = runScreens(spark, pinned, absentRoot,
       TextOps.DfCap, TextOps.SubstrK)
     pinned.select("doc_id")
       .join(scr.gated.select(col("doc_id"), lit(true).as("g")),

@@ -131,22 +131,40 @@ object SubstrIngest {
     hits.select("doc_id", "h").localCheckpoint(true)
   }
 
-  /** Cross-store duplicated positions: a batch position is duplicated
-    * iff a document OUTSIDE THE BATCH holds its hash in the store.
-    * ALL batch members' stored rows are excluded, not just the probing
-    * doc's own — own-doc exclusion alone is not replay-stable: after a
-    * partial admission, a replayed LOWER-id doc would start matching
-    * its higher-id batch peer's freshly stored hashes and flip a
-    * verdict the first run made with those hashes absent (the
-    * within-batch gate is mass-based, not pairwise-symmetric, so the
-    * near-dup screen's argument does not transfer). Within-batch
-    * duplication is governed solely by the lower-id-peer rule. */
+  /** Cross-store duplicated positions: a batch position of doc `d` is
+    * duplicated iff a stored row holds its hash under a doc that is NOT
+    * a batch peer with id ≥ d — i.e. a batch peer's stored rows stay
+    * visible exactly when that peer's id is LOWER than the probing
+    * doc's, the same lower-id-peer convention the within-batch rule
+    * uses, now carried uniformly across the store (r7 ADVICE #2; the
+    * r7 all-peers exclusion let a higher-id doc escape when a stored
+    * peer was re-delivered with CHANGED text, its old hashes excluded
+    * from everyone's probe).
+    *
+    * Replay stability (the r6 defect this rule must not reopen): rows a
+    * crashed partial admission stored mid-batch belong to peers whose
+    * pos frame holds the same hashes in THIS batch, so for any probing
+    * doc d a lower-id peer's mid-batch rows are already marked by the
+    * within-batch rule (batchMin ≤ peer < d) — visibility adds nothing
+    * — and a HIGHER-id peer's mid-batch rows remain excluded, which is
+    * where the r6 instability lived. Verdicts are therefore identical
+    * across replays after any admission prefix.
+    *
+    * Arrival-model caveat (documented, not enforced): if a NEW doc
+    * arrives with an id LOWER than a stored doc it duplicates (batched
+    * together with that doc's re-delivery), the lower-id-peer
+    * convention admits the new doc — it is the convention's canonical
+    * keeper — leaving both copies stored. Under the monotone-id
+    * arrival contract (`mergeBatch` scaladoc) stored ids are always
+    * below fresh ids and the case cannot arise. */
   private def crossDupPos(pos: DataFrame, storeHits: DataFrame): DataFrame = {
     val batchIds = pos.select(col("doc_id").as("store_doc")).distinct()
+      .withColumn("in_batch", lit(true))
     pos.join(
         storeHits.select(col("h"), col("doc_id").as("store_doc"))
-          .join(batchIds, Seq("store_doc"), "left_anti"),
+          .join(batchIds, Seq("store_doc"), "left"),
         Seq("h"))
+      .filter(col("in_batch").isNull || col("store_doc") < col("doc_id"))
       .select("doc_id", "pos")
   }
 
@@ -155,7 +173,16 @@ object SubstrIngest {
     * hashes were actually appended (0 on a verbatim replay; a
     * crash-healing replay re-counts the doc whose rows it completes).
     * `afterBloomWrite` is the crash-injection hook between the bloom
-    * segment and the parquet append (spec use). */
+    * segment and the parquet append (spec use).
+    *
+    * MONOTONE-ID ARRIVAL CONTRACT: fresh documents carry ids above
+    * every stored id (re-deliveries of stored ids are fine — that is
+    * what replay stability covers). The lower-id-peer convention makes
+    * the LOWEST id the canonical keeper of a duplicate set; a fresh doc
+    * arriving BELOW a stored duplicate is by convention the keeper and
+    * is admitted (see crossDupPos), leaving two stored copies. Sources
+    * that assign ids non-monotonically should remap at ingest (the
+    * synthetic feeds and every spec honor the contract). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String,
       k: Int = TextOps.SubstrK,
       afterBloomWrite: () => Unit = () => ()): (Long, Long) = {
@@ -260,8 +287,10 @@ object SubstrIngest {
 
   /** Screen WITHOUT admitting — the report face (doc_id, n_tokens,
     * dup_tokens, reject) for a batch against the current store. Same
-    * probe as mergeBatch (own-doc rows excluded), so replaying a batch
-    * this store already absorbed reports the ORIGINAL verdicts. */
+    * probe as mergeBatch (lower-id-peer visibility across the store),
+    * so replaying a batch this store already absorbed reports the
+    * ORIGINAL verdicts. The monotone-id arrival contract on
+    * `mergeBatch` applies here too. */
   def screen(spark: SparkSession, batch: DataFrame, store: String,
       k: Int = TextOps.SubstrK): DataFrame =
     screenWith(spark, batch, store, k, probe(spark, batch, store, k))

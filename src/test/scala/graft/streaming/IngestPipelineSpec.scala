@@ -135,6 +135,31 @@ class IngestPipelineSpec extends SparkSpec {
       s"cascade admitted $admittedIds vs corpus ${corpusIds(root)}")
   }
 
+  test("doc_id immutability guard (r7 advice #1): a stored doc_id " +
+    "re-delivered with CHANGED text is absorbed — corpus doc_ids stay " +
+    "unique and the originally admitted text wins (keep-old, matching " +
+    "every other store's doc_id-grain anti-join)") {
+    val root = Files.createTempDirectory("pipe-id").toString + "/p"
+    IngestPipeline.mergeBatch(spark, b1, root, 0L) // corpus: 1, 2, 5
+    // doc 1 re-delivered with entirely new gate-passing, non-duplicate
+    // text (new fp → passes every screen), alongside one fresh doc
+    val changed = Seq(
+      row(1, passText("ggg", "tailG")),
+      row(12, passText("hhh", "tailH")))
+      .toDF("doc_id", "text", "lang", "source")
+    IngestPipeline.mergeBatch(spark, changed, root, 1L)
+    val corpus = spark.read.parquet(IngestPipeline.corpusDir(root))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(corpus.map(_._1).toSeq == Seq(1L, 2L, 5L, 12L),
+      s"corpus ids (must be unique, with 12 admitted): ${corpus.map(_._1).toSeq}")
+    val t1 = corpus.filter(_._1 == 1L).map(_._2)
+    assert(t1.length == 1 && t1(0).contains("aaaw000"),
+      s"doc 1 must keep its ORIGINAL text, got: ${t1.toSeq.map(_.take(40))}")
+    // a verbatim replay of the mixed batch still appends nothing new
+    IngestPipeline.mergeBatch(spark, changed, root, 1L)
+    assert(corpusIds(root) == Seq(1L, 2L, 5L, 12L))
+  }
+
   test("crash matrix: a failure after EVERY stage converges on replay " +
     "to the crash-free stores (same batchId, as streaming replays)") {
     val base = Files.createTempDirectory("pipe2").toString

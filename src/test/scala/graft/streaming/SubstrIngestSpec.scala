@@ -78,6 +78,32 @@ class SubstrIngestSpec extends SparkSpec {
     assert(rep.forall(!_.getBoolean(3)), s"screen rejects on replay: ${rep.toSeq}")
   }
 
+  test("a batch peer's stored rows stay visible to HIGHER-id probers " +
+    "(lower-id-peer convention across the store, r7 advice #2): a new " +
+    "doc duplicating a stored peer's ORIGINAL text is rejected even " +
+    "when that peer rides the same batch with changed text") {
+    val store = Files.createTempDirectory("ss-peer").toString + "/st"
+    // admit doc 100 with text A
+    SubstrIngest.mergeBatch(spark,
+      Seq(doc(100, "a")).toDF("doc_id", "lang", "text"), store)
+    // batch: 100 re-delivered with CHANGED text (tag q — shares
+    // nothing), plus NEW doc 200 duplicating 100's ORIGINAL text. The
+    // r7 all-peers exclusion removed 100's stored "a" hashes from
+    // every probe (100 is a batch member), and 100's new pos frame has
+    // no "a" hashes either — 200 escaped both screens. Under the
+    // lower-id-peer rule 100 < 200, so 100's stored rows stay visible
+    // and 200 is rejected.
+    val b = Seq(doc(100, "q"), doc(200, "a")).toDF("doc_id", "lang", "text")
+    assert(SubstrIngest.mergeBatch(spark, b, store) == (1L, 1L),
+      "new doc duplicating a re-delivered peer's stored text escaped")
+    assert(storeIds(store) == Seq(100L))
+    // replay stability holds with the visibility widened: 100's fresh
+    // "q" hashes are now its own stored rows (own-doc: 100 < 100 is
+    // false → excluded), 200 rejects again
+    assert(SubstrIngest.mergeBatch(spark, b, store) == (0L, 1L),
+      "replay flipped a verdict after the peer-visibility widening")
+  }
+
   test("screen (the report face) is replay-stable: the same batch " +
     "screened before and after its own admission reports identical rows") {
     val store = Files.createTempDirectory("ss-screen").toString + "/st"
