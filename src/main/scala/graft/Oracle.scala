@@ -714,6 +714,35 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
     // divides the same integer-valued doubles in the same order. At a
     // production SF past 4096 distinct keys the sketch samples and this
     // twin stops applying — the sketch-tier accuracy spec takes over.
+    // Twin of Relational.hllDailyMerge — valid on the same exact-mode
+    // grounds as events_overlap_theta below: at lgConfigK = 14 the
+    // DataSketches HLL (and every union of them) stays in its coupon
+    // LIST/SET phase through the test SFs' 1,500 distinct users, where
+    // the estimate ≡ the exact distinct count (measured exact at all
+    // three SFs; lgK=12's coupon phase ended at ~1,024 and read 1488).
+    // Past the coupon phase (~4k distinct) the twin stops applying and
+    // the accuracy spec is the contract.
+    "hll_daily_merge" ->
+      """SELECT
+  CAST(count(DISTINCT epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000) AS BIGINT) AS n_days,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS merged_distinct_users
+FROM events""",
+
+    // Twin of TextOps.approxTopTokens — valid because the Misra-Gries
+    // ItemsSketch is EXACT whenever the vocabulary fits its map (no
+    // eviction ⇒ zero error ⇒ est = lb = ub = true count; the
+    // NO_FALSE_NEGATIVES cut keeps every nonzero counter). The
+    // synthetic corpus vocabulary (31 tokens) sits far below
+    // MaxMapSize = 1024 at every SF, which OperatorInvariantsSpec pins
+    // as the exact-mode law. Ties beyond rank k break by token in both
+    // engines; past map capacity the twin stops applying and the
+    // bound-containment spec is the contract.
+    "approx_top_tokens" ->
+      s"""WITH t AS (SELECT unnest($tokensExpr) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS est FROM t GROUP BY 1)
+SELECT token, est, est AS lb, est AS ub FROM c
+ORDER BY est DESC, token LIMIT 50""",
+
     "events_overlap_theta" ->
       """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
 c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM a GROUP BY 1),

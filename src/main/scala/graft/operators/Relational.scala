@@ -448,13 +448,24 @@ object Relational {
     * stored once per day in production) UNION into any larger window
     * without rescanning the raw data. The query materializes the daily
     * sketches and merges them; the spec checks the merged estimate
-    * against the exact distinct count. No oracle — sketch bytes are
-    * engine-specific (same rule as approx_distinct). */
+    * against the exact distinct count.
+    *
+    * lgConfigK = 14 puts the test SFs in the sketch's EXACT regime
+    * (the theta precedent, r7 verdict #4): a DataSketches HLL stays in
+    * its coupon LIST/SET phase — estimate ≡ exact distinct count, and
+    * the union of coupon-phase sketches is again coupon-phase — until
+    * the coupon set outgrows ~2^(lgK-2) keys. Measured: 1,500 distinct
+    * users (sf0.1) is exact at lgK=14 where lgK=12's phase ended at
+    * ~1,024 (1488 ≠ 1500). The DuckDB twin is therefore plain
+    * count(DISTINCT) at every test SF; past the coupon phase (~4k
+    * distinct at lgK=14 — any production SF) the twin stops applying
+    * and the spec's accuracy bound is the contract. The sketch stays
+    * honest at scale: 2^14 registers ≈ 16 KB per day ceiling. */
   def hllDailyMerge(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .withColumn("day", expr("unix_millis(ts) div 86400000"))
       .groupBy("day")
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
     daily.agg(
       count(lit(1)).as("n_days"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_distinct_users"))
