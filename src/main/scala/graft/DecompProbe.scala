@@ -87,6 +87,44 @@ object DecompProbe {
     }
     println(f"[decomp] hashtopk dot composed ${dotComposed}%.3f s vs " +
       f"LongDot ${dotCustom}%.3f s (${dotComposed / dotCustom}%.1fx)")
+    // ---- doc_fingerprint fp_roll share (VERDICT r7 next-round #3) ----
+    // fp_roll is an interpreted `aggregate` HOF folding a per-token
+    // md5-prefix — the heaviest per-row compute in the suite under
+    // load. Measure its share of the full query: the r2 doGenCode gate
+    // (≥20% of the query) decides whether a RollingHashUnits
+    // expression is warranted.
+    val fpBase = time("fingerprint: sans roll") {
+      Tables.documentsPar(spark, sfDir)
+        .withColumn("toks", graft.operators.TextOps.tokens)
+        .withColumn("fp_md5", md5(col("text").cast("binary")))
+        .withColumn("fp64",
+          conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+        .withColumn("n_shingles",
+          size(GraftFunctions.graftTrigrams(spark, "toks")).cast("long"))
+        .select("doc_id", "fp_md5", "fp64", "n_shingles")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val fpComposed = time("fingerprint: composed") {
+      Tables.documentsPar(spark, sfDir)
+        .withColumn("toks", graft.operators.TextOps.tokens)
+        .withColumn("fp_md5", md5(col("text").cast("binary")))
+        .withColumn("fp64",
+          conv(substring(col("fp_md5"), 1, 15), 16, 10).cast("long"))
+        .withColumn("n_shingles",
+          size(GraftFunctions.graftTrigrams(spark, "toks")).cast("long"))
+        .withColumn("fp_roll",
+          graft.operators.TextOps.fpRollComposed(col("toks")))
+        .select("doc_id", "fp_md5", "fp64", "n_shingles", "fp_roll")
+        .write.format("noop").mode("overwrite").save()
+    }
+    val fpFull = time("full doc_fingerprint") {
+      SparkEntry.queries("doc_fingerprint")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    println(f"[decomp] composed fp_roll ${fpComposed - fpBase}%.3f s = " +
+      f"${(fpComposed - fpBase) / fpComposed * 100}%.1f%% of the composed " +
+      f"query (gate: >=20%% -> RollingHashUnits; measured 55%% r8, landed); " +
+      f"custom-vs-composed ${fpComposed}%.3f -> ${fpFull}%.3f s")
     spark.stop()
   }
 }

@@ -159,6 +159,70 @@ object ClassifierScoreUnits {
       graft.operators.TextOps.clsWeight(b.toLong))
 }
 
+/** `graft_roll_hash(tokens)` — the fingerprint tier's order-sensitive
+  * POLYNOMIAL ROLLING HASH (TextOps.fingerprint fp_roll): left fold
+  * acc = (acc·31 + h) mod 1e9+7 over each token's 28-bit md5-prefix
+  * id (first 7 hex chars — the same digest-byte extraction as
+  * ClassifierScoreUnits). Matches the composed
+  * `aggregate(toks, 0L, (acc,t) -> …)` form exactly, null element →
+  * null result included — asserted by ExpressionParitySpec and the
+  * doc_fingerprint DuckDB oracle.
+  *
+  * Why (r7 verdict #3's measurement gate): the composed fold runs n
+  * interpreted lambda frames + n md5 Column evals per row (HOFs never
+  * codegen) and was the heaviest per-row compute in the suite under
+  * driver load; DecompProbe measures the roll stage at 40-55% of
+  * doc_fingerprint at sf0.1 — over the r2 doGenCode gate's 20% line.
+  * One digest + one fold step per token in a plain JVM loop, one eval
+  * per row — the ClassifierScoreUnits class of replacement, so
+  * CodegenFallback suffices (not inside a pair scan like LongDot).
+  * Measured win is REAL BUT BOUNDED (RollAb, 7 interleaved reps at
+  * sf0.1: stage median 0.160 → 0.143 s, min 0.146 → 0.114 s): the MD5
+  * digests dominate both forms — the expression sheds the lambda-frame
+  * + conv/substring string machinery, which is what made the composed
+  * form contention-hypersensitive under driver load. No overflow:
+  * acc < 1e9+7 keeps acc·31 + h < 2^35. */
+case class RollingHashUnits(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  // nullable beyond input-null propagation: a null ELEMENT nulls the
+  // composed fold (md5(null) poisons the accumulator), so it must
+  // null this form too
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    // one digest instance per (thread, lifetime), not per ROW — this
+    // expression evals once per row over the whole corpus, and
+    // MessageDigest.getInstance is a provider lookup + allocation
+    val md = RollingHashUnits.digests.get()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      // first 7 hex chars of the digest = bytes 0-2 + high nibble of 3
+      val h = ((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xf0L) >> 4)
+      acc = (acc * 31L + h) % 1000000007L
+      i += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): RollingHashUnits = copy(c)
+  override def prettyName: String = "graft_roll_hash"
+}
+
+object RollingHashUnits {
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+}
+
 /** `graft_dot_long(a, b)` — BIGINT dot product of two long arrays.
   * Unequal lengths yield NULL, matching the composed
   * `aggregate(zip_with(a, b, *), 0L, +)` form exactly: zip_with pads

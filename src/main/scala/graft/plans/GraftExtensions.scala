@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{ArrayPairs, ClassifierScoreUnits, HashEmbedUnits, LongDot, MinHashSignature, PairsGenerator, TrigramShingles}
+import graft.functions.{ArrayPairs, ClassifierScoreUnits, HashEmbedUnits, LongDot, MinHashSignature, PairsGenerator, RollingHashUnits, TrigramShingles}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.functions.expr
 
@@ -68,6 +68,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[LongDot].getName, "graft_dot_long"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LongDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_roll_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHashUnits].getName, "graft_roll_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHashUnits(exprs.head)))
   }
 }
 
@@ -121,6 +127,8 @@ object GraftFunctions {
       "graft_hash_embed", exprs => HashEmbedUnits(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot_long", exprs => LongDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_roll_hash", exprs => RollingHashUnits(exprs.head), "built-in")
   }
 
   /** column faces over named columns (register first, then `expr`) */
@@ -145,6 +153,9 @@ object GraftFunctions {
   }
   def graftClsScore(spark: SparkSession, tokensCol: String): Column = {
     register(spark); expr(s"graft_cls_score($tokensCol)")
+  }
+  def graftRollHash(spark: SparkSession, tokensCol: String): Column = {
+    register(spark); expr(s"graft_roll_hash($tokensCol)")
   }
 
   /** IVF top-2 centroid assignment over plan-time centroid constants.

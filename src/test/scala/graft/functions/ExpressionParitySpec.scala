@@ -121,6 +121,34 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("graft_roll_hash == composed aggregate md5-prefix fold, " +
+    "bit-identically, on the full corpus and edges") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // full corpus: every document's token array
+    val docs = Tables.documents(spark, sf())
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("custom", expr("graft_roll_hash(toks)"))
+      .withColumn("composed", TextOps.fpRollComposed(col("toks")))
+    assert(docs.filter(not(col("custom") <=> col("composed"))).count() == 0)
+    // edges: empty array → 0, single token, a null ELEMENT → null (the
+    // composed fold's md5(null) poisons its accumulator), null array
+    val edges = Seq(
+      (1L, Array[String]()),
+      (2L, Array("solo")),
+      (3L, Array("a", null, "b")),
+      (4L, null))
+      .toDF("id", "toks")
+      .withColumn("custom", expr("graft_roll_hash(toks)"))
+      .withColumn("composed", TextOps.fpRollComposed(col("toks")))
+    assert(edges.filter(not(col("custom") <=> col("composed"))).count() == 0,
+      s"edge parity broken: ${edges.collect().toSeq}")
+    val byId = edges.select("id", "custom").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(byId(1L).contains(0L) && byId(3L).isEmpty && byId(4L).isEmpty)
+  }
+
   test("graft_dot_long == composed aggregate(zip_with) fold, " +
     "bit-identically, on real embedding pairs and edges") {
     import spark.implicits._
