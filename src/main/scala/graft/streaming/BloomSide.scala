@@ -33,6 +33,17 @@ private[streaming] object BloomSide {
     * broadcast semi-join. */
   val IsinThreshold: Int = 4096
 
+  /** Segment count at which `read` folds the set back to ONE covering
+    * segment (write-merged-first, then drop the olds — superset at
+    * every instant, same discipline as `replaceAll`). One segment per
+    * append means the per-batch probe pays O(#appends) driver reads —
+    * flat in a short soak, but a 30-60 s production trigger crosses
+    * thousands of batches in days and the probe's fixed cost would
+    * grow without bound (r7 verdict #5). Compact-on-read caps it: the
+    * filters are fixed-parameter, so the merged filter is the same
+    * ~160 KB as one segment and merging loses nothing. */
+  val CompactAt: Int = 32
+
   private def fsOf(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,7 +58,13 @@ private[streaming] object BloomSide {
   }
 
   /** Merge every segment into one filter; None when no segment exists
-    * (pre-bloom store migration path — callers probe unbounded). */
+    * (pre-bloom store migration path — callers probe unbounded). Past
+    * `CompactAt` segments the merged filter is written back as one
+    * covering segment and the inputs dropped (new-first, so the set is
+    * a superset of the store at every instant; the streaming
+    * maintainers are single-writer per store, so no concurrent append
+    * races the fold). A crash between the write and the deletes leaves
+    * harmless over-selection, exactly like a crashed append. */
   def read(spark: SparkSession, dir: String): Option[BloomFilter] = {
     val segs = segPaths(spark, dir)
     if (segs.isEmpty) return None
@@ -60,7 +77,29 @@ private[streaming] object BloomSide {
         if (merged == null) merged = b else merged.mergeInPlace(b)
       } finally in.close()
     }
+    if (segs.length >= CompactAt) {
+      writeSegment(spark, dir, merged)
+      segs.foreach(p => fs.delete(p, false))
+    }
     Option(merged)
+  }
+
+  /** Build TWO fixed-parameter blooms — a string key and a long key —
+    * in ONE pass over `df` (r7 verdict #5's job-count shave: the
+    * corpus append needs an fp segment AND a doc_id segment, and two
+    * `stat.bloomFilter` calls pay two full jobs over the same rows).
+    * Put semantics match DataFrameStatFunctions.bloomFilter for these
+    * types (putString / putLong), so the segments merge with
+    * stat-built ones under the fixed parameters. */
+  def buildStrLong(df: org.apache.spark.sql.DataFrame, strCol: String,
+      longCol: String): (BloomFilter, BloomFilter) = {
+    import org.apache.spark.sql.functions.col
+    df.select(col(strCol), col(longCol)).rdd.treeAggregate(
+      (BloomFilter.create(Expected, Fpp), BloomFilter.create(Expected, Fpp)))(
+      { case ((s, l), r) =>
+          s.putString(r.getString(0)); l.putLong(r.getLong(1)); (s, l) },
+      { case ((s1, l1), (s2, l2)) =>
+          s1.mergeInPlace(s2); l1.mergeInPlace(l2); (s1, l1) })
   }
 
   def writeSegment(spark: SparkSession, dir: String,

@@ -122,20 +122,24 @@ object CorpusIngest {
       admitted: DataFrame): Unit = {
     val bloomDir = s"$store.bloom"
     val idBloomDir = s"$store.idbloom"
-    if (storeExists(spark, store)) {
+    if (storeExists(spark, store) &&
+        (BloomSide.segPaths(spark, bloomDir).isEmpty ||
+         BloomSide.segPaths(spark, idBloomDir).isEmpty)) {
+      // pre-bloom migration: ONE store pass builds both covering
+      // segments (write only the missing one — the other dir keeps its
+      // exact history)
+      val (fpAll, idAll) = BloomSide.buildStrLong(
+        spark.read.parquet(store), "fp", "doc_id")
       if (BloomSide.segPaths(spark, bloomDir).isEmpty)
-        BloomSide.writeSegment(spark, bloomDir,
-          spark.read.parquet(store).select("fp")
-            .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
+        BloomSide.writeSegment(spark, bloomDir, fpAll)
       if (BloomSide.segPaths(spark, idBloomDir).isEmpty)
-        BloomSide.writeSegment(spark, idBloomDir,
-          spark.read.parquet(store).select("doc_id")
-            .stat.bloomFilter("doc_id", BloomSide.Expected, BloomSide.Fpp))
+        BloomSide.writeSegment(spark, idBloomDir, idAll)
     }
-    BloomSide.writeSegment(spark, bloomDir,
-      admitted.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
-    BloomSide.writeSegment(spark, idBloomDir,
-      admitted.stat.bloomFilter("doc_id", BloomSide.Expected, BloomSide.Fpp))
+    // one job for both per-batch segments (r7 verdict #5's shave; two
+    // stat.bloomFilter calls paid two passes over the same pinned rows)
+    val (fpB, idB) = BloomSide.buildStrLong(admitted, "fp", "doc_id")
+    BloomSide.writeSegment(spark, bloomDir, fpB)
+    BloomSide.writeSegment(spark, idBloomDir, idB)
     admitted.write.mode(SaveMode.Append).parquet(store)
   }
 

@@ -68,6 +68,46 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.mergeBatch(spark, probe, store) == 1L)
   }
 
+  test("BloomSide: read folds the segment set to ONE past CompactAt " +
+    "without losing a key (r8 — the per-batch probe would otherwise pay " +
+    "O(#appends) driver reads forever), and buildStrLong is bit-exact " +
+    "with stat.bloomFilter on both columns") {
+    import org.apache.spark.util.sketch.BloomFilter
+    import spark.implicits._
+    val dir = Files.createTempDirectory("bloomside").toString + "/s.bloom"
+    val keys = (0 until BloomSide.CompactAt + 8).map(i => s"k$i")
+    keys.foreach { k =>
+      val bf = BloomFilter.create(BloomSide.Expected, BloomSide.Fpp)
+      bf.putString(k)
+      BloomSide.writeSegment(spark, dir, bf)
+    }
+    assert(BloomSide.segPaths(spark, dir).length == keys.size)
+    val merged = BloomSide.read(spark, dir).get
+    assert(keys.forall(merged.mightContainString), "fold lost a key")
+    assert(BloomSide.segPaths(spark, dir).length == 1,
+      "read past CompactAt must fold the segments to one")
+    val again = BloomSide.read(spark, dir).get
+    assert(keys.forall(again.mightContainString),
+      "the folded covering segment lost a key")
+
+    // one-pass dual build vs two stat.bloomFilter jobs: the put
+    // semantics (putString / putLong) and fixed parameters make the
+    // bit arrays ORDER-INDEPENDENT, so equality is exact, not
+    // probabilistic
+    val df = (0 until 500).map(i => (s"fp$i", 1000L + i)).toDF("fp", "doc_id")
+    val (bs, bl) = BloomSide.buildStrLong(df, "fp", "doc_id")
+    def bytes(b: BloomFilter): Seq[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      b.writeTo(o); o.toByteArray.toSeq
+    }
+    assert(bytes(bs) == bytes(
+      df.stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp)),
+      "string bloom differs from stat.bloomFilter")
+    assert(bytes(bl) == bytes(
+      df.stat.bloomFilter("doc_id", BloomSide.Expected, BloomSide.Fpp)),
+      "long bloom differs from stat.bloomFilter")
+  }
+
   test("watermark-horizon dedup: duplicates inside the horizon drop via " +
     "bounded state; a key aged out past the watermark is admitted again") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

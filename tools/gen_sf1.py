@@ -1,0 +1,180 @@
+#!/usr/bin/env python3
+"""Synthesize sf1 = 10x sf0.1 for the empirical scale check (round 8,
+verdict #2). Driver-side tooling only — the library never reads this in
+production; the data exists to measure sf0.1 -> sf1 runtime RATIOS of
+the heavy query tier.
+
+Construction (seed 42, replica r in 0..9, replica 0 = the originals):
+- every table gets fresh ids via id' = r*stride + id (stride = max+1),
+  so referential integrity (lineitem->orders/part/supplier,
+  orders->customer, customer->nation) is preserved per replica;
+- documents: replica texts are per-doc token SHUFFLES (seeded by
+  (r, doc_id)) — fresh content with the exact same length, vocabulary
+  and per-doc unigram distribution, no accidental near-dup relation to
+  the source — plus PLANTED duplicates per replica matching the
+  original per-capita density (8 exact pairs ~ the 4992/5000 distinct
+  rate; 42 near pairs with an 80% shared token prefix ~ the ~50
+  minhash-pair mass at sf0.1), so the pair-verify stages scale the way
+  a true 10x generator run would;
+- embeddings: replicas are the source vectors + per-dim Gaussian noise
+  at 0.7 sigma — far enough apart that replicas of one vector are not
+  mutual near-dups, keeping near-dup density per-capita flat;
+- events/orders/lineitem/customer/part/supplier: verbatim replication
+  under the id remap (10x users with the same per-user event counts,
+  10x orders with the same price distribution — group sizes scale,
+  value distributions stay fixed, which is what a bigger SF of the
+  same generator does); nation/region are fixed dims, copied.
+
+Usage: python3 tools/gen_sf1.py [outdir]  (default /tmp/graft_sf1)
+"""
+import os, random, sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
+R = 10
+SEED = 42
+
+os.makedirs(OUT, exist_ok=True)
+con = duckdb.connect()
+
+
+def src(name):
+    return f"read_parquet('{SRC}/{name}.parquet')"
+
+
+def stride(name, key):
+    return con.execute(f"SELECT max({key}) + 1 FROM {src(name)}").fetchone()[0]
+
+
+def copy_sql(name, sql):
+    con.execute(f"COPY ({sql}) TO '{OUT}/{name}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{OUT}/{name}.parquet')").fetchone()[0]
+    print(f"{name}: {n} rows")
+
+
+S_DOC = stride("documents", "doc_id")
+S_EMB = stride("embeddings", "vec_id")
+S_EVT = stride("events", "event_id")
+S_USR = stride("events", "user_id")
+S_ORD = stride("orders", "o_orderkey")
+S_CUS = stride("customer", "c_custkey")
+S_PRT = stride("part", "p_partkey")
+S_SUP = stride("supplier", "s_suppkey")
+
+# fixed dims
+for t in ("nation", "region"):
+    copy_sql(t, f"SELECT * FROM {src(t)}")
+
+copy_sql("customer", f"""
+  SELECT r * {S_CUS} + c_custkey AS c_custkey, c_name, c_nationkey,
+         c_acctbal, c_mktsegment
+  FROM {src('customer')} CROSS JOIN range({R}) t(r)""")
+
+copy_sql("supplier", f"""
+  SELECT r * {S_SUP} + s_suppkey AS s_suppkey, s_name, s_nationkey, s_acctbal
+  FROM {src('supplier')} CROSS JOIN range({R}) t(r)""")
+
+copy_sql("part", f"""
+  SELECT r * {S_PRT} + p_partkey AS p_partkey, p_name, p_brand, p_type,
+         p_size, p_retailprice
+  FROM {src('part')} CROSS JOIN range({R}) t(r)""")
+
+copy_sql("orders", f"""
+  SELECT r * {S_ORD} + o_orderkey AS o_orderkey,
+         r * {S_CUS} + o_custkey AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM {src('orders')} CROSS JOIN range({R}) t(r)""")
+
+copy_sql("lineitem", f"""
+  SELECT r * {S_ORD} + l_orderkey AS l_orderkey,
+         r * {S_PRT} + l_partkey AS l_partkey,
+         r * {S_SUP} + l_suppkey AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM {src('lineitem')} CROSS JOIN range({R}) t(r)""")
+
+copy_sql("events", f"""
+  SELECT r * {S_EVT} + event_id AS event_id, ts,
+         r * {S_USR} + user_id AS user_id, event_type, value, props
+  FROM {src('events')} CROSS JOIN range({R}) t(r)""")
+
+# ---- documents: shuffled replicas + planted dup pairs ----
+docs = con.execute(
+    f"SELECT doc_id, text, lang, source FROM {src('documents')} ORDER BY doc_id"
+).fetchall()
+vocab = sorted({t for _, text, _, _ in docs for t in text.split(" ")})
+rows = []
+for r in range(R):
+    rng = random.Random(f"{SEED}:{r}")
+    rep = []
+    for doc_id, text, lang, source in docs:
+        toks = text.split(" ")
+        if r > 0:
+            sh = random.Random(f"{SEED}:{r}:{doc_id}")
+            sh.shuffle(toks)
+        rep.append([r * S_DOC + doc_id, toks, lang, source])
+    if r > 0:
+        # planted duplicates, matching sf0.1's per-capita density
+        idx = list(range(len(rep)))
+        rng.shuffle(idx)
+        pos = 0
+        for _ in range(8):  # exact pairs
+            a, b = idx[pos], idx[pos + 1]
+            pos += 2
+            rep[b][1] = list(rep[a][1])
+        for _ in range(42):  # near pairs: 80% shared prefix, fresh tail
+            a, b = idx[pos], idx[pos + 1]
+            pos += 2
+            keep = max(1, int(len(rep[a][1]) * 0.8))
+            tail = [rng.choice(vocab) for _ in range(len(rep[a][1]) - keep)]
+            rep[b][1] = list(rep[a][1][:keep]) + tail
+    for doc_id, toks, lang, source in rep:
+        text = " ".join(toks)
+        rows.append((doc_id, text, lang, source, len(text)))
+
+tbl = pa.table(
+    {
+        "doc_id": pa.array([x[0] for x in rows], pa.int64()),
+        "text": pa.array([x[1] for x in rows], pa.string()),
+        "lang": pa.array([x[2] for x in rows], pa.string()),
+        "source": pa.array([x[3] for x in rows], pa.string()),
+        "n_chars": pa.array([x[4] for x in rows], pa.int64()),
+    }
+)
+pq.write_table(tbl, f"{OUT}/documents.parquet")
+print(f"documents: {len(rows)} rows")
+
+# ---- embeddings: noisy replicas ----
+embs = con.execute(
+    f"SELECT vec_id, embedding, label FROM {src('embeddings')} ORDER BY vec_id"
+).fetchall()
+dim = len(embs[0][1])
+# per-dim std for noise scaling
+stds = []
+for d in range(dim):
+    vals = [e[1][d] for e in embs]
+    m = sum(vals) / len(vals)
+    stds.append((sum((v - m) ** 2 for v in vals) / len(vals)) ** 0.5 or 1.0)
+erows = []
+for r in range(R):
+    for vec_id, emb, label in embs:
+        if r == 0:
+            v = list(emb)
+        else:
+            g = random.Random(f"{SEED}:emb:{r}:{vec_id}")
+            v = [emb[d] + g.gauss(0.0, 0.7 * stds[d]) for d in range(dim)]
+        erows.append((r * S_EMB + vec_id, v, label))
+etbl = pa.table(
+    {
+        "vec_id": pa.array([x[0] for x in erows], pa.int64()),
+        "embedding": pa.array([x[1] for x in erows], pa.list_(pa.float32())),
+        "label": pa.array([x[2] for x in erows], pa.int32()),
+    }
+)
+pq.write_table(etbl, f"{OUT}/embeddings.parquet")
+print(f"embeddings: {len(erows)} rows")
+print("done:", OUT)
