@@ -704,16 +704,6 @@ SELECT cohort_day, day - cohort_day AS k, CAST(count(*) AS BIGINT) AS n_users
 FROM e JOIN c USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // Twin of Relational.eventsOverlapTheta — valid because the theta
-    // sketch is in EXACT mode at every test SF: below 2^lgK = 4096
-    // retained keys it never samples (the testdata tops out at 1500
-    // distinct users, so audiences, intersections AND unions are all
-    // exact; OperatorInvariantsSpec pins the exact-mode law). In exact
-    // mode estimate = retained count and both 2-σ bounds collapse onto
-    // it, so the twin is plain exact distinct-set algebra; jaccard
-    // divides the same integer-valued doubles in the same order. At a
-    // production SF past 4096 distinct keys the sketch samples and this
-    // twin stops applying — the sketch-tier accuracy spec takes over.
     // Twin of Relational.hllDailyMerge — valid on the same exact-mode
     // grounds as events_overlap_theta below: at lgConfigK = 14 the
     // DataSketches HLL (and every union of them) stays in its coupon
@@ -743,6 +733,16 @@ c AS (SELECT token, CAST(count(*) AS BIGINT) AS est FROM t GROUP BY 1)
 SELECT token, est, est AS lb, est AS ub FROM c
 ORDER BY est DESC, token LIMIT 50""",
 
+    // Twin of Relational.eventsOverlapTheta — valid because the theta
+    // sketch is in EXACT mode at every test SF: below 2^lgK = 4096
+    // retained keys it never samples (the testdata tops out at 1500
+    // distinct users, so audiences, intersections AND unions are all
+    // exact; OperatorInvariantsSpec pins the exact-mode law). In exact
+    // mode estimate = retained count and both 2-σ bounds collapse onto
+    // it, so the twin is plain exact distinct-set algebra; jaccard
+    // divides the same integer-valued doubles in the same order. At a
+    // production SF past 4096 distinct keys the sketch samples and this
+    // twin stops applying — the sketch-tier accuracy spec takes over.
     "events_overlap_theta" ->
       """WITH a AS (SELECT DISTINCT event_type, user_id FROM events),
 c AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n FROM a GROUP BY 1),

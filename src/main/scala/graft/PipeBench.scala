@@ -65,6 +65,11 @@ object PipeBench {
           b.toLong,
           afterStage = s => marks(s) = (System.nanoTime() - t0) / 1e9)
         val sec = (System.nanoTime() - t0) / 1e9
+        // the listener bus is async — settle the counter before reading
+        // it, or jobs finishing at the batch tail count against the
+        // NEXT batch (and the last batch undercounts)
+        var settled = -1L
+        while (settled != jobs.get()) { settled = jobs.get(); Thread.sleep(100) }
         val nJobs = jobs.get() - j0
         totalDocs += n; totalSec += sec
         val stages = (Seq("screens+neardup" ->

@@ -33,15 +33,16 @@ private[streaming] object BloomSide {
     * broadcast semi-join. */
   val IsinThreshold: Int = 4096
 
-  /** Segment count at which `read` folds the set back to ONE covering
-    * segment (write-merged-first, then drop the olds — superset at
-    * every instant, same discipline as `replaceAll`). One segment per
-    * append means the per-batch probe pays O(#appends) driver reads —
-    * flat in a short soak, but a 30-60 s production trigger crosses
-    * thousands of batches in days and the probe's fixed cost would
-    * grow without bound (r7 verdict #5). Compact-on-read caps it: the
-    * filters are fixed-parameter, so the merged filter is the same
-    * ~160 KB as one segment and merging loses nothing. */
+  /** Segment count at which `writeSegmentFolding` folds the set back
+    * to ONE covering segment (write-merged-first, then drop the olds —
+    * superset at every instant, same discipline as `replaceAll`). One
+    * segment per append means the per-batch probe pays O(#appends)
+    * driver reads — flat in a short soak, but a 30-60 s production
+    * trigger crosses thousands of batches in days and the probe's
+    * fixed cost would grow without bound (r7 verdict #5). Folding at
+    * append time caps it: the filters are fixed-parameter, so the
+    * merged filter is the same ~160 KB as one segment and merging
+    * loses nothing. */
   val CompactAt: Int = 32
 
   private def fsOf(spark: SparkSession, path: String) =
@@ -58,13 +59,11 @@ private[streaming] object BloomSide {
   }
 
   /** Merge every segment into one filter; None when no segment exists
-    * (pre-bloom store migration path — callers probe unbounded). Past
-    * `CompactAt` segments the merged filter is written back as one
-    * covering segment and the inputs dropped (new-first, so the set is
-    * a superset of the store at every instant; the streaming
-    * maintainers are single-writer per store, so no concurrent append
-    * races the fold). A crash between the write and the deletes leaves
-    * harmless over-selection, exactly like a crashed append. */
+    * (pre-bloom store migration path — callers probe unbounded).
+    * PURE: probes run from report faces (SubstrIngest.screen,
+    * monitoring jobs) that may hold no write privilege — the segment
+    * fold happens at APPEND time instead (`writeSegmentFolding`),
+    * where the caller is a writer by definition. */
   def read(spark: SparkSession, dir: String): Option[BloomFilter] = {
     val segs = segPaths(spark, dir)
     if (segs.isEmpty) return None
@@ -77,11 +76,22 @@ private[streaming] object BloomSide {
         if (merged == null) merged = b else merged.mergeInPlace(b)
       } finally in.close()
     }
-    if (segs.length >= CompactAt) {
-      writeSegment(spark, dir, merged)
-      segs.foreach(p => fs.delete(p, false))
-    }
     Option(merged)
+  }
+
+  /** The per-append segment write: write the batch's segment, then —
+    * past `CompactAt` segments — fold the whole set back to ONE
+    * covering segment (merge, write-new-first, drop the inputs — a
+    * superset of the store at every instant; a crash between the
+    * write and the deletes leaves harmless over-selection, exactly
+    * like a crashed append). Append-time, not read-time: the caller
+    * here is the store's single writer, so the fold never races
+    * another writer and read-only probes stay read-only. */
+  def writeSegmentFolding(spark: SparkSession, dir: String,
+      bloom: BloomFilter): Unit = {
+    writeSegment(spark, dir, bloom)
+    if (segPaths(spark, dir).length >= CompactAt)
+      read(spark, dir).foreach(replaceAll(spark, dir, _))
   }
 
   /** Build TWO fixed-parameter blooms — a string key and a long key —

@@ -136,10 +136,11 @@ object CorpusIngest {
         BloomSide.writeSegment(spark, idBloomDir, idAll)
     }
     // one job for both per-batch segments (r7 verdict #5's shave; two
-    // stat.bloomFilter calls paid two passes over the same pinned rows)
+    // stat.bloomFilter calls paid two passes over the same pinned
+    // rows); the folding write caps each segment set at CompactAt
     val (fpB, idB) = BloomSide.buildStrLong(admitted, "fp", "doc_id")
-    BloomSide.writeSegment(spark, bloomDir, fpB)
-    BloomSide.writeSegment(spark, idBloomDir, idB)
+    BloomSide.writeSegmentFolding(spark, bloomDir, fpB)
+    BloomSide.writeSegmentFolding(spark, idBloomDir, idB)
     admitted.write.mode(SaveMode.Append).parquet(store)
   }
 

@@ -78,11 +78,11 @@ object IngestPipeline {
       nearRej: DataFrame,  // (doc_id) near-dup rejections among docs1
       docs2: DataFrame,    // + near-screen survivors
       substrRej: DataFrame, // (doc_id) substring rejections among docs2
-      survivors: DataFrame, // the final admitted set
+      survivors: DataFrame, // the screens' survivor set (mergeBatch
+                            // additionally doc_id-guards it before
+                            // any admission)
       grams: DataFrame, postings: DataFrame,
-      substrProbe: SubstrIngest.BatchProbe,
-      exactHits: DataFrame) // (fp, store_doc) corpus probe — complete
-                            // for the batch's fps
+      substrProbe: SubstrIngest.BatchProbe)
 
   /** Gate → exact → near-dup → substring, each screen seeing only the
     * previous screen's survivors, every store probe own-doc-excluded
@@ -145,7 +145,7 @@ object IngestPipeline {
     val survivors = docs2.join(substrRej, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     ScreenState(gated, docs1, nearRej, docs2, substrRej, survivors,
-      grams1, post1, substrProbe, exactHits)
+      grams1, post1, substrProbe)
   }
 
   /** Run one micro-batch through the full DAG. `afterStage` fires after
@@ -166,7 +166,23 @@ object IngestPipeline {
     val nNearRej = scr.nearRej.count()
     val nSubstrRej = scr.substrRej.count()
     val (grams1, post1) = (scr.grams, scr.postings)
-    val (substrProbe, survivors) = (scr.substrProbe, scr.survivors)
+    val substrProbe = scr.substrProbe
+    // doc_id immutability guard BEFORE ANY admission (r7 advice #1,
+    // tightened in r8 review): a stored doc_id re-delivered with
+    // CHANGED text has a fresh fp and passes every screen — admitted
+    // anywhere, it would corrupt that store (the vector index would
+    // double-index vec_id across two cells; the substring store would
+    // hold hashes of text the corpus never admitted, silently
+    // rejecting future legitimate docs). Dropping it here keeps ALL
+    // FIVE stores keep-old-coherent, not just the corpus. Bounded:
+    // idbloom pre-screen, zero store bytes for fresh batches. Replay
+    // is unharmed — a survivor fully admitted last run is dropped
+    // here (its id is stored), and one cut by a crash BEFORE the
+    // corpus append passes the guard and re-runs the idempotent
+    // admissions. Against absent stores (the cascade face) this is
+    // the identity.
+    val survivors = CorpusIngest.dropStoredIds(spark, scr.survivors,
+      corpus).localCheckpoint(true)
     val nAdmitted = survivors.count()
 
     // 5. admissions — each independently idempotent; order is free
@@ -195,29 +211,20 @@ object IngestPipeline {
         VectorIndex.train(spark, vecs, indexDir(root))
       VectorIndex.mergeBatch(spark, vecs, indexDir(root))
       afterStage("index")
-      // replay absorption rides the batch's OWN bloom-bounded probe
-      // (exactHits is complete for the batch's fps): a survivor whose
-      // fp is already stored — its own prior admission, the only way a
-      // survivor's fp reaches the store — anti-joins out on fp, and a
-      // fresh batch reads ZERO corpus bytes here (the former doc_id
-      // anti-join re-scanned the whole store every batch). The fp
-      // anti-join alone misses a stored doc_id re-delivered with
-      // CHANGED text (new fp, passes every screen) — that row would
-      // break corpus doc_id uniqueness, the doc_id ≡ vec_id coherence
-      // key — so a second bounded guard drops already-stored doc_ids
-      // (idbloom pre-screen: still zero store bytes for fresh
-      // batches). Keep-old matches every other store's doc_id-grain
-      // anti-join; changing a document means forget-then-reingest
-      // (the doc_id immutability contract, as VectorIndex states).
-      val freshDocs = CorpusIngest.dropStoredIds(spark,
-        survivors.join(
-          scr.exactHits.select("fp").distinct(), Seq("fp"), "left_anti"),
-        corpus)
-      val freshPinned = freshDocs.localCheckpoint(true)
-      // shared append tail: fp bloom segment BEFORE the rows (BloomSide
-      // superset invariant), with the pre-bloom migration segment
-      if (!freshPinned.isEmpty)
-        CorpusIngest.appendFresh(spark, corpus, freshPinned)
+      // replay absorption is the doc_id guard above: a survivor whose
+      // doc_id the store holds — its own prior admission (a DIFFERENT
+      // doc_id holding its fp was already rejected by the exact
+      // screen, and a changed-text re-delivery was dropped by the
+      // guard) — never reaches this append, and a fresh batch read
+      // ZERO corpus bytes getting here (idbloom pre-screen). The
+      // former fp anti-join against exactHits is therefore subsumed:
+      // every fp it could drop belongs to a doc_id the guard already
+      // dropped. Changing a document means forget-then-reingest (the
+      // doc_id immutability contract, as VectorIndex states).
+      // shared append tail: fp + doc_id bloom segments BEFORE the rows
+      // (BloomSide superset invariant), with the pre-bloom migration
+      // segment; survivors is pinned and nAdmitted > 0 here
+      CorpusIngest.appendFresh(spark, corpus, survivors)
       afterStage("corpus")
     }
 

@@ -238,8 +238,10 @@ object SubstrIngest {
             .stat.bloomFilter("h", BloomExpected, BloomFpp))
       // bloom BEFORE rows: a crash between them leaves the bloom a
       // superset (safe); the reverse order could leave stored hashes
-      // invisible to the pre-screen — admitted duplicates
-      writeBloomSegment(spark, store,
+      // invisible to the pre-screen — admitted duplicates. The folding
+      // write caps the segment set at BloomSide.CompactAt (writers
+      // fold; the screen/probe report faces stay read-only)
+      BloomSide.writeSegmentFolding(spark, bloomDir(store),
         fresh.stat.bloomFilter("h", BloomExpected, BloomFpp))
     }
     afterBloomWrite() // unconditional: the crash-injection point

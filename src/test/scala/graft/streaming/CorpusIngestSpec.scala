@@ -68,24 +68,28 @@ class CorpusIngestSpec extends SparkSpec {
     assert(CorpusIngest.mergeBatch(spark, probe, store) == 1L)
   }
 
-  test("BloomSide: read folds the segment set to ONE past CompactAt " +
-    "without losing a key (r8 — the per-batch probe would otherwise pay " +
-    "O(#appends) driver reads forever), and buildStrLong is bit-exact " +
-    "with stat.bloomFilter on both columns") {
+  test("BloomSide: the folding WRITE caps the segment set at one past " +
+    "CompactAt without losing a key (r8 — the per-batch probe would " +
+    "otherwise pay O(#appends) driver reads forever), read stays PURE " +
+    "(report faces may hold no write privilege), and buildStrLong is " +
+    "bit-exact with stat.bloomFilter on both columns") {
     import org.apache.spark.util.sketch.BloomFilter
     import spark.implicits._
     val dir = Files.createTempDirectory("bloomside").toString + "/s.bloom"
-    val keys = (0 until BloomSide.CompactAt + 8).map(i => s"k$i")
-    keys.foreach { k =>
+    def seg(k: String): BloomFilter = {
       val bf = BloomFilter.create(BloomSide.Expected, BloomSide.Fpp)
-      bf.putString(k)
-      BloomSide.writeSegment(spark, dir, bf)
+      bf.putString(k); bf
     }
-    assert(BloomSide.segPaths(spark, dir).length == keys.size)
-    val merged = BloomSide.read(spark, dir).get
-    assert(keys.forall(merged.mightContainString), "fold lost a key")
+    val keys = (0 until BloomSide.CompactAt + 8).map(i => s"k$i")
+    keys.dropRight(1).foreach(k => BloomSide.writeSegment(spark, dir, seg(k)))
+    // read is PURE even past CompactAt — probing must never mutate
+    assert(BloomSide.read(spark, dir).isDefined)
+    assert(BloomSide.segPaths(spark, dir).length == keys.size - 1,
+      "read must not fold (report faces are read-only)")
+    // the WRITER's folding append crosses the threshold and folds
+    BloomSide.writeSegmentFolding(spark, dir, seg(keys.last))
     assert(BloomSide.segPaths(spark, dir).length == 1,
-      "read past CompactAt must fold the segments to one")
+      "the folding write past CompactAt must fold the segments to one")
     val again = BloomSide.read(spark, dir).get
     assert(keys.forall(again.mightContainString),
       "the folded covering segment lost a key")

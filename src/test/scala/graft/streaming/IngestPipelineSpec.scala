@@ -135,19 +135,23 @@ class IngestPipelineSpec extends SparkSpec {
       s"cascade admitted $admittedIds vs corpus ${corpusIds(root)}")
   }
 
-  test("doc_id immutability guard (r7 advice #1): a stored doc_id " +
-    "re-delivered with CHANGED text is absorbed — corpus doc_ids stay " +
-    "unique and the originally admitted text wins (keep-old, matching " +
-    "every other store's doc_id-grain anti-join)") {
+  test("doc_id immutability guard (r7 advice #1, tightened r8): a " +
+    "stored doc_id re-delivered with CHANGED text is absorbed BEFORE " +
+    "ANY admission — no store takes the new text: corpus keeps the " +
+    "original, the vector index holds ONE row for the vec_id (no " +
+    "cross-cell double-index), the substring store holds only the " +
+    "original text's hashes") {
     val root = Files.createTempDirectory("pipe-id").toString + "/p"
     IngestPipeline.mergeBatch(spark, b1, root, 0L) // corpus: 1, 2, 5
+    val before = snapshot(root)
     // doc 1 re-delivered with entirely new gate-passing, non-duplicate
     // text (new fp → passes every screen), alongside one fresh doc
     val changed = Seq(
       row(1, passText("ggg", "tailG")),
       row(12, passText("hhh", "tailH")))
       .toDF("doc_id", "text", "lang", "source")
-    IngestPipeline.mergeBatch(spark, changed, root, 1L)
+    val r = IngestPipeline.mergeBatch(spark, changed, root, 1L)
+    assert(r.admitted == 1L, s"only the fresh doc admits: $r")
     val corpus = spark.read.parquet(IngestPipeline.corpusDir(root))
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
     assert(corpus.map(_._1).toSeq == Seq(1L, 2L, 5L, 12L),
@@ -155,9 +159,22 @@ class IngestPipelineSpec extends SparkSpec {
     val t1 = corpus.filter(_._1 == 1L).map(_._2)
     assert(t1.length == 1 && t1(0).contains("aaaw000"),
       s"doc 1 must keep its ORIGINAL text, got: ${t1.toSeq.map(_.take(40))}")
+    // the OTHER stores also kept-old for doc 1 (the r8 review finding:
+    // a guard only at the corpus append leaves the index double-
+    // indexing vec_id 1 across cells and the substring store holding
+    // hashes of text the corpus never admitted)
+    val after = snapshot(root)
+    assert(after._5.count(_ == 1L) == 1,
+      s"vector index must hold exactly one row for vec_id 1: ${after._5}")
+    assert(after._4.filter(_._1 == 1L) == before._4.filter(_._1 == 1L),
+      "substring store must keep only doc 1's ORIGINAL hashes")
+    assert(after._2.count(_ == 1L) == 1 && after._3.count(_ == 1L) == 1,
+      "near-dup artifact must keep one doc 1")
     // a verbatim replay of the mixed batch still appends nothing new
     IngestPipeline.mergeBatch(spark, changed, root, 1L)
     assert(corpusIds(root) == Seq(1L, 2L, 5L, 12L))
+    assert(snapshot(root)._4 == after._4 && snapshot(root)._5 == after._5,
+      "replay must not grow the index or substring store")
   }
 
   test("crash matrix: a failure after EVERY stage converges on replay " +
