@@ -155,8 +155,20 @@ object IngestPipeline {
       batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
       afterStage: String => Unit = _ => ()): BatchReport = {
     val corpus = corpusDir(root)
-    // the batch feeds the gate AND the governance rollup — pin it once
-    val pinned = batch.localCheckpoint(true)
+    // ONE ROW PER doc_id at the door: an at-least-once source can
+    // deliver the same doc_id twice in one batch, and with CHANGED
+    // text the two rows carry distinct fps — both would pass every
+    // screen and both would admit, breaking doc_id uniqueness inside
+    // a single batch (the same corruption class the cross-batch guard
+    // below closes). Keeper = the lexicographically-smallest text
+    // fingerprint: deterministic, so a replay re-picks the same row.
+    // Verbatim same-id duplicates collapse to one row here too. The
+    // batch feeds the gate AND the governance rollup — pin it once.
+    val wId = Window.partitionBy("doc_id")
+      .orderBy(md5(col("text").cast("binary")))
+    val pinned = batch.withColumn("rn", row_number().over(wId))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
     val nIn = pinned.count()
     if (nIn == 0) return BatchReport(0, 0, 0, 0, 0, 0)
 

@@ -175,6 +175,23 @@ class IngestPipelineSpec extends SparkSpec {
     assert(corpusIds(root) == Seq(1L, 2L, 5L, 12L))
     assert(snapshot(root)._4 == after._4 && snapshot(root)._5 == after._5,
       "replay must not grow the index or substring store")
+
+    // WITHIN-batch changed-text dup (same corruption class): one
+    // doc_id delivered twice with different texts in ONE batch — only
+    // the deterministic keeper (smallest text md5) admits, everywhere
+    val twice = Seq(
+      row(13, passText("iii", "tailI")),
+      row(13, passText("jjj", "tailJ")))
+      .toDF("doc_id", "text", "lang", "source")
+    val r13 = IngestPipeline.mergeBatch(spark, twice, root, 2L)
+    assert(r13.nIn == 1L && r13.admitted == 1L,
+      s"same-id rows must collapse at the door: $r13")
+    val s13 = snapshot(root)
+    assert(s13._1.count(_ == 13L) == 1 && s13._5.count(_ == 13L) == 1,
+      "doc 13 must be single everywhere")
+    // replaying the double-delivery re-picks the same keeper: no growth
+    IngestPipeline.mergeBatch(spark, twice, root, 2L)
+    assert(snapshot(root)._4 == s13._4 && snapshot(root)._5 == s13._5)
   }
 
   test("crash matrix: a failure after EVERY stage converges on replay " +
