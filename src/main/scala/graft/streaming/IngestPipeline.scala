@@ -441,14 +441,19 @@ object IngestPipeline {
   }
 
   /** Streaming entry: JSON documents directory → the five maintained
-    * stores under ONE checkpoint. */
+    * stores under ONE checkpoint. The 1-second default trigger is the
+    * spec/demo shape; production deployments should pass a 30-60 s
+    * trigger — PipeBench's record (BASELINE.md r8): the DAG's ~8 s
+    * fixed cost amortizes to 0.7-1k docs/s per 8 cores at the
+    * 12.5-25k-doc batches such a trigger carries. */
   def ingest(spark: SparkSession, srcDir: String, root: String,
-      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.schema(CorpusIngest.docSchema).json(srcDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.ProcessingTime("1 second"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch.sparkSession, batch, root, id)
         ()
