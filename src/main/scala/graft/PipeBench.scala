@@ -57,20 +57,24 @@ object PipeBench {
       // the connector's cost, not the DAG's
       val batch = docs.filter(col("bn") === b).drop("bn").localCheckpoint(true)
       val n = batch.count()
+      // the listener bus is async — settle the counter (quiet for
+      // 100 ms) before reading it at EITHER end of the measured span,
+      // or the slice-pin jobs above leak into this batch's count and
+      // tail jobs leak into the next batch's
+      def settle(): Long = {
+        var last = -1L
+        while (last != jobs.get()) { last = jobs.get(); Thread.sleep(100) }
+        last
+      }
       if (n > 0) {
-        val j0 = jobs.get()
+        val j0 = settle()
         val marks = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         val t0 = System.nanoTime()
         val r = streaming.IngestPipeline.mergeBatch(spark, batch, root,
           b.toLong,
           afterStage = s => marks(s) = (System.nanoTime() - t0) / 1e9)
         val sec = (System.nanoTime() - t0) / 1e9
-        // the listener bus is async — settle the counter before reading
-        // it, or jobs finishing at the batch tail count against the
-        // NEXT batch (and the last batch undercounts)
-        var settled = -1L
-        while (settled != jobs.get()) { settled = jobs.get(); Thread.sleep(100) }
-        val nJobs = jobs.get() - j0
+        val nJobs = settle() - j0
         totalDocs += n; totalSec += sec
         val stages = (Seq("screens+neardup" ->
             marks.getOrElse("neardup", sec)) ++

@@ -63,20 +63,36 @@ private[streaming] object BloomSide {
     * PURE: probes run from report faces (SubstrIngest.screen,
     * monitoring jobs) that may hold no write privilege — the segment
     * fold happens at APPEND time instead (`writeSegmentFolding`),
-    * where the caller is a writer by definition. */
+    * where the caller is a writer by definition. A segment that
+    * vanishes mid-read (the writer's fold deleted it after this
+    * reader listed it) restarts the merge from a fresh listing — the
+    * fold writes its covering segment BEFORE the deletes, so a
+    * consistent superset always exists to re-read; partial merges are
+    * never returned (a skipped segment would be a false negative =
+    * admitted duplicates). */
   def read(spark: SparkSession, dir: String): Option[BloomFilter] = {
-    val segs = segPaths(spark, dir)
-    if (segs.isEmpty) return None
-    val fs = fsOf(spark, dir)
-    var merged: BloomFilter = null
-    segs.foreach { p =>
-      val in = fs.open(p)
+    var attempt = 0
+    while (true) {
+      val segs = segPaths(spark, dir)
+      if (segs.isEmpty) return None
+      val fs = fsOf(spark, dir)
+      var merged: BloomFilter = null
       try {
-        val b = BloomFilter.readFrom(in)
-        if (merged == null) merged = b else merged.mergeInPlace(b)
-      } finally in.close()
+        segs.foreach { p =>
+          val in = fs.open(p)
+          try {
+            val b = BloomFilter.readFrom(in)
+            if (merged == null) merged = b else merged.mergeInPlace(b)
+          } finally in.close()
+        }
+        return Option(merged)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 5) throw e // not a fold race — surface it
+      }
     }
-    Option(merged)
+    None // unreachable
   }
 
   /** The per-append segment write: write the batch's segment, then —

@@ -50,10 +50,15 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * corpus-sized pass per batch. */
 object IngestPipeline {
 
-  /** Per-batch admission accounting (gate → screens → admitted). */
-  final case class BatchReport(nIn: Long, gateRejected: Long,
-      exactRejected: Long, nearRejected: Long, substrRejected: Long,
-      admitted: Long)
+  /** Per-batch admission accounting. `nIn` counts RAW arrivals;
+    * `absorbed` counts rows the DOOR dropped before any screen — a
+    * same-doc_id duplicate inside the batch, or a doc_id some store
+    * already holds (re-delivery, verbatim or changed) — so the
+    * identity `nIn = absorbed + gateRejected + exactRejected +
+    * nearRejected + substrRejected + admitted` always holds. */
+  final case class BatchReport(nIn: Long, absorbed: Long,
+      gateRejected: Long, exactRejected: Long, nearRejected: Long,
+      substrRejected: Long, admitted: Long)
 
   private def dirExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -155,22 +160,52 @@ object IngestPipeline {
       batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
       afterStage: String => Unit = _ => ()): BatchReport = {
     val corpus = corpusDir(root)
-    // ONE ROW PER doc_id at the door: an at-least-once source can
-    // deliver the same doc_id twice in one batch, and with CHANGED
-    // text the two rows carry distinct fps — both would pass every
-    // screen and both would admit, breaking doc_id uniqueness inside
-    // a single batch (the same corruption class the cross-batch guard
-    // below closes). Keeper = the lexicographically-smallest text
-    // fingerprint: deterministic, so a replay re-picks the same row.
-    // Verbatim same-id duplicates collapse to one row here too. The
-    // batch feeds the gate AND the governance rollup — pin it once.
+    // the raw batch feeds the governance rollup — pin it once
+    val rawPinned = batch.localCheckpoint(true)
+    val nIn = rawPinned.count()
+    if (nIn == 0) return BatchReport(0, 0, 0, 0, 0, 0, 0)
+
+    // THE DOOR — both rules run BEFORE the screens, because a row the
+    // pipeline will not admit must also not act as a screen PEER
+    // (r8 review: a guard placed after the screens let a stored doc's
+    // changed-text re-delivery reject a legitimate fresh duplicate of
+    // that text, which then lived in NO store and, exactly-once, was
+    // never re-delivered).
+    // (1) ONE ROW PER doc_id: an at-least-once source can deliver the
+    // same doc_id twice in one batch; with changed text the rows carry
+    // distinct fps and both would admit, breaking doc_id uniqueness
+    // inside a single batch. Keeper = smallest (text md5, lang,
+    // source) — total order over the row, so a replay re-picks the
+    // same keeper even among verbatim-text relabels. Which VARIANT of
+    // a contract-violating changed-content double-delivery wins is
+    // deliberately unspecified-but-deterministic (the doc_id
+    // immutability contract makes the case a source bug).
+    // (2) STORED doc_ids drop (r7 advice #1): a stored doc_id
+    // re-delivered — verbatim or changed — admits nowhere (keep-old
+    // everywhere; to change a document: forget, then re-ingest).
+    // Bounded: idbloom pre-screen, zero store bytes for fresh batches.
+    // REPLAY STABILITY of the door: a doc fully admitted by a crashed
+    // run is door-dropped on replay, and every batch-peer rejection it
+    // caused transfers to the STORE screens — its fp is stored under
+    // its (different) doc_id (exact cross), its postings are stored
+    // (near cross), its K-gram hashes are stored under a non-peer doc
+    // (substring cross, lower-id-peer rule) — so replayed verdicts
+    // converge to the crash-free stores (crash matrix + randomized
+    // trials pin this).
     val wId = Window.partitionBy("doc_id")
-      .orderBy(md5(col("text").cast("binary")))
-    val pinned = batch.withColumn("rn", row_number().over(wId))
-      .filter(col("rn") === 1).drop("rn")
-      .localCheckpoint(true)
-    val nIn = pinned.count()
-    if (nIn == 0) return BatchReport(0, 0, 0, 0, 0, 0)
+      .orderBy(md5(col("text").cast("binary")), col("lang"), col("source"))
+    val pinned = CorpusIngest.dropStoredIds(spark,
+      rawPinned.withColumn("rn", row_number().over(wId))
+        .filter(col("rn") === 1).drop("rn"),
+      corpus).localCheckpoint(true)
+    val nDoor = pinned.count()
+    val nAbsorbed = nIn - nDoor
+    if (nDoor == 0) {
+      // governance still records the arrivals (batchId-gated)
+      CorpusStats.mergeBatch(spark, rawPinned, statsFile(root), batchId)
+      afterStage("stats")
+      return BatchReport(nIn, nAbsorbed, 0, 0, 0, 0, 0)
+    }
 
     val scr = runScreens(spark, pinned, root, dfCap, k)
     val nGated = scr.gated.count()
@@ -179,22 +214,7 @@ object IngestPipeline {
     val nSubstrRej = scr.substrRej.count()
     val (grams1, post1) = (scr.grams, scr.postings)
     val substrProbe = scr.substrProbe
-    // doc_id immutability guard BEFORE ANY admission (r7 advice #1,
-    // tightened in r8 review): a stored doc_id re-delivered with
-    // CHANGED text has a fresh fp and passes every screen — admitted
-    // anywhere, it would corrupt that store (the vector index would
-    // double-index vec_id across two cells; the substring store would
-    // hold hashes of text the corpus never admitted, silently
-    // rejecting future legitimate docs). Dropping it here keeps ALL
-    // FIVE stores keep-old-coherent, not just the corpus. Bounded:
-    // idbloom pre-screen, zero store bytes for fresh batches. Replay
-    // is unharmed — a survivor fully admitted last run is dropped
-    // here (its id is stored), and one cut by a crash BEFORE the
-    // corpus append passes the guard and re-runs the idempotent
-    // admissions. Against absent stores (the cascade face) this is
-    // the identity.
-    val survivors = CorpusIngest.dropStoredIds(spark, scr.survivors,
-      corpus).localCheckpoint(true)
+    val survivors = scr.survivors
     val nAdmitted = survivors.count()
 
     // 5. admissions — each independently idempotent; order is free
@@ -223,17 +243,12 @@ object IngestPipeline {
         VectorIndex.train(spark, vecs, indexDir(root))
       VectorIndex.mergeBatch(spark, vecs, indexDir(root))
       afterStage("index")
-      // replay absorption is the doc_id guard above: a survivor whose
-      // doc_id the store holds — its own prior admission (a DIFFERENT
-      // doc_id holding its fp was already rejected by the exact
-      // screen, and a changed-text re-delivery was dropped by the
-      // guard) — never reaches this append, and a fresh batch read
-      // ZERO corpus bytes getting here (idbloom pre-screen). The
-      // former fp anti-join against exactHits is therefore subsumed:
-      // every fp it could drop belongs to a doc_id the guard already
-      // dropped. Changing a document means forget-then-reingest (the
-      // doc_id immutability contract, as VectorIndex states).
-      // shared append tail: fp + doc_id bloom segments BEFORE the rows
+      // replay absorption is the DOOR's stored-id drop: a survivor
+      // whose doc_id the store holds — its own prior admission (a
+      // DIFFERENT doc_id holding its fp is rejected by the exact
+      // screen) — never reaches this append, and a fresh batch read
+      // ZERO corpus bytes getting here (idbloom pre-screen). Shared
+      // append tail: fp + doc_id bloom segments BEFORE the rows
       // (BloomSide superset invariant), with the pre-bloom migration
       // segment; survivors is pinned and nAdmitted > 0 here
       CorpusIngest.appendFresh(spark, corpus, survivors)
@@ -241,13 +256,14 @@ object IngestPipeline {
     }
 
     // 6. governance counters over the RAW arrivals (the ingress
-    // dashboard: what came in, not what survived), batchId-gated so a
-    // replay cannot double-add — last, so the gate records a batch only
-    // after every admission committed
-    CorpusStats.mergeBatch(spark, pinned, statsFile(root), batchId)
+    // dashboard: what came in, not what survived or even entered the
+    // screens), batchId-gated so a replay cannot double-add — last, so
+    // the gate records a batch only after every admission committed
+    CorpusStats.mergeBatch(spark, rawPinned, statsFile(root), batchId)
     afterStage("stats")
 
-    BatchReport(nIn, nIn - nGated, nExactRej, nNearRej, nSubstrRej, nAdmitted)
+    BatchReport(nIn, nAbsorbed, nDoor - nGated, nExactRej, nNearRej,
+      nSubstrRej, nAdmitted)
   }
 
   /** BATCH face of the composed ingest — the `doc_ingest_cascade`

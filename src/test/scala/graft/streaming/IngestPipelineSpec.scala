@@ -86,9 +86,9 @@ class IngestPipelineSpec extends SparkSpec {
     "all five stores admit the same survivor set") {
     val root = Files.createTempDirectory("pipe1").toString + "/p"
     val r1 = IngestPipeline.mergeBatch(spark, b1, root, batchId = 0L)
-    assert(r1 == IngestPipeline.BatchReport(7, 1, 1, 1, 1, 3), s"batch1: $r1")
+    assert(r1 == IngestPipeline.BatchReport(7, 0, 1, 1, 1, 1, 3), s"batch1: $r1")
     val r2 = IngestPipeline.mergeBatch(spark, b2, root, batchId = 1L)
-    assert(r2 == IngestPipeline.BatchReport(4, 0, 1, 1, 1, 1), s"batch2: $r2")
+    assert(r2 == IngestPipeline.BatchReport(4, 0, 0, 1, 1, 1, 1), s"batch2: $r2")
 
     val (corpus, grams, postings, substr, vecs, _) = snapshot(root)
     assert(corpus == Seq(1L, 2L, 5L, 8L), s"corpus: $corpus")
@@ -124,7 +124,7 @@ class IngestPipelineSpec extends SparkSpec {
     val n = stages.values.groupBy(identity).view.mapValues(_.size).toMap
     val root = Files.createTempDirectory("pipe7").toString + "/p"
     val r = IngestPipeline.mergeBatch(spark, b1, root, batchId = 0L)
-    assert(r == IngestPipeline.BatchReport(7,
+    assert(r == IngestPipeline.BatchReport(7, 0,
       n.getOrElse("gate", 0).toLong, n.getOrElse("exact", 0).toLong,
       n.getOrElse("near", 0).toLong, n.getOrElse("substr", 0).toLong,
       n.getOrElse("admitted", 0).toLong),
@@ -151,7 +151,8 @@ class IngestPipelineSpec extends SparkSpec {
       row(12, passText("hhh", "tailH")))
       .toDF("doc_id", "text", "lang", "source")
     val r = IngestPipeline.mergeBatch(spark, changed, root, 1L)
-    assert(r.admitted == 1L, s"only the fresh doc admits: $r")
+    assert(r == IngestPipeline.BatchReport(2, 1, 0, 0, 0, 0, 1),
+      s"doc 1 absorbed at the door, doc 12 admitted: $r")
     val corpus = spark.read.parquet(IngestPipeline.corpusDir(root))
       .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
     assert(corpus.map(_._1).toSeq == Seq(1L, 2L, 5L, 12L),
@@ -184,7 +185,7 @@ class IngestPipelineSpec extends SparkSpec {
       row(13, passText("jjj", "tailJ")))
       .toDF("doc_id", "text", "lang", "source")
     val r13 = IngestPipeline.mergeBatch(spark, twice, root, 2L)
-    assert(r13.nIn == 1L && r13.admitted == 1L,
+    assert(r13 == IngestPipeline.BatchReport(2, 1, 0, 0, 0, 0, 1),
       s"same-id rows must collapse at the door: $r13")
     val s13 = snapshot(root)
     assert(s13._1.count(_ == 13L) == 1 && s13._5.count(_ == 13L) == 1,
@@ -192,6 +193,20 @@ class IngestPipelineSpec extends SparkSpec {
     // replaying the double-delivery re-picks the same keeper: no growth
     IngestPipeline.mergeBatch(spark, twice, root, 2L)
     assert(snapshot(root)._4 == s13._4 && snapshot(root)._5 == s13._5)
+
+    // the door runs BEFORE the screens (r8 review): an absorbed
+    // changed-text re-delivery must not act as a screen PEER. Doc 20
+    // duplicates ONLY the absorbed text Y — Y lives in no store, so
+    // doc 20 is legitimately fresh and must admit (a post-screen
+    // guard rejected it against the peer and the text was lost)
+    val peer = Seq(
+      row(1, passText("kkk", "tailK")),  // stored id, changed text Y
+      row(20, passText("kkk", "tailK"))) // fresh id, text == Y
+      .toDF("doc_id", "text", "lang", "source")
+    val rp = IngestPipeline.mergeBatch(spark, peer, root, 3L)
+    assert(rp == IngestPipeline.BatchReport(2, 1, 0, 0, 0, 0, 1),
+      s"doc 20 must admit — its text is stored nowhere: $rp")
+    assert(corpusIds(root).contains(20L), "doc 20 missing from corpus")
   }
 
   test("crash matrix: a failure after EVERY stage converges on replay " +
@@ -279,7 +294,7 @@ class IngestPipelineSpec extends SparkSpec {
       .as[(Long, String)].collect()
     val n = stages.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     val r = IngestPipeline.mergeBatch(spark, docs, root, 0L)
-    assert(r == IngestPipeline.BatchReport(stages.length.toLong,
+    assert(r == IngestPipeline.BatchReport(stages.length.toLong, 0L,
       n.getOrElse("gate", 0L), n.getOrElse("exact", 0L),
       n.getOrElse("near", 0L), n.getOrElse("substr", 0L),
       n.getOrElse("admitted", 0L)),
