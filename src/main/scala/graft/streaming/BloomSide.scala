@@ -87,7 +87,12 @@ private[streaming] object BloomSide {
         }
         return Option(merged)
       } catch {
-        case e: java.io.FileNotFoundException =>
+        // the fold race surfaces as FileNotFoundException on a local
+        // FS (vanished between list and open) but as other
+        // IOExceptions on HDFS/object stores (blocks reclaimed while
+        // readFrom streams) — retry both; a persistent IO error still
+        // surfaces after the bounded retries
+        case e: java.io.IOException =>
           attempt += 1
           if (attempt > 5) throw e // not a fold race — surface it
       }

@@ -83,9 +83,9 @@ object IngestPipeline {
       nearRej: DataFrame,  // (doc_id) near-dup rejections among docs1
       docs2: DataFrame,    // + near-screen survivors
       substrRej: DataFrame, // (doc_id) substring rejections among docs2
-      survivors: DataFrame, // the screens' survivor set (mergeBatch
-                            // additionally doc_id-guards it before
-                            // any admission)
+      survivors: DataFrame, // the screens' survivor set — stored
+                            // doc_ids were already dropped at
+                            // mergeBatch's DOOR, before the screens
       grams: DataFrame, postings: DataFrame,
       substrProbe: SubstrIngest.BatchProbe)
 
@@ -160,6 +160,12 @@ object IngestPipeline {
       batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
       afterStage: String => Unit = _ => ()): BatchReport = {
     val corpus = corpusDir(root)
+    // resume-before-probe (StagedSwap's contract) for the DOOR's
+    // stored-id probe below: a corpus mid-compaction/erasure swap
+    // would read as absent, the guard would silently no-op, and a
+    // re-delivered stored id would append a duplicate corpus row
+    // (runScreens resumes again — idempotent — for its own probes)
+    StagedSwap.resume(spark, corpus, Seq(s"$corpus.stage", s"$corpus.forget"))
     // the raw batch feeds the governance rollup — pin it once
     val rawPinned = batch.localCheckpoint(true)
     val nIn = rawPinned.count()

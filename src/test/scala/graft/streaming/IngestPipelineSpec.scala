@@ -382,6 +382,23 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.forget(spark, root2, Seq(1L)) == 1L,
       "forget no-opped on a mid-compaction-swap corpus")
     assert(!corpusIds(root2).contains(1L), "erased doc resurrected")
+
+    // the DOOR's stored-id probe also resumes FIRST (r8 review): with
+    // the corpus mid-swap, a stored id re-delivered with changed text
+    // must still be absorbed at the door — a probe-before-resume would
+    // read the store as absent, no-op the guard, and append a
+    // duplicate doc_id row
+    val root3 = s"$base/sw-door"
+    IngestPipeline.mergeBatch(spark, b1, root3, 0L) // corpus: 1, 2, 5
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root3/corpus"),
+      new org.apache.hadoop.fs.Path(s"$root3/corpus.forget")))
+    val rDoor = IngestPipeline.mergeBatch(spark,
+      Seq(row(1, passText("zzz", "tailZ")))
+        .toDF("doc_id", "text", "lang", "source"), root3, 1L)
+    assert(rDoor == IngestPipeline.BatchReport(1, 1, 0, 0, 0, 0, 0),
+      s"mid-swap door: stored id must absorb, got $rDoor")
+    assert(corpusIds(root3) == Seq(1L, 2L, 5L),
+      "mid-swap door: corpus doc_ids must stay unique")
   }
 
   test("compactAll bounds every store's file count and changes no " +
