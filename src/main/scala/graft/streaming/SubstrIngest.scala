@@ -21,13 +21,18 @@ import org.apache.spark.util.sketch.BloomFilter
   * LOWER doc_id wins: a position is duplicated iff a lower-id PEER in
   * the same batch holds the same hash — regardless of whether that
   * peer is itself admitted (the convention every dedup tier shares);
-  * across batches any stored hash of a document OUTSIDE the batch
-  * counts. Excluding ALL batch members' stored rows from the cross
-  * screen — not just the probing doc's own (r6 verdict defect #1) —
-  * is what makes a replay after ANY prefix of the admissions
-  * re-derive the SAME verdicts: own-doc exclusion alone still let a
-  * replayed lower-id doc match its higher-id batch peer's freshly
-  * stored hashes and flip a mass-based verdict.
+  * across batches a stored hash counts unless it belongs to a batch
+  * peer with id ≥ the probing doc — the SAME lower-id-peer convention
+  * carried uniformly across the store (r8, closing r7 advice #2; the
+  * r7 all-members exclusion let a duplicate escape when its stored
+  * peer rode the same batch with changed text). Replays after ANY
+  * prefix of the admissions re-derive the SAME verdicts: a lower-id
+  * peer's freshly stored rows are subsumed by the within-batch rule,
+  * and a higher-id peer's stay excluded — which is where the r6
+  * instability lived (own-doc exclusion alone let a replayed lower-id
+  * doc match its higher-id batch peer's freshly stored hashes and
+  * flip a mass-based verdict). See crossDupPos for the proof sketch
+  * and the monotone-id arrival contract on mergeBatch.
   *
   * Replay/crash safety is per-ROW idempotence: fresh hashes anti-join
   * the store at (doc_id, h) granularity, so a verbatim replay appends
