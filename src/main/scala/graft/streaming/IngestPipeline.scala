@@ -30,11 +30,14 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * of the previous) and every store admits the same final survivor set.
   *
   * EXACTLY-ONCE across five stores with no cross-store transaction:
-  * every screen is REPLAY-STABLE — own-doc matches are excluded (the
-  * exact screen matches store fingerprints only under a different
-  * doc_id; the near/substr screens carry the same rule), so after ANY
-  * prefix of the admissions committed, a replayed batch re-derives the
-  * SAME survivor set — and every admission is independently idempotent
+  * the DOOR drops a replayed doc whose id the corpus already holds
+  * (its batch-peer rejections transfer to the store screens — its
+  * fp/postings/hashes are stored), every screen is REPLAY-STABLE —
+  * own-doc matches are excluded (the exact screen matches store
+  * fingerprints only under a different doc_id; the near/substr
+  * screens carry the same rule), so after ANY prefix of the
+  * admissions committed, a replayed batch re-derives the SAME
+  * survivor set — and every admission is independently idempotent
   * (per-table doc_id / (doc_id,h) / vec_id anti-joins, the batchId
   * gate for the additive counters). A crash between any two stage
   * commits converges on replay to the crash-free state; the spec's
