@@ -106,7 +106,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val samples: Map[String, scala.collection.mutable.ArrayBuffer[Double]] =
       names.map(n => n -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
-    for (_ <- 1 to reps; name <- names if !errors.contains(name)) {
+    def runRound(): Unit = for (name <- names if !errors.contains(name)) {
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column — count() would let
       // Spark prune projections and under-measure map-heavy queries
@@ -120,9 +120,36 @@ object Bench {
             .take(200).replaceAll("[\"\\\\\n\r\t]", " ")
       }
     }
+    for (_ <- 1 to reps) runRound()
+    def medianOf(ts: scala.collection.Seq[Double]): Double =
+      if (ts.isEmpty) -1.0 else ts.sorted.apply(ts.size / 2)
+    // SELF-GATING (r8 verdict #2): two rounds running, a loaded container
+    // fabricated the official record (r7: four phantom 5-6 s entries; r8:
+    // 125 s recorded vs 86.5 s clean at identical settings) and the
+    // protocol only DETECTED it (pct_within_1p5x). Now it responds: while
+    // the run's own fidelity signal is below the 95% bar, run up to
+    // SPARK_GRAFT_EXTRA_REPS (default 3) additional interleaved rounds —
+    // each clean extra sample pulls a load-inflated median back toward
+    // the plan's true cost — and recompute. If fidelity is STILL below
+    // the bar after the bounded extras, the summary line carries
+    // "contended":true so the record is machine-readably adjudicated
+    // rather than silently wrong.
+    def pctNow(): Double = {
+      val measured = names.filter(n => samples(n).nonEmpty)
+      if (measured.isEmpty) -1.0
+      else math.round(100.0 * measured.count { n =>
+        medianOf(samples(n)) <= 1.5 * math.max(samples(n).min, 1e-9)
+      } / measured.size) / 1.0
+    }
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "3").toInt
+    var extraReps = 0
+    while (extraReps < maxExtra && {
+        val p = pctNow(); p >= 0 && p < 95.0 }) {
+      extraReps += 1
+      runRound()
+    }
     val results: Seq[(String, Double)] = names.map { name =>
-      val times = samples(name)
-      name -> (if (times.isEmpty) -1.0 else times.sorted.apply(times.size / 2))
+      name -> medianOf(samples(name))
     }
     val minResults: Seq[(String, Double)] = names.map { name =>
       val times = samples(name)
@@ -151,12 +178,18 @@ object Bench {
     // (an upper bound on a serial cold pass, see above)
     val coldTotal = if (cold.isEmpty) -1.0 else coldWall
     val coldSum = if (cold.isEmpty) -1.0 else cold.values.filter(_ >= 0).sum
+    // machine-readable adjudication (r8 verdict #2's "done" bar): the
+    // headline warm number must sit within 1.2× of its own min-sum AND
+    // the per-query fidelity share must clear 95% — otherwise the record
+    // says so itself instead of impersonating a regression
+    val contended = (pctWithin >= 0 && pctWithin < 95.0) ||
+      (totalMin > 0 && total > 1.2 * totalMin)
     // field order matters: the driver keeps only the TAIL of the output
     // (~4 KB), so the warm medians — the numbers the judge grades — go
     // LAST in the line; the cold dict, which is twice as long and less
     // important, sits first where truncation can only cost it (r4's
     // BENCH_r04.json lost the warm numbers to exactly this)
-    println(s"""{"metric":"total","unit":"sec","reps":$reps,"sf":"$sfDir","cold_value":$coldTotal,"cold_sum":$coldSum,"cold_pool":$coldPool,"cold_queries":$coldQs,"errors":$errJson,"value_min":$totalMin,"pct_within_1p5x":$pctWithin,"queries_min":$qsMin,"value":$total,"queries":$qs}""")
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"extra_reps":$extraReps,"contended":$contended,"sf":"$sfDir","cold_value":$coldTotal,"cold_sum":$coldSum,"cold_pool":$coldPool,"cold_queries":$coldQs,"errors":$errJson,"value_min":$totalMin,"pct_within_1p5x":$pctWithin,"queries_min":$qsMin,"value":$total,"queries":$qs}""")
     // The driver keeps only the TAIL of stdout (~4 KB) and the full line
     // above has outgrown it two rounds running (r4 lost the warm dict, r5
     // the warm total + 36 entries). This FINAL compact line repeats the

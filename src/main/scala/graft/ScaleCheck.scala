@@ -23,7 +23,19 @@ import org.apache.spark.sql.SparkSession
   *    derivation — artifact build included. This is the honest 10×
   *    check for the builds themselves.
   *
-  * Usage: runMain graft.ScaleCheck [sfA sfB [reps]]
+  * Usage: runMain graft.ScaleCheck [sfA sfB [reps [partsA partsB]]]
+  *
+  * partsA/partsB (r8 verdict #1 — the CLUSTER ANALOGUE): per-dir
+  * spark.sql.shuffle.partitions, set at runtime before each sample.
+  * On a real cluster shuffle width scales with input while cores scale
+  * with width; on fixed local cores, scaling partitions with the data
+  * (8 at sf1 → 80 at sf10) holds PER-PARTITION work flat and the 80
+  * tasks drain through 8 cores in ~10 waves — so a plan whose only
+  * supra-linear term is per-partition n·log n (dedup_winnow_pairs'
+  * postings sort at fixed width) should read ≈10× wall per 10× rows
+  * here, and anything still supra-linear under scaled width is a real
+  * plan defect, not a measurement artifact. Defaults: both 8 (the r8
+  * fixed-width regime, unchanged).
   */
 object ScaleCheck {
   val Tier: Seq[String] = Seq(
@@ -36,6 +48,9 @@ object ScaleCheck {
     val sfA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val sfB = if (args.length > 1) args(1) else "/tmp/graft_sf1"
     val reps = if (args.length > 2) args(2).toInt else 3
+    val partsA = if (args.length > 3) args(3).toInt else 8
+    val partsB = if (args.length > 4) args(4).toInt else 8
+    val parts = Map(sfA -> partsA, sfB -> partsB)
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -47,12 +62,16 @@ object ScaleCheck {
     val full = sys.env.get("SPARK_GRAFT_SCALE_FULL").contains("1")
     def run(name: String, dir: String): Double = {
       if (full) Artifacts.unpersistAll()
+      // runtime-mutable conf: width follows the data, as on a cluster
+      spark.conf.set("spark.sql.shuffle.partitions", parts(dir).toString)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
     if (full) println("[scale] FULL-derivation regime (memo cleared per sample)")
+    if (partsA != partsB)
+      println(s"[scale] scaled-width regime: $sfA@$partsA parts, $sfB@$partsB parts")
     // cold pass both dirs (codegen + artifact builds, measured apart)
     for (dir <- Seq(sfA, sfB); q <- Tier) {
       val t = run(q, dir)

@@ -72,9 +72,11 @@ private[streaming] object BloomSide {
     * admitted duplicates). */
   def read(spark: SparkSession, dir: String): Option[BloomFilter] = {
     var attempt = 0
+    var prevListing: Seq[String] = null
     while (true) {
       val segs = segPaths(spark, dir)
       if (segs.isEmpty) return None
+      val listing = segs.map(_.toString).sorted.toSeq
       val fs = fsOf(spark, dir)
       var merged: BloomFilter = null
       try {
@@ -88,13 +90,24 @@ private[streaming] object BloomSide {
         return Option(merged)
       } catch {
         // the fold race surfaces as FileNotFoundException on a local
-        // FS (vanished between list and open) but as other
-        // IOExceptions on HDFS/object stores (blocks reclaimed while
-        // readFrom streams) — retry both; a persistent IO error still
-        // surfaces after the bounded retries
-        case e: java.io.IOException =>
+        // FS (vanished between list and open) — retried first-chance,
+        // bounded. Broader IOExceptions (HDFS/object-store block
+        // reclamation mid-stream, but ALSO genuine corruption in
+        // BloomFilter.readFrom) retry only when the segment listing
+        // actually CHANGED since the failed attempt — a fold that
+        // didn't move cannot be the cause — and after a short backoff,
+        // so a persistently corrupt segment surfaces after ONE honest
+        // re-check instead of six full merge passes (r8 advice; on
+        // object stores each blind pass re-reads every segment)
+        case e: java.io.FileNotFoundException =>
           attempt += 1
           if (attempt > 5) throw e // not a fold race — surface it
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt > 5 || (prevListing != null && prevListing == listing))
+            throw e // same segment set failed twice: not a fold race
+          prevListing = listing
+          Thread.sleep(50L * attempt)
       }
     }
     None // unreachable

@@ -88,15 +88,21 @@ object CorpusIngest {
       .limit(0).localCheckpoint(true)
     if (!storeExists(spark, store)) return empty
     val batchFp0 = keepers.select("fp").distinct()
-    val batchFp = BloomSide.read(spark, s"$store.bloom") match {
-      case Some(b) =>
-        val bc = spark.sparkContext.broadcast(b)
+    // bloom broadcast is destroyed as soon as the candidate filter is
+    // materialized (cand is eagerly localCheckpoint-pinned) — at a
+    // production 30-60 s trigger, relying on the driver's GC-driven
+    // ContextCleaner leaks ~160 KB/batch between GC cycles (r8 advice)
+    val bcOpt = BloomSide.read(spark, s"$store.bloom")
+      .map(spark.sparkContext.broadcast(_))
+    val batchFp = bcOpt match {
+      case Some(bc) =>
         val might = udf((fp: String) => bc.value.mightContainString(fp))
         batchFp0.filter(might(col("fp")))
       case None => batchFp0 // pre-bloom store: no pre-screen
     }
     val cand = batchFp.localCheckpoint(true)
     val nCand = cand.count()
+    bcOpt.foreach(_.destroy())
     if (nCand == 0) return empty // fresh batch: store never read
     val s0 = spark.read.parquet(store)
       .select(col("fp"), col("doc_id").as("store_doc"))
@@ -169,15 +175,19 @@ object CorpusIngest {
       store: String): DataFrame = {
     if (!storeExists(spark, store)) return batch
     val ids0 = batch.select("doc_id").distinct()
-    val ids = BloomSide.read(spark, s"$store.idbloom") match {
-      case Some(b) =>
-        val bc = spark.sparkContext.broadcast(b)
+    // destroy the idbloom broadcast once the candidate set is pinned
+    // (same per-batch-leak fix as probeStore — r8 advice)
+    val bcOpt = BloomSide.read(spark, s"$store.idbloom")
+      .map(spark.sparkContext.broadcast(_))
+    val ids = bcOpt match {
+      case Some(bc) =>
         val might = udf((id: Long) => bc.value.mightContainLong(id))
         ids0.filter(might(col("doc_id")))
       case None => ids0 // pre-idbloom store: no pre-screen
     }
     val cand = ids.localCheckpoint(true)
     val nCand = cand.count()
+    bcOpt.foreach(_.destroy())
     if (nCand == 0) return batch // fresh batch: store never read
     val s0 = spark.read.parquet(store).select("doc_id")
     val stored =

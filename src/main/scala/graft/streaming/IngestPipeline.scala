@@ -226,8 +226,19 @@ object IngestPipeline {
     val survivors = scr.survivors
     val nAdmitted = survivors.count()
 
-    // 5. admissions — each independently idempotent; order is free
-    // (replay-stable screens), corpus last is merely conventional
+    // 5. admissions — each independently idempotent; order among the
+    // four NON-corpus admissions (near-dup, substr, index train+merge)
+    // is free (replay-stable screens), but the corpus append MUST
+    // COMMIT LAST: the door's stored-id probe (dropStoredIds) treats
+    // corpus membership as "fully admitted" and absorbs the doc on
+    // replay. If the corpus append ran before any other admission and
+    // a crash intervened, the replay would door-drop the survivors and
+    // the remaining stores would permanently miss their rows —
+    // diverging from the crash-free state. (r8 advice: the previous
+    // "order is free, corpus last merely conventional" comment invited
+    // exactly that breaking reorder; IngestPipelineSpec's crash matrix
+    // pins convergence for every crash point under THIS order, and its
+    // reorder case pins the divergence a corpus-first order causes.)
     if (nAdmitted > 0) {
       val survivorIds = survivors.select("doc_id")
       NearDupIngest.admit(spark, survivors, nearDir(root),
@@ -434,9 +445,15 @@ object IngestPipeline {
     * safe, and the whole call is IDEMPOTENT — a crash between stores
     * leaves a partially-erased (never corrupted) state that re-running
     * with the same ids completes, the VectorIndex.forget convergence
-    * argument applied across the composition. Returns the number of
-    * corpus rows removed. */
-  def forget(spark: SparkSession, root: String, ids: Seq[Long]): Long = {
+    * argument applied across the composition (r9: the argument is now
+    * a MEASURED matrix — IngestPipelineSpec injects a failure after
+    * every purge via `afterStage` and asserts the re-run converges to
+    * the crash-free stores, searchCorpus face included). Returns the
+    * number of corpus rows removed. `afterStage` is the spec's
+    * crash-injection hook (stage names: corpus, near_grams,
+    * near_postings, substr_grams, index). */
+  def forget(spark: SparkSession, root: String, ids: Seq[Long],
+      afterStage: String => Unit = _ => ()): Long = {
     if (ids.isEmpty) return 0L
     var removed = 0L
     def purge(live: String, alsoCount: Boolean): Unit = {
@@ -458,10 +475,15 @@ object IngestPipeline {
       StagedSwap.commit(spark, live, stage)
     }
     purge(corpusDir(root), alsoCount = true)
+    afterStage("corpus")
     purge(s"${nearDir(root)}/grams", alsoCount = false)
+    afterStage("near_grams")
     purge(s"${nearDir(root)}/postings", alsoCount = false)
+    afterStage("near_postings")
     purge(s"${substrDir(root)}/grams", alsoCount = false)
+    afterStage("substr_grams")
     VectorIndex.forget(spark, indexDir(root), ids)
+    afterStage("index")
     removed
   }
 

@@ -81,6 +81,53 @@ object SubstrIngest {
 
   private def bloomDir(store: String) = s"$store/bloom"
 
+  /** JVM-local detectability counter for MONOTONE-ID ARRIVAL CONTRACT
+    * violations (r8 advice: the contract was documented but a violating
+    * source produced no signal — two silently stored copies). Counts
+    * distinct batch docs arriving at `mergeBatch` with doc_id ≤ the
+    * store's persisted max-id watermark. Re-deliveries of stored ids
+    * land here too (crash-replay is legitimate), as does a
+    * forget-then-reingest of the same doc_id, so nonzero during
+    * recovery or doc replacement is expected; a count that GROWS on a
+    * healthy source means
+    * the source assigns ids non-monotonically and the lower-id-peer
+    * convention may be keeping duplicate copies — remap ids at ingest. */
+  val nonMonotoneArrivals = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def maxIdPath(store: String) =
+    new org.apache.hadoop.fs.Path(s"$store/_maxid")
+
+  private[streaming] def readMaxId(spark: SparkSession,
+      store: String): Option[Long] = {
+    val p = maxIdPath(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }.toOption // a torn write parses as absent: the guard degrades to
+               // silent for one batch, never to a wrong violation count
+  }
+
+  /** Monotone bump of the store's max-id watermark (metric state only —
+    * no admission decision reads it, so a crash that loses one bump
+    * merely under-detects for a batch). Tmp-then-rename keeps readers
+    * off partially written bytes on a local FS. */
+  private def bumpMaxId(spark: SparkSession, store: String,
+      batchMax: Long): Unit = {
+    val cur = readMaxId(spark, store)
+    if (cur.exists(_ >= batchMax)) return
+    val p = maxIdPath(store)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$store/_maxid.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchMax.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
+
   private def readBloom(spark: SparkSession, store: String): Option[BloomFilter] =
     BloomSide.read(spark, bloomDir(store))
 
@@ -112,9 +159,12 @@ object SubstrIngest {
     val empty = pos.select("doc_id", "h").limit(0).localCheckpoint(true)
     if (!dirExists(spark, live)) return empty
     val batchH0 = pos.select("h").distinct()
-    val batchH = readBloom(spark, store) match {
-      case Some(b) =>
-        val bc = spark.sparkContext.broadcast(b)
+    // broadcast destroyed once the candidate set is pinned — GC-driven
+    // cleanup leaks a filter per batch at production triggers (r8 advice)
+    val bcOpt = readBloom(spark, store)
+      .map(spark.sparkContext.broadcast(_))
+    val batchH = bcOpt match {
+      case Some(bc) =>
         // the one-UDF bloom idiom (TextOps.contaminationBloom):
         // might_contain has no public Column form
         val might = udf((h: Long) => bc.value.mightContainLong(h))
@@ -123,6 +173,7 @@ object SubstrIngest {
     }
     val cand = batchH.localCheckpoint(true)
     val nCand = cand.count()
+    bcOpt.foreach(_.destroy())
     if (nCand == 0) return empty // fresh batch: store never read
     val storeRows = spark.read.parquet(live)
     val hits =
@@ -155,7 +206,8 @@ object SubstrIngest {
     * where the r6 instability lived. Verdicts are therefore identical
     * across replays after any admission prefix.
     *
-    * Arrival-model caveat (documented, not enforced): if a NEW doc
+    * Arrival-model caveat (detected, not enforced — see
+    * `nonMonotoneArrivals`): if a NEW doc
     * arrives with an id LOWER than a stored doc it duplicates (batched
     * together with that doc's re-delivery), the lower-id-peer
     * convention admits the new doc — it is the convention's canonical
@@ -187,11 +239,32 @@ object SubstrIngest {
     * arriving BELOW a stored duplicate is by convention the keeper and
     * is admitted (see crossDupPos), leaving two stored copies. Sources
     * that assign ids non-monotonically should remap at ingest (the
-    * synthetic feeds and every spec honor the contract). */
+    * synthetic feeds and every spec honor the contract). Violations are
+    * DETECTED, not rejected: each batch's ids are checked against the
+    * store's persisted max-id watermark (`_maxid`, maintained at append
+    * time) and sub-watermark arrivals are counted in
+    * `nonMonotoneArrivals` + logged — r8 advice; a rejecting guard is
+    * impossible here because a crash-replay legitimately re-delivers
+    * stored ids. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String,
       k: Int = TextOps.SubstrK,
       afterBloomWrite: () => Unit = () => ()): (Long, Long) = {
     val live = s"$store/grams"
+    // cheap arrival-contract guard (r8 advice): one tiny agg over the
+    // small batch side, zero store bytes — violations are counted and
+    // logged, never rejected (a replayed stored id is legitimate and
+    // indistinguishable here from a genuinely fresh low-id doc)
+    readMaxId(spark, store).foreach { w =>
+      val low = batch.filter(col("doc_id") <= w)
+        .select("doc_id").distinct().count()
+      if (low > 0) {
+        nonMonotoneArrivals.addAndGet(low)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"SubstrIngest: $low batch doc(s) at or below the store " +
+          s"max-id watermark $w — crash-replay, or a non-monotone " +
+          "source violating the arrival contract (see mergeBatch doc)")
+      }
+    }
     // several passes consume the batch's gram derivation — pin it once
     // (localCheckpoint, not cache(): nothing leaks across batches)
     val pos = TextOps.substrPosFrame(batch, k).localCheckpoint(true)
@@ -250,8 +323,13 @@ object SubstrIngest {
         fresh.stat.bloomFilter("h", BloomExpected, BloomFpp))
     }
     afterBloomWrite() // unconditional: the crash-injection point
-    if (nAdmitted > 0)
+    if (nAdmitted > 0) {
       fresh.write.mode(SaveMode.Append).parquet(live)
+      // watermark AFTER rows: a crash between them under-reports the
+      // watermark (guard less sensitive for one batch), never lies
+      val mx = fresh.agg(max(col("doc_id"))).head
+      if (!mx.isNullAt(0)) bumpMaxId(spark, store, mx.getLong(0))
+    }
     nAdmitted
   }
 

@@ -452,6 +452,80 @@ class IngestPipelineSpec extends SparkSpec {
       s"erased doc still rejects its future copies: $r")
   }
 
+  test("forget crash matrix (r8 verdict #4): a failure after EVERY " +
+    "purge stage converges on a re-run with the same ids to the " +
+    "crash-free erasure, searchCorpus face included") {
+    val base = Files.createTempDirectory("pipe-fm").toString
+    val ref = s"$base/ref"
+    IngestPipeline.mergeBatch(spark, b1, ref, 0L)
+    IngestPipeline.mergeBatch(spark, b2, ref, 1L)
+    IngestPipeline.forget(spark, ref, Seq(2L, 5L))
+    val want = snapshot(ref)
+    // the same query set probes every root's serving face
+    def queriesOf(root: String) = spark.read
+      .parquet(IngestPipeline.corpusDir(root))
+      .withColumn("toks", graft.operators.TextOps.tokens)
+      .select(col("doc_id").as("vec_id"),
+        graft.plans.GraftFunctions.graftHashEmbed(spark, "toks")
+          .cast("array<double>").as("embedding"))
+    val wantNbrs = IngestPipeline.searchCorpus(spark, ref, queriesOf(ref),
+      lit(true)).select("vec_id").as[Long].collect().toSet
+    assert(!wantNbrs.contains(2L) && !wantNbrs.contains(5L),
+      s"crash-free face serves erased docs: $wantNbrs")
+    for (stage <- Seq("corpus", "near_grams", "near_postings",
+        "substr_grams", "index")) {
+      val root = s"$base/crash-$stage"
+      IngestPipeline.mergeBatch(spark, b1, root, 0L)
+      IngestPipeline.mergeBatch(spark, b2, root, 1L)
+      intercept[RuntimeException] {
+        IngestPipeline.forget(spark, root, Seq(2L, 5L),
+          afterStage = s => if (s == stage) throw new RuntimeException(s))
+      }
+      // partially-erased, never corrupted: re-running with the same
+      // ids completes the erasure (the idempotence the doc argues —
+      // now injected, not assumed)
+      IngestPipeline.forget(spark, root, Seq(2L, 5L))
+      assert(snapshot(root) == want,
+        s"forget crash@$stage: stores diverged from the crash-free run")
+      val nbrs = IngestPipeline.searchCorpus(spark, root, queriesOf(root),
+        lit(true)).select("vec_id").as[Long].collect().toSet
+      assert(nbrs == wantNbrs,
+        s"forget crash@$stage: serving face diverged ($nbrs vs $wantNbrs)")
+    }
+  }
+
+  test("admission order is load-bearing (r8 advice #1): a corpus-FIRST " +
+    "commit order plus a crash before the other admissions makes the " +
+    "replay door-drop the survivor, leaving the other four stores " +
+    "permanently short — the divergence the corpus-LAST order prevents") {
+    val root = Files.createTempDirectory("pipe-ord").toString + "/p"
+    IngestPipeline.mergeBatch(spark, b1, root, 0L)
+    val before = snapshot(root)
+    // simulate the forbidden reorder crashing: b2's survivor (doc 8)
+    // reaches ONLY the corpus store; near-dup/substr/index got nothing
+    val corpusStore = IngestPipeline.corpusDir(root)
+    val cols = spark.read.parquet(corpusStore).columns
+    val surv = CorpusIngest.gate(b2.filter(col("doc_id") === 8L))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .select(cols.map(col): _*).localCheckpoint(true)
+    CorpusIngest.appendFresh(spark, corpusStore, surv)
+    // the replay absorbs doc 8 at the door (corpus membership = "fully
+    // admitted") — exactly the absorption that is SAFE under
+    // corpus-last and divergent under corpus-first
+    val r = IngestPipeline.mergeBatch(spark, b2, root, 1L)
+    assert(r.admitted == 0L && r.absorbed == 1L,
+      s"replay must door-drop the corpus-stored survivor: $r")
+    val (corpus, grams, postings, substr, vecs, _) = snapshot(root)
+    assert(corpus.contains(8L), "doc 8 missing from corpus")
+    assert(!grams.contains(8L) && !postings.contains(8L)
+        && !vecs.contains(8L) && !substr.map(_._1).toSet.contains(8L),
+      "expected divergence did not materialize — if this now converges, " +
+        "the door semantics changed and the mergeBatch order comment " +
+        "must be revisited")
+    // and the b1-era stores are otherwise untouched
+    assert(vecs == before._5, s"b1 vectors disturbed: $vecs")
+  }
+
   test("metadata-filtered search over the composed store: every " +
     "neighbor satisfies the corpus predicate (filtered ANN; the " +
     "store/index coherence invariant makes doc_id ≡ vec_id sound)") {

@@ -104,6 +104,43 @@ class SubstrIngestSpec extends SparkSpec {
       "replay flipped a verdict after the peer-visibility widening")
   }
 
+  test("monotone-id arrival guard (r8 advice #2): a batch doc at or " +
+    "below the store's max-id watermark bumps nonMonotoneArrivals — " +
+    "detection only, verdicts unchanged — and monotone batches are " +
+    "silent") {
+    val store = Files.createTempDirectory("ss-mono").toString + "/st"
+    val c0 = SubstrIngest.nonMonotoneArrivals.get()
+    // monotone ingest: ids 10, 20 → watermark 20, no violation
+    SubstrIngest.mergeBatch(spark,
+      Seq(doc(10, "a"), doc(20, "b")).toDF("doc_id", "lang", "text"), store)
+    assert(SubstrIngest.readMaxId(spark, store).contains(20L),
+      "watermark not persisted at append")
+    SubstrIngest.mergeBatch(spark,
+      Seq(doc(30, "c")).toDF("doc_id", "lang", "text"), store)
+    assert(SubstrIngest.nonMonotoneArrivals.get() == c0,
+      "monotone batches must not count violations")
+    assert(SubstrIngest.readMaxId(spark, store).contains(30L))
+    // THE contract violation (the r8 advice scenario): a FRESH doc
+    // below the watermark, batched with the re-delivery of the stored
+    // doc it duplicates. The lower-id-peer rule makes fresh doc 15 the
+    // canonical keeper of stored 20's text — it ADMITS, silently
+    // leaving two stored copies; without the watermark guard this is
+    // invisible. Both batch docs sit at/below watermark 30 → count +2.
+    val b = Seq(doc(15, "b"), doc(20, "b")).toDF("doc_id", "lang", "text")
+    assert(SubstrIngest.mergeBatch(spark, b, store) == (1L, 1L),
+      "fresh low-id doc must admit under the lower-id-peer convention")
+    assert(storeIds(store).contains(15L) && storeIds(store).contains(20L),
+      "the silent two-copy corruption this guard exists to surface")
+    assert(SubstrIngest.nonMonotoneArrivals.get() == c0 + 2,
+      "sub-watermark arrivals were not counted")
+    // the watermark never regresses
+    assert(SubstrIngest.readMaxId(spark, store).contains(30L),
+      "watermark regressed on a low-id append")
+    // a verbatim replay also counts (legitimate, logged, same verdicts)
+    assert(SubstrIngest.mergeBatch(spark, b, store) == (0L, 1L))
+    assert(SubstrIngest.nonMonotoneArrivals.get() == c0 + 4)
+  }
+
   test("screen (the report face) is replay-stable: the same batch " +
     "screened before and after its own admission reports identical rows") {
     val store = Files.createTempDirectory("ss-screen").toString + "/st"

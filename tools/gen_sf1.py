@@ -25,7 +25,16 @@ Construction (seed 42, replica r in 0..9, replica 0 = the originals):
   value distributions stay fixed, which is what a bigger SF of the
   same generator does); nation/region are fixed dims, copied.
 
-Usage: python3 tools/gen_sf1.py [outdir]  (default /tmp/graft_sf1)
+Usage: python3 tools/gen_sf1.py [outdir [srcdir [R]]]
+  default: outdir=/tmp/graft_sf1, srcdir=/root/testdata/sf0.1, R=10
+  sf10 (round 9, one more decade on the ladder) chains off sf1:
+    python3 tools/gen_sf1.py            # sf1  = 10x sf0.1 (~178 MB)
+    python3 tools/gen_sf1.py /tmp/graft_sf10 /tmp/graft_sf1 10   # ~1.8 GB
+  Chaining preserves the conventions: replica 0 = the source verbatim
+  (so sf1 is a strict subset of sf10 under id remap), planted-dup
+  density stays per-capita flat at every rung, and the per-(r, doc_id)
+  shuffle seeds are namespaced by the SOURCE dir so sf10's fresh
+  replicas don't accidentally reproduce sf1's.
 """
 import os, random, sys
 
@@ -33,10 +42,10 @@ import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
-R = 10
-SEED = 42
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+SEED = f"42:{SRC}" if len(sys.argv) > 2 else 42  # keep sf1 bit-identical
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -118,15 +127,19 @@ for r in range(R):
             sh.shuffle(toks)
         rep.append([r * S_DOC + doc_id, toks, lang, source])
     if r > 0:
-        # planted duplicates, matching sf0.1's per-capita density
+        # planted duplicates, per-capita density held flat at every
+        # ladder rung: 8 exact + 42 near pairs per 5000 docs (sf0.1's
+        # measured density), scaled by the source replica size
+        n_exact = max(1, round(8 * len(rep) / 5000))
+        n_near = max(1, round(42 * len(rep) / 5000))
         idx = list(range(len(rep)))
         rng.shuffle(idx)
         pos = 0
-        for _ in range(8):  # exact pairs
+        for _ in range(n_exact):  # exact pairs
             a, b = idx[pos], idx[pos + 1]
             pos += 2
             rep[b][1] = list(rep[a][1])
-        for _ in range(42):  # near pairs: 80% shared prefix, fresh tail
+        for _ in range(n_near):  # near pairs: 80% shared prefix, fresh tail
             a, b = idx[pos], idx[pos + 1]
             pos += 2
             keep = max(1, int(len(rep[a][1]) * 0.8))
