@@ -77,6 +77,8 @@ object FileSoak {
     val root = s"$tmp/pipe/p"
     println(s"[files] B: in-vivo soak, $nBatches 2-doc batches " +
       "(every 25th carries a stored-text duplicate → probe path)")
+    // tokens must stay ≤10 chars or the Gopher gate's mean_wl bound
+    // rejects the whole batch and the soak measures only the gate path
     def passText(tag: String): String =
       (Seq("the", "and") ++ (0 until 42).map(k => f"${tag}w$k%03d"))
         .mkString(" ")
@@ -84,10 +86,10 @@ object FileSoak {
     for (b <- 0 until nBatches) {
       val id0 = b * 10L
       val base = Seq(
-        (id0, passText(f"s$b%05da"), "en", "s"),
-        (id0 + 1, passText(f"s$b%05db"), "en", "s"))
+        (id0, passText(s"${b}a"), "en", "s"),
+        (id0 + 1, passText(s"${b}b"), "en", "s"))
       val rows = if (b > 0 && b % 25 == 0)
-        base :+ ((id0 + 2, passText("s00000a"), "en", "s")) // dup of doc 0
+        base :+ ((id0 + 2, passText("0a"), "en", "s")) // dup of doc 0
       else base
       val batch = rows.toDF("doc_id", "text", "lang", "source")
         .localCheckpoint(true)

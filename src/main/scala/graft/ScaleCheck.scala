@@ -38,11 +38,19 @@ import org.apache.spark.sql.SparkSession
   * fixed-width regime, unchanged).
   */
 object ScaleCheck {
-  val Tier: Seq[String] = Seq(
+  val DefaultTier: Seq[String] = Seq(
     "dedup_minhash_lsh", "dedup_winnow_pairs", "dedup_ngram_jaccard",
     "dedup_simhash_pairs", "doc_substring_dedup", "doc_substring_strip",
     "emb_semdedup", "percentiles", "percentiles_dist", "doc_token_budget",
     "doc_ingest_cascade", "sessionize")
+
+  /** SPARK_GRAFT_SCALE_TIER (comma-separated) overrides the tier — the
+    * sf10 fixed-width regime makes single entries hour-scale (winnow's
+    * 8-partition spill), so the ladder runs are split to keep each
+    * invocation bounded and its failures attributable. */
+  def Tier: Seq[String] = sys.env.get("SPARK_GRAFT_SCALE_TIER")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    .getOrElse(DefaultTier)
 
   def main(args: Array[String]): Unit = {
     val sfA = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -218,16 +218,28 @@ object TextOps {
     *
     * Same scale shape as the n-gram pair sweep: postings-driven pair
     * generation (no self-join of the corpus), the two-pass df-cut
-    * dropping fingerprints hotter than DfCap before any collect_list,
+    * dropping fingerprints hotter than `dfCap` before any collect_list,
     * pairs bounded per group by construction. The exploded postings
-    * are (doc_id, n_sel, fp) — three scalars, never text. */
-  def winnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    * are (doc_id, n_sel, fp) — three scalars, never text.
+    *
+    * THE CAP IS THE SCALE LEVER (r9, measured — PairMassProbe +
+    * BASELINE.md §Round 9): the pair stage emits Σ_{df≤cap} df·(df−1)/2
+    * rows, and a fingerprint's df grows WITH the corpus, so at a fixed
+    * absolute cap the pair MASS crosses a quadratic regime (~97× per
+    * 10× docs between sf1 and sf10 at cap 1000) until mid-frequency
+    * grams saturate the cap; wall-clock tracks the mass, not the input
+    * rows, at any shuffle width. A production run sets the cap to its
+    * quality target — a fingerprint shared by hundreds of documents is
+    * stopword mass, not dedup evidence — and the plan is then linear in
+    * the mass that target implies (measured ≈ input-linear at cap 50). */
+  def winnowPairs(spark: SparkSession, dir: String,
+      dfCap: Int = DfCap): DataFrame = {
     // no size>0 filter: explode already drops empty-selection docs
     val e = winnowSel(spark, dir)
       .withColumn("n_sel", size(col("sel")).cast("long"))
       .select(col("doc_id"), col("n_sel"), explode(col("sel")).as("fp"))
     val pairs = postingsPairs(spark, e, Seq("fp"),
-      struct(col("doc_id"), col("n_sel")), DfCap)
+      struct(col("doc_id"), col("n_sel")), dfCap)
     pairs.groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
         col("l.n_sel").as("n1"), col("r.n_sel").as("n2"))
       .agg(count(lit(1)).as("common"))
