@@ -141,6 +141,14 @@ object Bench {
         medianOf(samples(n)) <= 1.5 * math.max(samples(n).min, 1e-9)
       } / measured.size) / 1.0
     }
+    // Pre-extras snapshot (ADVICE r9 #4): the gated extras can only
+    // improve value_min and pull medians down, so gated and ungated
+    // records mix sample counts. Freeze the base-reps headline (median
+    // sum + fidelity pct over exactly `reps` samples) BEFORE any extras
+    // run; both JSON lines carry it as value_pre/pct_pre so records
+    // stay directly comparable across rounds regardless of gating.
+    val totalPre = names.map(n => medianOf(samples(n))).filter(_ >= 0).sum
+    val pctPre = pctNow()
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "3").toInt
     var extraReps = 0
     while (extraReps < maxExtra && {
@@ -189,7 +197,7 @@ object Bench {
     // LAST in the line; the cold dict, which is twice as long and less
     // important, sits first where truncation can only cost it (r4's
     // BENCH_r04.json lost the warm numbers to exactly this)
-    println(s"""{"metric":"total","unit":"sec","reps":$reps,"extra_reps":$extraReps,"contended":$contended,"sf":"$sfDir","cold_value":$coldTotal,"cold_sum":$coldSum,"cold_pool":$coldPool,"cold_queries":$coldQs,"errors":$errJson,"value_min":$totalMin,"pct_within_1p5x":$pctWithin,"queries_min":$qsMin,"value":$total,"queries":$qs}""")
+    println(s"""{"metric":"total","unit":"sec","reps":$reps,"extra_reps":$extraReps,"contended":$contended,"value_pre":$totalPre,"pct_pre":$pctPre,"sf":"$sfDir","cold_value":$coldTotal,"cold_sum":$coldSum,"cold_pool":$coldPool,"cold_queries":$coldQs,"errors":$errJson,"value_min":$totalMin,"pct_within_1p5x":$pctWithin,"queries_min":$qsMin,"value":$total,"queries":$qs}""")
     // The driver keeps only the TAIL of stdout (~4 KB) and the full line
     // above has outgrown it two rounds running (r4 lost the warm dict, r5
     // the warm total + 36 entries). This FINAL compact line repeats the
@@ -205,7 +213,11 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + r3(v) + "," +
         "\"" + k + "_min\":" + r3(minByName(k)) }
       .mkString("{", ",", "}")
-    println(s"""{"summary":true,"value":${r3(total)},"value_min":${r3(totalMin)},"pct_within_1p5x":$pctWithin,"cold_value":${r3(coldTotal)},"cold_sum":${r3(coldSum)},"n_queries":${results.size},"n_errors":${errors.size},"top10":$top10}""")
+    // r9 verdict #1: the self-gating adjudication fields MUST live on
+    // THIS line — the ~2 KB tail capture truncates the long line above,
+    // and BENCH_r09.json (110.5 s at 1.64× its own min-sum, pct 81)
+    // computed contended=true yet the surviving record never carried it.
+    println(s"""{"summary":true,"value":${r3(total)},"value_min":${r3(totalMin)},"pct_within_1p5x":$pctWithin,"contended":$contended,"extra_reps":$extraReps,"value_pre":${r3(totalPre)},"pct_pre":$pctPre,"cold_value":${r3(coldTotal)},"cold_sum":${r3(coldSum)},"n_queries":${results.size},"n_errors":${errors.size},"top10":$top10}""")
     Artifacts.unpersistAll()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

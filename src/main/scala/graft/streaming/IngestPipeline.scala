@@ -246,8 +246,13 @@ object IngestPipeline {
           grams1.join(survivorIds, Seq("doc_id"), "left_semi"),
           post1.join(survivorIds, Seq("doc_id"), "left_semi"))))
       afterStage("neardup")
+      // arrivals = the full post-door batch: the arrival-contract guard
+      // and the _maxid watermark must see docs the screens rejected
+      // (r9 ADVICE #1/#2 — the composed path previously maintained the
+      // watermark without checking it, and a batch whose highest-id doc
+      // was screened out left it stale)
       SubstrIngest.admit(spark, survivors, substrDir(root), k,
-        pre = Some(substrProbe))
+        pre = Some(substrProbe), arrivals = Some(pinned))
       afterStage("substr")
       val vecs = survivors.withColumn("toks", TextOps.tokens)
         .select(col("doc_id").as("vec_id"),

@@ -128,6 +128,30 @@ object SubstrIngest {
     ()
   }
 
+  /** The arrival-contract guard (r8 advice, lifted to a shared helper in
+    * r10 per r9 ADVICE #1): one tiny agg over the small batch side, zero
+    * store bytes — docs at or below the persisted max-id watermark are
+    * counted in `nonMonotoneArrivals` + logged, never rejected (a
+    * replayed stored id is legitimate and indistinguishable here from a
+    * genuinely fresh low-id doc). Runs on BOTH admission faces: the
+    * standalone `mergeBatch` AND the composed-pipeline `admit` path,
+    * which previously maintained the watermark but never checked against
+    * it — the detection claim was inert on the primary production path. */
+  private[streaming] def checkArrivalContract(spark: SparkSession,
+      docs: DataFrame, store: String): Long =
+    readMaxId(spark, store).map { w =>
+      val low = docs.filter(col("doc_id") <= w)
+        .select("doc_id").distinct().count()
+      if (low > 0) {
+        nonMonotoneArrivals.addAndGet(low)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"SubstrIngest: $low batch doc(s) at or below the store " +
+          s"max-id watermark $w — crash-replay, or a non-monotone " +
+          "source violating the arrival contract (see mergeBatch doc)")
+      }
+      low
+    }.getOrElse(0L)
+
   private def readBloom(spark: SparkSession, store: String): Option[BloomFilter] =
     BloomSide.read(spark, bloomDir(store))
 
@@ -250,21 +274,7 @@ object SubstrIngest {
       k: Int = TextOps.SubstrK,
       afterBloomWrite: () => Unit = () => ()): (Long, Long) = {
     val live = s"$store/grams"
-    // cheap arrival-contract guard (r8 advice): one tiny agg over the
-    // small batch side, zero store bytes — violations are counted and
-    // logged, never rejected (a replayed stored id is legitimate and
-    // indistinguishable here from a genuinely fresh low-id doc)
-    readMaxId(spark, store).foreach { w =>
-      val low = batch.filter(col("doc_id") <= w)
-        .select("doc_id").distinct().count()
-      if (low > 0) {
-        nonMonotoneArrivals.addAndGet(low)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"SubstrIngest: $low batch doc(s) at or below the store " +
-          s"max-id watermark $w — crash-replay, or a non-monotone " +
-          "source violating the arrival contract (see mergeBatch doc)")
-      }
-    }
+    checkArrivalContract(spark, batch, store)
     // several passes consume the batch's gram derivation — pin it once
     // (localCheckpoint, not cache(): nothing leaks across batches)
     val pos = TextOps.substrPosFrame(batch, k).localCheckpoint(true)
@@ -293,15 +303,28 @@ object SubstrIngest {
       .select("doc_id", "h").distinct()
     val fresh = admitted.join(storeHits, Seq("doc_id", "h"), "left_anti")
       .localCheckpoint(true)
-    val nAdmitted = appendFresh(spark, store, fresh, afterBloomWrite)
+    val nAdmitted = appendFresh(spark, store, fresh, afterBloomWrite,
+      batchMaxId(batch))
     (nAdmitted, nRejected)
+  }
+
+  /** Max doc_id of the FULL batch (rejected and replayed docs included)
+    * — the watermark basis. r9 ADVICE #2: bumping from `fresh` (rows
+    * actually appended) left the watermark stale whenever a batch's
+    * highest-id docs were rejected or fully replayed, so later sub-max
+    * arrivals went undetected — broader than the documented one-batch
+    * crash degradation. One tiny agg over the small batch side. */
+  private def batchMaxId(batch: DataFrame): Option[Long] = {
+    val mx = batch.agg(max(col("doc_id"))).head
+    if (mx.isNullAt(0)) None else Some(mx.getLong(0))
   }
 
   /** The shared append tail: bloom-before-rows with the pre-bloom-store
     * migration segment. `fresh` must already be anti-joined against the
     * store. Returns distinct docs appended. */
   private def appendFresh(spark: SparkSession, store: String,
-      fresh: DataFrame, afterBloomWrite: () => Unit): Long = {
+      fresh: DataFrame, afterBloomWrite: () => Unit,
+      batchMax: Option[Long]): Long = {
     resumeSwaps(spark, store) // never append beside a mid-swap stage
     val live = s"$store/grams"
     val nAdmitted = fresh.select("doc_id").distinct().count()
@@ -323,13 +346,16 @@ object SubstrIngest {
         fresh.stat.bloomFilter("h", BloomExpected, BloomFpp))
     }
     afterBloomWrite() // unconditional: the crash-injection point
-    if (nAdmitted > 0) {
+    if (nAdmitted > 0)
       fresh.write.mode(SaveMode.Append).parquet(live)
-      // watermark AFTER rows: a crash between them under-reports the
-      // watermark (guard less sensitive for one batch), never lies
-      val mx = fresh.agg(max(col("doc_id"))).head
-      if (!mx.isNullAt(0)) bumpMaxId(spark, store, mx.getLong(0))
-    }
+    // watermark AFTER rows — a crash before this point under-reports
+    // the watermark (guard less sensitive for one batch), never lies —
+    // and from the FULL batch's max id, bumped even when nothing
+    // appended: a batch whose highest-id docs were rejected or fully
+    // replayed must still advance the arrival watermark (r9 ADVICE #2).
+    // For a verbatim replay batchMax ≤ stored watermark, so the
+    // monotone bump no-ops.
+    batchMax.foreach(bumpMaxId(spark, store, _))
     nAdmitted
   }
 
@@ -342,7 +368,22 @@ object SubstrIngest {
   def admit(spark: SparkSession, docs: DataFrame, store: String,
       k: Int = TextOps.SubstrK,
       afterBloomWrite: () => Unit = () => (),
-      pre: Option[BatchProbe] = None): Long = {
+      pre: Option[BatchProbe] = None,
+      arrivals: Option[DataFrame] = None): Long = {
+    // `arrivals` = the batch's FULL arrival frame when `docs` is a
+    // screened subset (the composed pipeline passes its post-door
+    // batch): both the contract guard and the watermark bump must see
+    // docs the screens rejected, or a batch whose highest-id doc was
+    // screened out leaves the watermark stale (r9 ADVICE #2) and its
+    // low-id peers go unchecked.
+    val arrived = arrivals.getOrElse(docs)
+    // the same arrival-contract guard mergeBatch runs (r9 ADVICE #1:
+    // the composed pipeline reaches the store only through THIS face,
+    // and it maintained the watermark without ever checking it). The
+    // composed pipeline's door has already dropped stored ids, so a
+    // sub-watermark doc here is a genuine contract violation or a
+    // forget-then-reingest — both worth the counter.
+    checkArrivalContract(spark, arrived, store)
     val (pos0, storeHits) = pre match {
       case Some(p) =>
         (p.pos.join(docs.select("doc_id"), Seq("doc_id"), "left_semi"),
@@ -354,7 +395,7 @@ object SubstrIngest {
     val fresh = pos0.select("doc_id", "h").distinct()
       .join(storeHits, Seq("doc_id", "h"), "left_anti")
       .localCheckpoint(true)
-    appendFresh(spark, store, fresh, afterBloomWrite)
+    appendFresh(spark, store, fresh, afterBloomWrite, batchMaxId(arrived))
   }
 
   /** Pinned per-batch probe state — ONE gram derivation + ONE store

@@ -141,6 +141,48 @@ class SubstrIngestSpec extends SparkSpec {
     assert(SubstrIngest.nonMonotoneArrivals.get() == c0 + 4)
   }
 
+  test("watermark basis is the FULL batch (r9 advice #2): a batch whose " +
+    "highest-id doc is REJECTED still advances the watermark, so later " +
+    "sub-max arrivals are detected; and the composed-pipeline `admit` " +
+    "face runs the same guard (r9 advice #1) with `arrivals` as its " +
+    "watermark basis") {
+    val store = Files.createTempDirectory("ss-wm").toString + "/st"
+    val c0 = SubstrIngest.nonMonotoneArrivals.get()
+    SubstrIngest.mergeBatch(spark,
+      Seq(doc(10, "a")).toDF("doc_id", "lang", "text"), store)
+    // doc 50 duplicates stored 10 → rejected, nothing appended; the
+    // pre-r10 bump (max of `fresh`) left the watermark at 10 and a
+    // later fresh doc 30 went undetected
+    assert(SubstrIngest.mergeBatch(spark,
+      Seq(doc(50, "a")).toDF("doc_id", "lang", "text"), store) == (0L, 1L))
+    assert(SubstrIngest.readMaxId(spark, store).contains(50L),
+      "a fully-rejected batch must still advance the watermark")
+    assert(SubstrIngest.nonMonotoneArrivals.get() == c0)
+    SubstrIngest.mergeBatch(spark,
+      Seq(doc(30, "c")).toDF("doc_id", "lang", "text"), store)
+    assert(SubstrIngest.nonMonotoneArrivals.get() == c0 + 1,
+      "sub-max arrival after a rejected-high-id batch went undetected")
+
+    // the admit face (composed pipeline's only path to this store):
+    // guard fires on sub-watermark docs, and the watermark advances
+    // from `arrivals` (the full post-door batch) even when the admitted
+    // subset tops out lower — a screened-out high-id doc must not
+    // leave the watermark stale
+    val store2 = Files.createTempDirectory("ss-wm2").toString + "/st2"
+    val full = Seq(doc(100, "x"), doc(200, "y"))
+      .toDF("doc_id", "lang", "text")
+    val survivors = full.filter($"doc_id" === 100L)
+    assert(SubstrIngest.admit(spark, survivors, store2,
+      arrivals = Some(full)) == 1L)
+    assert(SubstrIngest.readMaxId(spark, store2).contains(200L),
+      "admit must bump the watermark from arrivals, not the admitted subset")
+    val c1 = SubstrIngest.nonMonotoneArrivals.get()
+    SubstrIngest.admit(spark,
+      Seq(doc(150, "z")).toDF("doc_id", "lang", "text"), store2)
+    assert(SubstrIngest.nonMonotoneArrivals.get() == c1 + 1,
+      "admit did not run the arrival-contract guard")
+  }
+
   test("screen (the report face) is replay-stable: the same batch " +
     "screened before and after its own admission reports identical rows") {
     val store = Files.createTempDirectory("ss-screen").toString + "/st"

@@ -45,7 +45,12 @@ import pyarrow.parquet as pq
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
 SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-SEED = f"42:{SRC}" if len(sys.argv) > 2 else 42  # keep sf1 bit-identical
+# Seed namespaced by the SRC VALUE, not by argv arity (r9 ADVICE #3:
+# keying on len(sys.argv) made `gen_sf1.py /tmp/graft_sf1
+# /root/testdata/sf0.1` silently produce a different sf1 than the
+# canonical no-arg invocation). The canonical source keeps the plain
+# 42 so the recorded sf1 rung stays bit-identical.
+SEED = 42 if SRC == "/root/testdata/sf0.1" else f"42:{SRC}"
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
