@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.PairMassProbe [dirA dirB ...]
   *   SPARK_GRAFT_PAIR_WALL=0 skips the wall section (mass only).
+  *
+  * The LIBRARY face of this measurement is `TextOps.pairMass` /
+  * `pairMassPreflight` (r9 verdict #3): one aggregate returning the
+  * exact pair-stage row count at a cap, with a WARN + counter past
+  * `TextOps.PairMassWarnRatio` — what a production caller runs before
+  * a sweep; this main remains the multi-cap histogram diagnostic.
   */
 object PairMassProbe {
   private val Caps = Seq(50, 200, 1000)

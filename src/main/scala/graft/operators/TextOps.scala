@@ -231,7 +231,13 @@ object TextOps {
     * rows, at any shuffle width. A production run sets the cap to its
     * quality target — a fingerprint shared by hundreds of documents is
     * stopword mass, not dedup evidence — and the plan is then linear in
-    * the mass that target implies (measured ≈ input-linear at cap 50). */
+    * the mass that target implies (measured ≈ input-linear at cap 50).
+    *
+    * PRE-FLIGHT (r9 verdict #3): [[winnowPairMass]] returns the exact
+    * pair-stage row count this sweep will emit at a given cap — one
+    * cheap aggregate, run it before a production-scale sweep instead
+    * of discovering the quadratic regime as a wedged stage; it WARNs
+    * and counts ([[quadraticPairRegimes]]) past [[PairMassWarnRatio]]. */
   def winnowPairs(spark: SparkSession, dir: String,
       dfCap: Int = DfCap): DataFrame = {
     // no size>0 filter: explode already drops empty-selection docs
@@ -1341,6 +1347,113 @@ object TextOps {
     e.join(hot, keys, "left_anti")
   }
 
+  /** Average pair fan-out per surviving posting above which a pair
+    * sweep is in the measured PRE-SATURATION QUADRATIC REGIME (r9,
+    * BASELINE.md §Round 9): healthy runs measured ≤ ~12 pairs/posting
+    * (sf1 jaccard@50 at 11.6 was the worst non-pathological entry —
+    * the cut mid-saturation, wall 9.5 s); the two pathological runs
+    * measured 34 (sf1 winnow@1000) and ~330 (sf10 winnow@1000, wall
+    * 1766.8 s cold vs 2.23 s at cap 50). 16 splits the two
+    * populations with margin on both sides. */
+  val PairMassWarnRatio = 16.0
+
+  /** JVM-local detectability counter for pair sweeps launched in the
+    * quadratic regime — the detect-don't-reject pattern
+    * (SubstrIngest.nonMonotoneArrivals): the sweep still runs (the
+    * caller may genuinely want the mass), but the condition is counted
+    * and WARNed instead of discovered as a 30-minute stage. */
+  val quadraticPairRegimes = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** What `pairMass` measures, for one postings frame at one cap:
+    *  - `postings`: total exploded postings rows (input-linear);
+    *  - `nKeys`: distinct `keys` groups;
+    *  - `mass`: Σ_{groups with df ≤ cap} df·(df−1)/2 — EXACTLY the row
+    *    count the pair stage will emit after the df-cut (the true cost
+    *    driver, r9's headline finding: wall tracks mass, not rows);
+    *  - `keptPostings`: postings surviving the cut (mass's denominator).
+    * `massPerPosting` > [[PairMassWarnRatio]] is the quadratic-regime
+    * signal: each surviving posting fans out into that many pairs on
+    * average, so the pair stage writes an order of magnitude more than
+    * it reads. Mass/posting is bounded by (cap−1)/2 — at saturation the
+    * sweep is input-linear with a cap-sized constant, and the warn
+    * fires precisely in the growth window before saturation where a
+    * fixed absolute cap calibrated to a small corpus (the measured
+    * DfCap=1000 trap: ~97× mass per 10× docs between sf1 and sf10)
+    * costs quadratic wall. */
+  final case class PairMass(postings: Long, nKeys: Long, mass: Long,
+      keptPostings: Long) {
+    def massPerPosting: Double =
+      if (keptPostings <= 0L) 0.0 else mass.toDouble / keptPostings
+    def quadraticRegime: Boolean = massPerPosting > PairMassWarnRatio
+  }
+
+  /** PRE-FLIGHT for any postings pair sweep (r9 verdict #3, promoting
+    * the PairMassProbe measurement to a library call): ONE cheap
+    * aggregate over the exploded postings — the SAME groupBy the
+    * df-cut's first pass runs, then a single-row rollup of the df
+    * histogram — returning the exact pair-stage output size at `dfCap`
+    * BEFORE the sweep is launched. A production caller sizes or
+    * re-caps the sweep from this number instead of discovering the
+    * quadratic regime as a wedged stage (measured: 1766.8 s cold at
+    * sf10 under the suite-default absolute cap vs 2.23 s at cap 50).
+    * Cost: strictly less than one extra df-cut pass — no anti-join,
+    * one scalar row to the driver. */
+  def pairMass(e: DataFrame, keys: Seq[String], dfCap: Int = DfCap): PairMass = {
+    val r = e.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+      .agg(
+        coalesce(sum(col("df")), lit(0L)).as("postings"),
+        count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("df") <= dfCap,
+          (col("df") * (col("df") - 1) / lit(2)).cast("long"))
+          .otherwise(0L)), lit(0L)).as("mass"),
+        coalesce(sum(when(col("df") <= dfCap, col("df")).otherwise(0L)),
+          lit(0L)).as("kept"))
+      .head
+    PairMass(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** `pairMass` + the WARN/counter face: logs and bumps
+    * [[quadraticPairRegimes]] when the report crosses
+    * [[PairMassWarnRatio]], mirroring the nonMonotoneArrivals
+    * detect-don't-reject pattern — detection, never a veto (a caller
+    * that wants the full mass at a high cap is allowed to pay for it,
+    * knowingly). `what` names the sweep in the log line. */
+  def pairMassPreflight(e: DataFrame, keys: Seq[String], dfCap: Int,
+      what: String): PairMass = {
+    val pm = pairMass(e, keys, dfCap)
+    if (pm.quadraticRegime) {
+      quadraticPairRegimes.incrementAndGet()
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"TextOps: $what pair sweep at dfCap=$dfCap is in the " +
+        f"quadratic regime — ${pm.mass}%,d pairs from " +
+        f"${pm.keptPostings}%,d surviving postings " +
+        f"(${pm.massPerPosting}%.1f pairs/posting > " +
+        f"$PairMassWarnRatio%.0f). The cap is the lever: lower it to " +
+        "the quality target (a key shared by dozens of documents is " +
+        "boilerplate, not dedup evidence) or expect wall to track " +
+        "mass, not input rows (BASELINE.md §Round 9).")
+    }
+    pm
+  }
+
+  /** Pre-flight face for [[winnowPairs]] — the fingerprint-postings df
+    * histogram at `dfCap`. */
+  def winnowPairMass(spark: SparkSession, dir: String,
+      dfCap: Int = DfCap): PairMass =
+    pairMassPreflight(
+      winnowSel(spark, dir).select(explode(col("sel")).as("fp")),
+      Seq("fp"), dfCap, "winnow")
+
+  /** Pre-flight face for [[ngramJaccardPairs]] — the (lang, shingle)
+    * postings df histogram at `dfCap`. */
+  def ngramJaccardPairMass(spark: SparkSession, dir: String,
+      dfCap: Int = DfCap): PairMass =
+    pairMassPreflight(
+      gramsTable(spark, Tables.documentsPar(spark, dir))
+        .select(col("lang"), explode(col("grams")).as("gram")),
+      Seq("lang", "gram"), dfCap, "ngram_jaccard")
+
   /** The shared postings pair sweep — the ONE shape every pair-based
     * dedup query uses (n-gram Jaccard, MinHash bands, SimHash probes,
     * winnow overlap): df-cut the exploded postings on `keys` so hot
@@ -1384,7 +1497,11 @@ object TextOps {
 
   /** The pair pipeline over any (doc_id, lang, text) frame — the
     * testable core (DfCutSpec feeds planted-hot-gram corpora through it
-    * with a small cap). */
+    * with a small cap). PRE-FLIGHT at scale: [[ngramJaccardPairMass]]
+    * (one aggregate) returns the exact pair count this sweep emits at
+    * a cap — the dfCap here is an ABSOLUTE df cut, so a cap calibrated
+    * to a small corpus sits in the measured quadratic regime on a big
+    * one (r9: ~97× mass per 10× docs at DfCap=1000). */
   private[graft] def ngramJaccardPairsFrame(
       spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
     // no size>0 filter: explode already drops empty-gram docs. The

@@ -111,6 +111,70 @@ class DfCutSpec extends SparkSpec {
     assert(cut == Set((100L, 101L)), s"got $cut")
   }
 
+  test("pairMass: exact df-histogram arithmetic, and mass equals the " +
+    "pair stage's actual emitted row count (r9 verdict #3 pre-flight)") {
+    // hand-built postings: keys with df 1, 2, 3, 5 → at cap 3 the df-5
+    // key is dropped; mass = 0 + 1 + 3 = 4, kept = 1 + 2 + 3 = 6
+    val e = (Seq("a").map((1L, _)) ++
+      Seq("b", "b").zipWithIndex.map { case (k, i) => (10L + i, k) } ++
+      Seq("c", "c", "c").zipWithIndex.map { case (k, i) => (20L + i, k) } ++
+      Seq("d", "d", "d", "d", "d").zipWithIndex
+        .map { case (k, i) => (30L + i, k) })
+      .toDF("doc_id", "k")
+    val pm = TextOps.pairMass(e, Seq("k"), 3)
+    assert(pm == TextOps.PairMass(11L, 4L, 4L, 6L), s"got $pm")
+    // and the mass IS the pair stage's output: postingsPairs on the
+    // same frame emits exactly `mass` rows
+    val emitted = TextOps.postingsPairs(spark, e, Seq("k"),
+      col("doc_id"), 3).count()
+    assert(emitted == pm.mass, s"pair stage emitted $emitted, mass ${pm.mass}")
+
+    // on a real corpus shape: hotCorpus's 6 near-dups share 8 sub-cap
+    // grams (df=6 → 15 pairs each) and the hot gram is cut → mass 120,
+    // equal to the raw pair emissions behind the 15 scored pairs
+    val postings = hotCorpus(hotPhrase = true)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.wordTrigrams(col("toks"))).as("gram"))
+    val pmCorpus = TextOps.pairMass(postings, Seq("lang", "gram"), 1000)
+    assert(pmCorpus.mass == 120L, s"got $pmCorpus")
+    val emittedCorpus = TextOps.postingsPairs(spark, postings,
+      Seq("lang", "gram"), col("doc_id"), 1000).count()
+    assert(emittedCorpus == pmCorpus.mass)
+  }
+
+  test("pairMassPreflight: detect-don't-reject — the quadratic-regime " +
+    "counter bumps and only then (WARN face of the r9 mass finding)") {
+    val c0 = TextOps.quadraticPairRegimes.get()
+    // 50 docs sharing ONE key at a cap that keeps it: 1225 pairs from
+    // 50 postings = 24.5 pairs/posting > the 16 warn bar
+    val hot = (0L until 50L).map((_, "k")).toDF("doc_id", "k")
+    val pmHot = TextOps.pairMassPreflight(hot, Seq("k"), 1000, "spec-hot")
+    assert(pmHot.quadraticRegime && pmHot.mass == 1225L)
+    assert(TextOps.quadraticPairRegimes.get() == c0 + 1,
+      "quadratic regime not counted")
+    // healthy postings (df=2 pairs): 1 pair from 2 postings — silent
+    val cool = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "k")
+    val pmCool = TextOps.pairMassPreflight(cool, Seq("k"), 1000, "spec-cool")
+    assert(!pmCool.quadraticRegime && pmCool.mass == 1L)
+    assert(TextOps.quadraticPairRegimes.get() == c0 + 1,
+      "healthy sweep must not count")
+    // and at the same corpus a LOWER cap exits the regime — the lever
+    // the warn message points at
+    assert(!TextOps.pairMass(hot, Seq("k"), 10).quadraticRegime)
+  }
+
+  test("pairMass convenience faces match the generic call on testdata") {
+    val dir = sf()
+    val win = TextOps.winnowPairMass(spark, dir)
+    val winRef = TextOps.pairMass(
+      TextOps.winnowSel(spark, dir).select(explode(col("sel")).as("fp")),
+      Seq("fp"), TextOps.DfCap)
+    assert(win == winRef && win.postings > 0)
+    val jac = TextOps.ngramJaccardPairMass(spark, dir)
+    assert(jac.postings > 0 && jac.mass >= 0 && jac.nKeys > 0)
+  }
+
   test("minhash LSH: a band bucket hotter than the cap is dropped; " +
     "sub-cap buckets still pair") {
     val hot = (0L until 12L).map { i =>
