@@ -161,7 +161,8 @@ object IngestPipeline {
     * "stats") — the crash-injection seam for the spec's matrix. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, root: String,
       batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
-      afterStage: String => Unit = _ => ()): BatchReport = {
+      afterStage: String => Unit = _ => (),
+      compactEvery: Int = 0, compactFiles: Int = 4): BatchReport = {
     val corpus = corpusDir(root)
     // resume-before-probe (StagedSwap's contract) for the DOOR's
     // stored-id probe below: a corpus mid-compaction/erasure swap
@@ -287,6 +288,12 @@ object IngestPipeline {
     CorpusStats.mergeBatch(spark, rawPinned, statsFile(root), batchId)
     afterStage("stats")
 
+    // 7. opt-in maintenance cadence — LAST, after every store commit
+    // (a crash inside the sweep replays the batch: the door absorbs
+    // the docs, the staged sub-compactions resume, verdicts unchanged)
+    if (nAdmitted > 0 && maybeCompact(spark, root, compactEvery, compactFiles))
+      afterStage("compact")
+
     BatchReport(nIn, nAbsorbed, nDoor - nGated, nExactRej, nNearRej,
       nSubstrRej, nAdmitted)
   }
@@ -400,6 +407,68 @@ object IngestPipeline {
           .stat.bloomFilter("fp", BloomSide.Expected, BloomSide.Fpp))
   }
 
+  // ---- opt-in auto-compaction cadence (r9 verdict #4) ----
+  // FileSoak adjudicated parquet small-file accretion flat to the
+  // 400-batch horizon with `compactAll` every O(500) batches as the
+  // off-peak answer — but nothing CALLED it: a production 30-60 s
+  // trigger relied on an operator remembering. `mergeBatch` now counts
+  // APPENDING batches (nAdmitted > 0 — only those grow the file sets)
+  // in a persisted, torn-write-safe counter and, past the opt-in
+  // `compactEvery` threshold, runs compactAll at the END of the batch
+  // (after every store commit, the off-hot-path point a foreachBatch
+  // world has). Crash-safe without new machinery: each sub-compactor
+  // keeps its own StagedSwap discipline, and the counter resets only
+  // AFTER compactAll returns — a crash mid-compaction leaves the
+  // counter at the threshold, so the next appending batch re-triggers
+  // and the staged swaps resume (one redundant-but-idempotent sweep,
+  // never a skipped one). Default 0 = off: the cadence is deployment
+  // policy, not library policy.
+
+  private def ctrPath(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_compact_ctr")
+
+  /** Appending batches since the last auto-compaction — the exposed
+    * cadence counter (readable for ops dashboards; a torn write parses
+    * as 0, which merely delays one compaction by a cadence). */
+  def appendsSinceCompact(spark: SparkSession, root: String): Long = {
+    val p = ctrPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return 0L
+    scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }.getOrElse(0L)
+  }
+
+  private def writeCompactCounter(spark: SparkSession, root: String,
+      v: Long): Unit = {
+    val p = ctrPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact_ctr.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
+
+  /** Bump-or-fire: called once per APPENDING batch. Returns true when
+    * this call ran compactAll. */
+  private def maybeCompact(spark: SparkSession, root: String,
+      compactEvery: Int, nFiles: Int): Boolean = {
+    if (compactEvery <= 0) return false
+    val n = appendsSinceCompact(spark, root) + 1
+    if (n >= compactEvery) {
+      compactAll(spark, root, nFiles)
+      writeCompactCounter(spark, root, 0L) // reset AFTER the sweep
+      true
+    } else {
+      writeCompactCounter(spark, root, n)
+      false
+    }
+  }
+
   /** METADATA-FILTERED vector search over the composed store — the
     * "filtered ANN" face every production vector store ships: `pred`
     * evaluates against the corpus store's columns (lang, source, the
@@ -500,14 +569,16 @@ object IngestPipeline {
     * 12.5-25k-doc batches such a trigger carries. */
   def ingest(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): DataStreamWriter[org.apache.spark.sql.Row] =
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.schema(CorpusIngest.docSchema).json(srcDir)
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        mergeBatch(batch.sparkSession, batch, root, id)
+        mergeBatch(batch.sparkSession, batch, root, id,
+          compactEvery = compactEvery)
         ()
       }
 }

@@ -425,6 +425,61 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r.exactRejected == 1L, s"post-compaction screen: $r")
   }
 
+  test("auto-compaction cadence (r9 verdict #4): with compactEvery set " +
+    "mergeBatch fires compactAll past the threshold — stores match an " +
+    "uncompacted twin bit-for-bit, file counts stay bounded, the " +
+    "persisted counter resets, and a crash at the compaction point " +
+    "converges on replay") {
+    val rootA = Files.createTempDirectory("pipe-ac-a").toString + "/p"
+    val rootB = Files.createTempDirectory("pipe-ac-b").toString + "/p"
+    def freshBatch(i: Int) =
+      (0 until 3).map { j =>
+        row(i * 10L + j, passText(f"cad$i%02d${('a' + j).toChar}", s"t$i$j"))
+      }.toDF("doc_id", "text", "lang", "source")
+    var fired = 0
+    for (i <- 1 to 5) {
+      IngestPipeline.mergeBatch(spark, freshBatch(i), rootA, i.toLong,
+        afterStage = s => if (s == "compact") fired += 1,
+        compactEvery = 2, compactFiles = 2)
+      IngestPipeline.mergeBatch(spark, freshBatch(i), rootB, i.toLong)
+    }
+    // 5 appending batches at cadence 2 → compactions after batches 2, 4
+    assert(fired == 2, s"expected 2 compactions, got $fired")
+    assert(IngestPipeline.appendsSinceCompact(spark, rootA) == 1L,
+      "persisted counter did not reset on compaction")
+    assert(snapshot(rootA) == snapshot(rootB),
+      "auto-compaction changed store contents vs the uncompacted twin")
+    def parquetFiles(p: String): Int = {
+      val it = Files.walk(java.nio.file.Paths.get(p)).iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    }
+    assert(parquetFiles(IngestPipeline.corpusDir(rootA)) <
+      parquetFiles(IngestPipeline.corpusDir(rootB)),
+      "cadence did not bound the corpus file count")
+
+    // crash at the compaction point: batch 6 trips the cadence (counter
+    // 1 → 2), compactAll completes, afterStage("compact") dies before
+    // the checkpoint would commit. The replay is door-absorbed and the
+    // stores converge to the crash-free twin.
+    val b6 = freshBatch(6)
+    intercept[RuntimeException] {
+      IngestPipeline.mergeBatch(spark, b6, rootA, 6L,
+        afterStage = s => if (s == "compact")
+          throw new RuntimeException("injected"),
+        compactEvery = 2, compactFiles = 2)
+    }
+    // replay (same batch, same id) — no injection this time
+    IngestPipeline.mergeBatch(spark, b6, rootA, 6L,
+      compactEvery = 2, compactFiles = 2)
+    IngestPipeline.mergeBatch(spark, b6, rootB, 6L)
+    assert(snapshot(rootA) == snapshot(rootB),
+      "crash-at-compaction replay diverged from the crash-free twin")
+    assert(IngestPipeline.appendsSinceCompact(spark, rootA) == 0L,
+      "counter must reflect the completed pre-crash compaction")
+  }
+
   test("forget erases a document from corpus, near-dup artifact, " +
     "substring store and vector index; a later copy of the erased text " +
     "is admitted as new (the stated erasure/dedup trade); idempotent") {
