@@ -93,6 +93,51 @@ object PairMassProbe {
         Artifacts.unpersistAll()
       }
     }
+
+    // SIMHASH under its levers (r9 verdict #2): the tier-A ceiling
+    // (10.4-10.8× per 10× rows at suite defaults 60-bit/cap-1000) is
+    // the same pair-mass mechanism — its band-key df grows with the
+    // corpus (the synthetic replicas are token SHUFFLES, and SimHash
+    // is bag-of-words, so every replica family shares ONE fingerprint:
+    // band df ≈ family size). Three configs per dir at SCALED width:
+    // suite default; the production cap (50); and the N-derived width
+    // (defaultSimhashBits — the minimum width keeping expected RANDOM
+    // band df under cap/2). mass = TextOps.pairMass over the sweep's
+    // own probe frame; pairs = Hamming≤2 output rows (the recall face:
+    // a config that drops true-dup buckets shows it here).
+    if (!sys.env.get("SPARK_GRAFT_SIM_WALL").contains("0")) {
+      println("[simwall] config walls (median of 3, amortized; width 8 " +
+        "below 100k docs, 80 above)")
+      for (dir <- dirs) {
+        val docs = graft.Tables.documentsPar(spark, dir)
+        val n = docs.count()
+        val parts = if (n > 100000L) 80 else 8
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val nBits = graft.operators.MinHashOps.defaultSimhashBits(n)
+        val configs = Seq(
+          ("60b_cap1000", 60, graft.operators.TextOps.DfCap),
+          ("60b_cap50", 60, 50),
+          (s"${nBits}b_cap1000", nBits, graft.operators.TextOps.DfCap))
+        for ((label, bits, cap) <- configs) {
+          val sh = graft.operators.MinHashOps.simhashShared(docs, bits)
+          val pm = graft.operators.TextOps.pairMass(
+            graft.operators.MinHashOps.simhashProbes(sh, bits),
+            Seq("band_idx", "probe"), cap)
+          def frame = graft.operators.MinHashOps
+            .simhashPairsFrame(spark, docs, cap, bits)
+          val ts = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            frame.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val pairs = frame.count()
+          println(f"[simwall] $dir%-22s $label%-14s parts=$parts%-3d " +
+            f"mass=${pm.mass}%,14d (${pm.massPerPosting}%8.2f/posting) " +
+            f"wall=${ts.sorted.apply(1)}%7.2f s  pairs=$pairs%,12d")
+          Artifacts.unpersistAll()
+        }
+      }
+    }
     spark.stop()
   }
 

@@ -385,13 +385,20 @@ object MinHashOps {
       .orderBy(col("hamming"), col("d1"), col("d2"))
       .limit(100)
 
-  private[graft] def simhashPairsFrame(spark: SparkSession, docsIn: DataFrame,
-      dfCap: Int, bits: Int = SimBits): DataFrame = {
+  /** The cached (doc_id, sh) fingerprint frame — probes AND both
+    * verify sides read it. */
+  private[graft] def simhashShared(docsIn: DataFrame, bits: Int): DataFrame = {
     require(bits % SimBands == 0 && bits >= SimBands && bits <= 60,
       s"bits must be a multiple of $SimBands in [$SimBands,60], got $bits")
+    graft.Artifacts.shared(simhashWideFrame(docsIn, bits))
+  }
+
+  /** The banded probe postings of the Hamming≤2 sweep — one
+    * (doc_id, band_idx, probe) row per band per doc. Factored out so
+    * PairMassProbe / TextOps.pairMass can pre-flight the EXACT frame
+    * the sweep pairs on (r9 verdict #2/#3). */
+  private[graft] def simhashProbes(sh: DataFrame, bits: Int): DataFrame = {
     val bandWidth = bits / SimBands
-    // (doc_id, sh) cached: probes AND both verify sides read it
-    val sh = graft.Artifacts.shared(simhashWideFrame(docsIn, bits))
     // literal band generator (same pattern as bandPostings): the shifts
     // read the materialized sh column per band
     val bandArr = array((0 until SimBands).map { j =>
@@ -399,10 +406,15 @@ object MinHashOps {
         shiftright(col("sh"), j * bandWidth)
           .bitwiseAND(lit((1L << bandWidth) - 1L)).as("probe"))
     }: _*)
-    val probes = sh
-      .select(col("doc_id"), explode(bandArr).as("bp"))
+    sh.select(col("doc_id"), explode(bandArr).as("bp"))
       .select(col("doc_id"), col("bp.band_idx").as("band_idx"),
         col("bp.probe").as("probe"))
+  }
+
+  private[graft] def simhashPairsFrame(spark: SparkSession, docsIn: DataFrame,
+      dfCap: Int, bits: Int = SimBits): DataFrame = {
+    val sh = simhashShared(docsIn, bits)
+    val probes = simhashProbes(sh, bits)
     val cand = TextOps.postingsPairs(spark, probes,
         Seq("band_idx", "probe"), col("doc_id"), dfCap)
       .select(col("l").as("d1"), col("r").as("d2"))
