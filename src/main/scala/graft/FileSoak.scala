@@ -74,9 +74,19 @@ object FileSoak {
     }
 
     // ---- B: in-vivo pipeline soak ----
+    // SPARK_GRAFT_SOAK_COMPACT_EVERY > 0 runs the soak WITH the r10
+    // auto-compaction cadence enabled — the in-vivo demonstration that
+    // the trigger fires on schedule, the compaction batches carry the
+    // sweep's cost visibly (they are real 30-60 s-trigger maintenance
+    // work, not hidden), and the file counts at the end are BOUNDED
+    // instead of ≈ nBatches per store.
+    val compactEvery =
+      sys.env.getOrElse("SPARK_GRAFT_SOAK_COMPACT_EVERY", "0").toInt
+    var compactions = 0
     val root = s"$tmp/pipe/p"
     println(s"[files] B: in-vivo soak, $nBatches 2-doc batches " +
-      "(every 25th carries a stored-text duplicate → probe path)")
+      "(every 25th carries a stored-text duplicate → probe path)" +
+      (if (compactEvery > 0) s"; auto-compaction every $compactEvery" else ""))
     // tokens must stay ≤10 chars or the Gopher gate's mean_wl bound
     // rejects the whole batch and the soak measures only the gate path
     def passText(tag: String): String =
@@ -94,7 +104,9 @@ object FileSoak {
       val batch = rows.toDF("doc_id", "text", "lang", "source")
         .localCheckpoint(true)
       val t0 = System.nanoTime()
-      streaming.IngestPipeline.mergeBatch(spark, batch, root, b.toLong)
+      streaming.IngestPipeline.mergeBatch(spark, batch, root, b.toLong,
+        afterStage = s => if (s == "compact") compactions += 1,
+        compactEvery = compactEvery)
       times(b) = (System.nanoTime() - t0) / 1e9
       if ((b + 1) % 50 == 0) {
         val w = times.slice(b - 49, b + 1).sorted
@@ -102,6 +114,10 @@ object FileSoak {
           f"  p90=${w(45)}%5.2f s")
       }
     }
+    if (compactEvery > 0)
+      println(s"[files] auto-compactions fired: $compactions " +
+        s"(counter now ${streaming.IngestPipeline
+          .appendsSinceCompact(spark, root)})")
     val stores = Seq(
       "corpus" -> streaming.IngestPipeline.corpusDir(root),
       "near/grams" -> s"${streaming.IngestPipeline.nearDir(root)}/grams",

@@ -137,8 +137,23 @@ object MinHashOps {
       .select("d1", "d2", "common", "n1", "n2", "jaccard")
   }
 
+  /** Pre-flight face for [[minhashLshPairs]] — the (lang, band_idx,
+    * band_hash) postings df histogram at `dfCap`, completing the
+    * winnow/jaccard/minhash trio of r9 verdict #3: one aggregate over
+    * the shared postings artifact returning the exact candidate-stage
+    * row count BEFORE the sweep runs, WARN + counter past
+    * `TextOps.PairMassWarnRatio` (see `TextOps.pairMassPreflight`).
+    * A band bucket's df grows with the corpus exactly like winnow's
+    * fingerprint df — the same absolute-cap trap applies. */
+  def minhashPairMass(spark: SparkSession, dir: String,
+      dfCap: Int = TextOps.DfCap): TextOps.PairMass =
+    TextOps.pairMassPreflight(
+      bandPostings(spark, Tables.documentsPar(spark, dir))._2,
+      Seq("lang", "band_idx", "band_hash"), dfCap, "minhash_lsh")
+
   /** The pipeline over any (doc_id, lang, text) frame — the testable
-    * core (DfCutSpec drives it with a planted hot bucket + small cap). */
+    * core (DfCutSpec drives it with a planted hot bucket + small cap).
+    * PRE-FLIGHT at scale: [[minhashPairMass]]. */
   private[graft] def minhashLshPairsFrame(
       spark: SparkSession, docsIn: DataFrame, dfCap: Int): DataFrame = {
     val (docsGrams, exploded) = bandPostings(spark, docsIn)

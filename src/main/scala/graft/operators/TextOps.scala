@@ -1399,7 +1399,19 @@ object TextOps {
     * Cost: strictly less than one extra df-cut pass — no anti-join,
     * one scalar row to the driver. */
   def pairMass(e: DataFrame, keys: Seq[String], dfCap: Int = DfCap): PairMass = {
-    val r = e.groupBy(keys.map(col): _*)
+    val r = pairMassFrame(e, keys, dfCap).head
+    PairMass(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  /** The one-row plan behind [[pairMass]], exposed for the plan pin:
+    * partial count → ONE exchange on `keys` → final df count → partial
+    * rollup (one slim row per partition) → SinglePartition exchange →
+    * final rollup. Two exchanges, the second O(partitions) rows; no
+    * sort, no join — strictly cheaper than the df-cut pass the sweep
+    * itself will run. */
+  private[graft] def pairMassFrame(e: DataFrame, keys: Seq[String],
+      dfCap: Int): DataFrame =
+    e.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("df"))
       .agg(
         coalesce(sum(col("df")), lit(0L)).as("postings"),
@@ -1409,9 +1421,6 @@ object TextOps {
           .otherwise(0L)), lit(0L)).as("mass"),
         coalesce(sum(when(col("df") <= dfCap, col("df")).otherwise(0L)),
           lit(0L)).as("kept"))
-      .head
-    PairMass(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-  }
 
   /** `pairMass` + the WARN/counter face: logs and bumps
     * [[quadraticPairRegimes]] when the report crosses

@@ -173,6 +173,33 @@ class DfCutSpec extends SparkSpec {
     assert(win == winRef && win.postings > 0)
     val jac = TextOps.ngramJaccardPairMass(spark, dir)
     assert(jac.postings > 0 && jac.mass >= 0 && jac.nKeys > 0)
+    // minhash face: postings = Bands rows per sized doc, and the mass
+    // equals the candidate stage's emitted row count (pre-distinct)
+    val mh = MinHashOps.minhashPairMass(spark, dir)
+    assert(mh.postings > 0 && mh.nKeys > 0)
+    val (_, exploded) = MinHashOps.bandPostings(spark,
+      Tables.documentsPar(spark, dir))
+    val emitted = TextOps.postingsPairs(spark, exploded,
+      Seq("lang", "band_idx", "band_hash"), col("doc_id"),
+      TextOps.DfCap).count()
+    assert(emitted == mh.mass, s"candidate stage emitted $emitted, " +
+      s"pre-flight mass ${mh.mass}")
+  }
+
+  test("pairMass plan pin: the pre-flight is two aggregate levels and " +
+    "two exchanges (keys, then one slim row per partition) — no sort, " +
+    "no join; strictly cheaper than the sweep's own df-cut pass") {
+    val e = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "k")
+    val plan = TextOps.pairMassFrame(e, Seq("k"), 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("Join") &&
+      !plan.contains("Cartesian"), s"unexpected operator:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+    assert(plan.contains("SinglePartition"),
+      s"final rollup must reduce to one row:\n$plan")
+    assert("partial_".r.findAllIn(plan).size >= 2,
+      s"both aggregate levels must partial-aggregate map-side:\n$plan")
   }
 
   test("minhash LSH: a band bucket hotter than the cap is dropped; " +
