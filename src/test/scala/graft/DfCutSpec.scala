@@ -186,6 +186,38 @@ class DfCutSpec extends SparkSpec {
       s"pre-flight mass ${mh.mass}")
   }
 
+  test("pairMass randomized law: for random postings frames and random " +
+    "caps, mass ≡ the pair stage's emitted rows, keptPostings ≡ the " +
+    "df-cut's survivors, and the totals are exact (seeded trials)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6) {
+      // random df profile: 5-25 keys, each with df 1..40 (some will
+      // cross the random cap, some won't)
+      val rows = (0 until (5 + rnd.nextInt(21))).flatMap { k =>
+        val df = 1 + rnd.nextInt(40)
+        (0 until df).map(i => (k * 1000L + i, s"key$k"))
+      }
+      val e = rows.toDF("doc_id", "k")
+      val cap = 1 + rnd.nextInt(45)
+      val pm = TextOps.pairMass(e, Seq("k"), cap)
+      assert(pm.postings == rows.size.toLong, s"trial $trial postings")
+      assert(pm.nKeys == rows.map(_._2).distinct.size.toLong,
+        s"trial $trial nKeys")
+      val emitted = TextOps.postingsPairs(spark, e, Seq("k"),
+        col("doc_id"), cap).count()
+      assert(emitted == pm.mass,
+        s"trial $trial cap=$cap: emitted $emitted, mass ${pm.mass}")
+      val kept = TextOps.dfCut(e, Seq("k"), cap).count()
+      assert(kept == pm.keptPostings,
+        s"trial $trial cap=$cap: dfCut kept $kept, pre-flight ${pm.keptPostings}")
+    }
+    // empty-frame edge: all zeros, no divide-by-zero, never in regime
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "k")
+    val pm0 = TextOps.pairMass(empty, Seq("k"), 10)
+    assert(pm0 == TextOps.PairMass(0L, 0L, 0L, 0L) &&
+      pm0.massPerPosting == 0.0 && !pm0.quadraticRegime)
+  }
+
   test("pairMass plan pin: the pre-flight is two aggregate levels and " +
     "two exchanges (keys, then one slim row per partition) — no sort, " +
     "no join; strictly cheaper than the sweep's own df-cut pass") {
