@@ -1440,10 +1440,41 @@ object TextOps {
         f"(${pm.massPerPosting}%.1f pairs/posting > " +
         f"$PairMassWarnRatio%.0f). The cap is the lever: lower it to " +
         "the quality target (a key shared by dozens of documents is " +
-        "boilerplate, not dedup evidence) or expect wall to track " +
+        "boilerplate, not dedup evidence — suggestDfCap computes the " +
+        "largest cap within a mass target) or expect wall to track " +
         "mass, not input rows (BASELINE.md §Round 9).")
     }
     pm
+  }
+
+  /** The RECOMMENDATION face completing measure → warn → recommend:
+    * the largest df cap whose pair sweep stays within
+    * `maxMassPerPosting` pairs per surviving posting. The cumulative
+    * ratio mass(c)/kept(c) is non-decreasing in c and steps only at
+    * observed df values, so the answer is the largest df value whose
+    * cumulative ratio passes — computed distributed: df histogram
+    * (one slim row per DISTINCT df value), cumulative sums over a
+    * single-partition window (bounded: ≤ max-df rows, a planning-call
+    * cost), one scalar to the driver. Returns 0 when no cap admits
+    * any group within the target (only a drop-everything cap
+    * satisfies it). A production caller pairs this with
+    * [[pairMassPreflight]]: warn at the configured cap, re-cap at the
+    * suggestion. */
+  def suggestDfCap(e: DataFrame, keys: Seq[String],
+      maxMassPerPosting: Double = PairMassWarnRatio): Int = {
+    val hist = e.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+      .groupBy("df").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("df")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val best = hist
+      .withColumn("cum_mass",
+        sum(col("n") * (col("df") * (col("df") - 1) / lit(2))).over(w))
+      .withColumn("cum_kept", sum(col("n") * col("df")).over(w))
+      .filter(col("cum_mass").cast("double") <=
+        lit(maxMassPerPosting) * col("cum_kept").cast("double"))
+      .agg(coalesce(max(col("df")), lit(0L)))
+      .head.getLong(0)
+    math.min(best, Int.MaxValue.toLong).toInt
   }
 
   /** Pre-flight face for [[winnowPairs]] — the fingerprint-postings df

@@ -218,6 +218,41 @@ class DfCutSpec extends SparkSpec {
       pm0.massPerPosting == 0.0 && !pm0.quadraticRegime)
   }
 
+  test("suggestDfCap: largest cap within the mass target, maximal by " +
+    "construction, and the hot corpus's 5000-df gram sits above any " +
+    "sane suggestion") {
+    // df profile {1×5, 4, 10, 40}: cumulative mass/kept at each df =
+    // 0/5, 6/9 (.67), 51/19 (2.68), 831/59 (14.08)
+    val rows = (0 until 5).map(i => (i.toLong, s"u$i")) ++
+      (0 until 4).map(i => (100L + i, "a")) ++
+      (0 until 10).map(i => (200L + i, "b")) ++
+      (0 until 40).map(i => (300L + i, "c"))
+    val e = rows.toDF("doc_id", "k")
+    assert(TextOps.suggestDfCap(e, Seq("k"), 16.0) == 40) // all pass
+    assert(TextOps.suggestDfCap(e, Seq("k"), 3.0) == 10)  // 40 fails
+    assert(TextOps.suggestDfCap(e, Seq("k"), 0.5) == 1)   // only df=1
+    // maximality law: the suggestion satisfies the target and the
+    // next df value above it violates it
+    val c = TextOps.suggestDfCap(e, Seq("k"), 3.0)
+    val at = TextOps.pairMass(e, Seq("k"), c)
+    assert(at.massPerPosting <= 3.0)
+    val above = TextOps.pairMass(e, Seq("k"), 40)
+    assert(above.massPerPosting > 3.0)
+    // no cap admits any group: single df=40 key at a tight target →
+    // only a drop-everything cap satisfies, reported as 0
+    val lone = (0 until 40).map(i => (i.toLong, "z")).toDF("doc_id", "k")
+    assert(TextOps.suggestDfCap(lone, Seq("k"), 16.0) == 0)
+    // hot corpus: the 5000-df gram is never inside a default-target cap
+    val postings = hotCorpus(hotPhrase = true)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.wordTrigrams(col("toks"))).as("gram"))
+    val sugg = TextOps.suggestDfCap(postings, Seq("lang", "gram"))
+    assert(sugg >= 6 && sugg < 5000,
+      s"suggestion $sugg must keep the near-dup grams (df 6) and " +
+      "exclude the 5000-df stopword gram")
+  }
+
   test("pairMass plan pin: the pre-flight is two aggregate levels and " +
     "two exchanges (keys, then one slim row per partition) — no sort, " +
     "no join; strictly cheaper than the sweep's own df-cut pass") {
