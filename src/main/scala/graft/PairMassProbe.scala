@@ -114,10 +114,15 @@ object PairMassProbe {
         val parts = if (n > 100000L) 80 else 8
         spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
         val nBits = graft.operators.MinHashOps.defaultSimhashBits(n)
-        val configs = Seq(
+        // dedupe by (bits, cap): at N large enough that the N-derived
+        // width clamps to 60, the third config would repeat the first
+        // under an identical label (r10 review)
+        val configs = (Seq(
           ("60b_cap1000", 60, graft.operators.TextOps.DfCap),
-          ("60b_cap50", 60, 50),
-          (s"${nBits}b_cap1000", nBits, graft.operators.TextOps.DfCap))
+          ("60b_cap50", 60, 50)) ++
+          (if (nBits != 60)
+            Seq((s"${nBits}b_cap1000", nBits, graft.operators.TextOps.DfCap))
+          else Seq.empty))
         for ((label, bits, cap) <- configs) {
           val sh = graft.operators.MinHashOps.simhashShared(docs, bits)
           val pm = graft.operators.TextOps.pairMass(

@@ -147,8 +147,13 @@ object MinHashOps {
     * fingerprint df — the same absolute-cap trap applies. */
   def minhashPairMass(spark: SparkSession, dir: String,
       dfCap: Int = TextOps.DfCap): TextOps.PairMass =
+    // cache = false (r10 review): a planning call must not register
+    // and pin the two corpus-scale shared artifacts (grams + postings)
+    // to compute one scalar — the sweep builds its own caches if it
+    // then runs
     TextOps.pairMassPreflight(
-      bandPostings(spark, Tables.documentsPar(spark, dir))._2,
+      bandPostings(spark, Tables.documentsPar(spark, dir),
+        cache = false)._2,
       Seq("lang", "band_idx", "band_hash"), dfCap, "minhash_lsh")
 
   /** The pipeline over any (doc_id, lang, text) frame — the testable

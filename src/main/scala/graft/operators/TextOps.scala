@@ -173,9 +173,16 @@ object TextOps {
     * both consumers (the per-doc signature report and the cross-doc
     * overlap pairs) would otherwise re-run the per-row gram/hash/
     * window derivation. */
-  private[graft] def winnowSel(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowSel(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.shared(winnowSelFrame(spark, dir))
+
+  /** The UNCACHED winnow-selection derivation — the pre-flight face
+    * reads this so a planning call never pins a corpus-scale cache
+    * (r10 review); the query faces go through [[winnowSel]], whose
+    * shared cache serves the three selection consumers. */
+  private[graft] def winnowSelFrame(spark: SparkSession, dir: String): DataFrame = {
     val w = WinnowW
-    graft.Artifacts.shared(
+    (
       Tables.documentsPar(spark, dir)
         .withColumn("toks", tokens)
         .withColumn("grams",
@@ -1478,19 +1485,22 @@ object TextOps {
   }
 
   /** Pre-flight face for [[winnowPairs]] — the fingerprint-postings df
-    * histogram at `dfCap`. */
+    * histogram at `dfCap`. UNCACHED derivation (r10 review): a
+    * planning call must not pin a corpus-scale cache; if the sweep
+    * then runs, it builds its own shared selection as usual. */
   def winnowPairMass(spark: SparkSession, dir: String,
       dfCap: Int = DfCap): PairMass =
     pairMassPreflight(
-      winnowSel(spark, dir).select(explode(col("sel")).as("fp")),
+      winnowSelFrame(spark, dir).select(explode(col("sel")).as("fp")),
       Seq("fp"), dfCap, "winnow")
 
   /** Pre-flight face for [[ngramJaccardPairs]] — the (lang, shingle)
-    * postings df histogram at `dfCap`. */
+    * postings df histogram at `dfCap`. Uncached, like
+    * [[winnowPairMass]]. */
   def ngramJaccardPairMass(spark: SparkSession, dir: String,
       dfCap: Int = DfCap): PairMass =
     pairMassPreflight(
-      gramsTable(spark, Tables.documentsPar(spark, dir))
+      gramsFrame(Tables.documentsPar(spark, dir))
         .select(col("lang"), explode(col("grams")).as("gram")),
       Seq("lang", "gram"), dfCap, "ngram_jaccard")
 

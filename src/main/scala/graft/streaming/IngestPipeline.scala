@@ -279,7 +279,13 @@ object IngestPipeline {
       // segment; survivors is pinned and nAdmitted > 0 here
       CorpusIngest.appendFresh(spark, corpus, survivors)
       afterStage("corpus")
-    }
+    } else
+      // zero survivors: the admission block is skipped, but the
+      // substring store's arrival bookkeeping must still see this
+      // batch (r10 review) — a fully-screened-out batch otherwise
+      // leaves the watermark stale and its ids unchecked, recreating
+      // the r9 ADVICE #2 gap on the composed face
+      SubstrIngest.recordArrivals(spark, pinned, substrDir(root))
 
     // 6. governance counters over the RAW arrivals (the ingress
     // dashboard: what came in, not what survived or even entered the

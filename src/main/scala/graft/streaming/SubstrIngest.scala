@@ -308,6 +308,21 @@ object SubstrIngest {
     (nAdmitted, nRejected)
   }
 
+  /** Arrival bookkeeping WITHOUT an admission — the zero-survivor path
+    * of the composed pipeline (r10 review: the guard + watermark calls
+    * lived inside its `if (nAdmitted > 0)` block, so a batch whose
+    * docs were ALL screened out still left the watermark stale and the
+    * contract unchecked — the exact standalone-face scenario
+    * SubstrIngestSpec pins, persisting on the composed face). Runs the
+    * contract guard and advances the watermark from the full arrival
+    * frame; with no rows to append, the bump-after-rows ordering is
+    * vacuous here. */
+  def recordArrivals(spark: SparkSession, arrivals: DataFrame,
+      store: String): Unit = {
+    checkArrivalContract(spark, arrivals, store)
+    batchMaxId(arrivals).foreach(bumpMaxId(spark, store, _))
+  }
+
   /** Max doc_id of the FULL batch (rejected and replayed docs included)
     * — the watermark basis. r9 ADVICE #2: bumping from `fresh` (rows
     * actually appended) left the watermark stale whenever a batch's

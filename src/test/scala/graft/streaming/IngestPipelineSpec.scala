@@ -480,6 +480,36 @@ class IngestPipelineSpec extends SparkSpec {
       "counter must reflect the completed pre-crash compaction")
   }
 
+  test("zero-survivor batches still advance the substring arrival " +
+    "watermark and run the contract guard on the composed face (r10 " +
+    "review: the bookkeeping lived inside the admission block, so a " +
+    "fully-screened-out batch recreated the stale-watermark gap)") {
+    val root = Files.createTempDirectory("pipe-zs").toString + "/p"
+    IngestPipeline.mergeBatch(spark,
+      Seq(row(10, passText("zsa", "t1"))).toDF("doc_id", "text", "lang", "source"),
+      root, 0L)
+    assert(SubstrIngest.readMaxId(spark,
+      IngestPipeline.substrDir(root)).contains(10L))
+    // batch 2: ONE doc, an exact duplicate of stored 10 → every screen
+    // path ends with zero survivors; the watermark must still advance
+    val r2 = IngestPipeline.mergeBatch(spark,
+      Seq(row(50, passText("zsa", "t1"))).toDF("doc_id", "text", "lang", "source"),
+      root, 1L)
+    assert(r2.admitted == 0L && r2.exactRejected == 1L, s"$r2")
+    assert(SubstrIngest.readMaxId(spark,
+      IngestPipeline.substrDir(root)).contains(50L),
+      "zero-survivor batch left the arrival watermark stale")
+    // batch 3: a FRESH sub-watermark doc — must be admitted (the
+    // lower-id keeper convention) AND counted as a contract violation
+    val c0 = SubstrIngest.nonMonotoneArrivals.get()
+    val r3 = IngestPipeline.mergeBatch(spark,
+      Seq(row(30, passText("zsb", "t3"))).toDF("doc_id", "text", "lang", "source"),
+      root, 2L)
+    assert(r3.admitted == 1L, s"$r3")
+    assert(SubstrIngest.nonMonotoneArrivals.get() == c0 + 1,
+      "sub-watermark arrival after a zero-survivor batch went undetected")
+  }
+
   test("forget erases a document from corpus, near-dup artifact, " +
     "substring store and vector index; a later copy of the erased text " +
     "is admitted as new (the stated erasure/dedup trade); idempotent") {

@@ -48,9 +48,15 @@ R = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # Seed namespaced by the SRC VALUE, not by argv arity (r9 ADVICE #3:
 # keying on len(sys.argv) made `gen_sf1.py /tmp/graft_sf1
 # /root/testdata/sf0.1` silently produce a different sf1 than the
-# canonical no-arg invocation). The canonical source keeps the plain
-# 42 so the recorded sf1 rung stays bit-identical.
-SEED = 42 if SRC == "/root/testdata/sf0.1" else f"42:{SRC}"
+# canonical no-arg invocation). Compared by REALPATH (r10 review) so
+# a trailing slash, relative path or symlink denoting the canonical
+# source still takes the canonical branch. The canonical source keeps
+# the plain 42 so the recorded sf1 rung stays bit-identical; a
+# non-canonical source namespaces by its OWN realpath, so two
+# spellings of the same dir also agree with each other.
+_SRC_REAL = os.path.realpath(SRC)
+SEED = 42 if _SRC_REAL == os.path.realpath("/root/testdata/sf0.1") \
+    else f"42:{_SRC_REAL}"
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
