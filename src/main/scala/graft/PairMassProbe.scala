@@ -148,7 +148,7 @@ object PairMassProbe {
 
   private def report(dir: String, kind: String, dfs: DataFrame): Unit = {
     def massAt(cap: Int) = sum(when(col("df") <= cap,
-      (col("df") * (col("df") - 1) / 2).cast("long")).otherwise(0L))
+      graft.operators.TextOps.pairCount(col("df"))).otherwise(0L))
     val r = dfs.agg(
       sum(col("df")).as("postings"),
       count(lit(1)).as("keys"),

@@ -1387,6 +1387,15 @@ object TextOps {
     * fixed absolute cap calibrated to a small corpus (the measured
     * DfCap=1000 trap: ~97× mass per 10× docs between sf1 and sf10)
     * costs quadratic wall. */
+  /** df·(df−1)/2 in INTEGER arithmetic (r10 ADVICE #2): Spark's `/` is
+    * double division, so the naive form silently loses exactness once
+    * df·(df−1) exceeds 2^53 (df ≳ 9.4e7 in one key). Halve the EVEN
+    * factor with a shift instead — exact up to the long product bound
+    * (df ≈ 6.07e9, where the pair count itself no longer fits a long). */
+  private[graft] def pairCount(df: Column): Column =
+    when(df.bitwiseAND(lit(1L)) === 0L, shiftright(df, 1) * (df - 1))
+      .otherwise(df * shiftright(df - 1, 1))
+
   final case class PairMass(postings: Long, nKeys: Long, mass: Long,
       keptPostings: Long) {
     def massPerPosting: Double =
@@ -1423,8 +1432,7 @@ object TextOps {
       .agg(
         coalesce(sum(col("df")), lit(0L)).as("postings"),
         count(lit(1)).as("n_keys"),
-        coalesce(sum(when(col("df") <= dfCap,
-          (col("df") * (col("df") - 1) / lit(2)).cast("long"))
+        coalesce(sum(when(col("df") <= dfCap, pairCount(col("df")))
           .otherwise(0L)), lit(0L)).as("mass"),
         coalesce(sum(when(col("df") <= dfCap, col("df")).otherwise(0L)),
           lit(0L)).as("kept"))
@@ -1475,7 +1483,7 @@ object TextOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val best = hist
       .withColumn("cum_mass",
-        sum(col("n") * (col("df") * (col("df") - 1) / lit(2))).over(w))
+        sum(col("n") * pairCount(col("df"))).over(w))
       .withColumn("cum_kept", sum(col("n") * col("df")).over(w))
       .filter(col("cum_mass").cast("double") <=
         lit(maxMassPerPosting) * col("cum_kept").cast("double"))

@@ -454,13 +454,30 @@ object IngestPipeline {
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact_ctr.tmp")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    // OVERWRITING rename (r10 ADVICE #1): the previous delete-then-
+    // rename had a crash window in which the live counter was gone
+    // entirely (next read parses as 0 — a full-cadence delay).
+    // FileContext.rename(OVERWRITE) is the FS-contract atomic
+    // replacement (true on HDFS; best-effort single-call on local fs),
+    // so the counter is now always either the old or the new value.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
   }
 
   /** Bump-or-fire: called once per APPENDING batch. Returns true when
-    * this call ran compactAll. */
+    * this call ran compactAll.
+    *
+    * Replay skew (r10 ADVICE #1, documented not fixed): a crash
+    * between this bump and the stream checkpoint's batch commit
+    * replays the delivery, and if the replayed batch still admits
+    * rows (e.g. it carries docs the door had not yet absorbed), it
+    * bumps AGAIN — one logical batch counted twice, so a compaction
+    * fires up to one batch early. The counter is a maintenance
+    * cadence, not a correctness input; making it exactly-once would
+    * need the counter inside the stores' staged commits, coupling
+    * five independent swap protocols for no semantic gain. */
   private def maybeCompact(spark: SparkSession, root: String,
       compactEvery: Int, nFiles: Int): Boolean = {
     if (compactEvery <= 0) return false

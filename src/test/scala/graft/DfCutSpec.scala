@@ -257,16 +257,36 @@ class DfCutSpec extends SparkSpec {
     "two exchanges (keys, then one slim row per partition) — no sort, " +
     "no join; strictly cheaper than the sweep's own df-cut pass") {
     val e = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "k")
-    val plan = TextOps.pairMassFrame(e, Seq("k"), 1000)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Sort") && !plan.contains("Join") &&
-      !plan.contains("Cartesian"), s"unexpected operator:\n$plan")
-    val exchanges = "Exchange".r.findAllIn(plan).size
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
-    assert(plan.contains("SinglePartition"),
-      s"final rollup must reduce to one row:\n$plan")
-    assert("partial_".r.findAllIn(plan).size >= 2,
-      s"both aggregate levels must partial-aggregate map-side:\n$plan")
+    // STRUCTURAL checks on the plan tree, not plan-string substring
+    // counts (r10 ADVICE #3): exact string shapes break spuriously on
+    // Spark upgrades / AQE-config changes; node-type walks only break
+    // on a real shape regression.
+    val frame = TextOps.pairMassFrame(e, Seq("k"), 1000)
+    frame.head // force execution so AQE's FINAL plan is what we walk
+    val exec = frame.queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan
+        ): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val inner = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          nodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          nodes(q.plan)
+        case _ => Seq.empty
+      }
+      (p +: p.children.flatMap(nodes)) ++ inner
+    }
+    val all = nodes(exec)
+    assert(!all.exists(n => n.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BaseJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      s"pre-flight must not sort or join:\n$exec")
+    val exchanges = all.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(exchanges <= 2, s"expected at most 2 exchanges, got $exchanges:\n$exec")
+    val aggs = all.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.BaseAggregateExec])
+    assert(aggs >= 4, // two levels, each partial + final
+      s"both aggregate levels must partial-aggregate map-side:\n$exec")
   }
 
   test("minhash LSH: a band bucket hotter than the cap is dropped; " +
