@@ -61,9 +61,18 @@ object MinHashOps {
     }: _*)
 
   /** Candidate pairs from LSH band buckets, verified with exact Jaccard.
-    * Output: top-50 pairs by exact similarity (deterministic). */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    * Output: top-50 pairs by exact similarity (deterministic).
+    * `preflight = true` opts into the composed measure→warn→recommend
+    * pre-flight (TextOps.preflightPairSweep) over the sweep's own
+    * shared band-postings artifact; output unchanged (PreflightSpec). */
+  def minhashLshPairs(spark: SparkSession, dir: String,
+      preflight: Boolean = false): DataFrame = {
+    if (preflight)
+      TextOps.preflightPairSweep(
+        bandPostings(spark, Tables.documentsPar(spark, dir))._2,
+        Seq("lang", "band_idx", "band_hash"), TextOps.DfCap, "minhash_lsh")
     minhashLshPairsAll(spark, dir).limit(50)
+  }
 
   /** The same pipeline WITHOUT the presentation top-k cut — every
     * LSH-surfaced pair that verification confirms. MinHashRecallSpec
@@ -400,10 +409,20 @@ object MinHashOps {
     * SimHashScaleSpec pins the regression: at a synthetic N where every
     * narrow bucket is hot the narrow sweep returns empty while this one
     * still finds the planted pair. Probe volume drops 17N → 3N rows. */
-  def simhashPairs(spark: SparkSession, dir: String): DataFrame =
-    simhashPairsFrame(spark, Tables.documentsPar(spark, dir), TextOps.DfCap)
+  def simhashPairs(spark: SparkSession, dir: String,
+      preflight: Boolean = false): DataFrame = {
+    val docs = Tables.documentsPar(spark, dir)
+    if (preflight)
+      // the sweep's exact probe frame off the SAME shared fingerprint
+      // artifact the sweep reads (composed opt-in pre-flight,
+      // TextOps.preflightPairSweep; output unchanged — PreflightSpec)
+      TextOps.preflightPairSweep(
+        simhashProbes(simhashShared(docs, SimBits), SimBits),
+        Seq("band_idx", "probe"), TextOps.DfCap, "simhash")
+    simhashPairsFrame(spark, docs, TextOps.DfCap)
       .orderBy(col("hamming"), col("d1"), col("d2"))
       .limit(100)
+  }
 
   /** The cached (doc_id, sh) fingerprint frame — probes AND both
     * verify sides read it. */

@@ -246,11 +246,15 @@ object TextOps {
     * of discovering the quadratic regime as a wedged stage; it WARNs
     * and counts ([[quadraticPairRegimes]]) past [[PairMassWarnRatio]]. */
   def winnowPairs(spark: SparkSession, dir: String,
-      dfCap: Int = DfCap): DataFrame = {
+      dfCap: Int = DfCap, preflight: Boolean = false): DataFrame = {
     // no size>0 filter: explode already drops empty-selection docs
     val e = winnowSel(spark, dir)
       .withColumn("n_sel", size(col("sel")).cast("long"))
       .select(col("doc_id"), col("n_sel"), explode(col("sel")).as("fp"))
+    // opt-in composed pre-flight over the sweep's OWN postings frame
+    // (the shared winnowSel cache serves both, unlike the standalone
+    // planning face winnowPairMass which stays uncached)
+    if (preflight) preflightPairSweep(e, Seq("fp"), dfCap, "winnow")
     val pairs = postingsPairs(spark, e, Seq("fp"),
       struct(col("doc_id"), col("n_sel")), dfCap)
     pairs.groupBy(col("l.doc_id").as("d1"), col("r.doc_id").as("d2"),
@@ -1462,6 +1466,41 @@ object TextOps {
     pm
   }
 
+  /** The COMPOSED pre-flight (r10 verdict #2): measure → warn →
+    * recommend in one call, wired into every pair-sweep entry point
+    * behind its opt-in `preflight` flag ([[winnowPairs]],
+    * [[ngramJaccardPairs]], MinHashOps.minhashLshPairs/simhashPairs) —
+    * a production caller no longer has to know the three-call recipe;
+    * `preflight = true` runs it against the EXACT postings frame the
+    * sweep pairs on, then the sweep proceeds unchanged (detection,
+    * never a veto: output is bit-identical to the plain sweep —
+    * PreflightSpec). When the measurement is in the quadratic regime,
+    * the [[suggestDfCap]] recommendation is computed and logged in the
+    * same call. Cost: one extra aggregate over the artifact the sweep
+    * builds anyway, plus — only in the quadratic case — the bounded
+    * histogram-window pass behind the recommendation.
+    *
+    * THE RECOMMENDATION IS A COST TARGET, NOT A QUALITY FLOOR: the
+    * suggested cap bounds mass/posting only. On the planted-dup ladder
+    * the measured recall at the suggestion varies by sweep and rung
+    * (BASELINE.md §Round 11 [recall] table) — check the near-pair df
+    * floor there before adopting a recommendation at scale. */
+  def preflightPairSweep(e: DataFrame, keys: Seq[String], dfCap: Int,
+      what: String): (PairMass, Option[Int]) = {
+    val pm = pairMassPreflight(e, keys, dfCap, what)
+    val rec = if (pm.quadraticRegime) {
+      val c = suggestDfCap(e, keys)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"TextOps: $what — suggestDfCap recommends dfCap=$c at the " +
+        f"default $PairMassWarnRatio%.0f pairs/posting target " +
+        f"(configured: $dfCap). The recommendation bounds COST only; " +
+        "check the measured recall floor (BASELINE.md §Round 11) " +
+        "before adopting it as a quality target.")
+      Some(c)
+    } else None
+    (pm, rec)
+  }
+
   /** The RECOMMENDATION face completing measure → warn → recommend:
     * the largest df cap whose pair sweep stays within
     * `maxMassPerPosting` pairs per surviving posting. The cumulative
@@ -1535,10 +1574,19 @@ object TextOps {
     * self-join — candidate pairs only materialize where a shingle
     * collides. Top-100 by similarity (deterministic tie-break) keeps the
     * output stable at any SF. */
-  def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      preflight: Boolean = false): DataFrame = {
+    if (preflight)
+      // the sweep's exact postings frame, off the SAME shared grams
+      // artifact the sweep re-explodes (built once, read by both)
+      preflightPairSweep(
+        gramsTable(spark, Tables.documentsPar(spark, dir))
+          .select(col("lang"), explode(col("grams")).as("gram")),
+        Seq("lang", "gram"), DfCap, "ngram_jaccard")
     ngramJaccardPairsAll(spark, dir)
       .orderBy(col("jaccard").desc, col("d1"), col("d2"))
       .limit(100)
+  }
 
   /** The scored pair set WITHOUT the presentation top-k — the edge
     * source for dedupClusters and the recall baseline. CACHED as a
