@@ -128,6 +128,13 @@ docs = con.execute(
 ).fetchall()
 vocab = sorted({t for _, text, _, _ in docs for t in text.split(" ")})
 rows = []
+# Ground-truth ledger of the pairs planted below (round 11, the recall
+# face of suggestDfCap): (kind, d1, d2) with d1 < d2, in FINAL doc_ids.
+# Purely a side output — no extra RNG draws, so documents.parquet stays
+# bit-identical to earlier generations. Chaining: replica 0 carries the
+# SOURCE verbatim under identity ids, so the source's own planted pairs
+# remain planted here and are propagated from its ledger when present.
+planted = []
 for r in range(R):
     rng = random.Random(f"{SEED}:{r}")
     rep = []
@@ -150,12 +157,16 @@ for r in range(R):
             a, b = idx[pos], idx[pos + 1]
             pos += 2
             rep[b][1] = list(rep[a][1])
+            planted.append(("exact", min(rep[a][0], rep[b][0]),
+                            max(rep[a][0], rep[b][0])))
         for _ in range(n_near):  # near pairs: 80% shared prefix, fresh tail
             a, b = idx[pos], idx[pos + 1]
             pos += 2
             keep = max(1, int(len(rep[a][1]) * 0.8))
             tail = [rng.choice(vocab) for _ in range(len(rep[a][1]) - keep)]
             rep[b][1] = list(rep[a][1][:keep]) + tail
+            planted.append(("near", min(rep[a][0], rep[b][0]),
+                            max(rep[a][0], rep[b][0])))
     for doc_id, toks, lang, source in rep:
         text = " ".join(toks)
         rows.append((doc_id, text, lang, source, len(text)))
@@ -171,6 +182,26 @@ tbl = pa.table(
 )
 pq.write_table(tbl, f"{OUT}/documents.parquet")
 print(f"documents: {len(rows)} rows")
+
+# planted-pair ledger: source's pairs (replica-0 ids are identity) + ours
+src_pp = f"{SRC}/planted_pairs.parquet"
+all_pairs = []
+if os.path.exists(src_pp):
+    all_pairs += con.execute(
+        f"SELECT kind, d1, d2 FROM read_parquet('{src_pp}') ORDER BY d1, d2"
+    ).fetchall()
+all_pairs += planted
+ptbl = pa.table(
+    {
+        "kind": pa.array([p[0] for p in all_pairs], pa.string()),
+        "d1": pa.array([p[1] for p in all_pairs], pa.int64()),
+        "d2": pa.array([p[2] for p in all_pairs], pa.int64()),
+    }
+)
+pq.write_table(ptbl, f"{OUT}/planted_pairs.parquet")
+print(f"planted_pairs: {len(all_pairs)} rows "
+      f"({sum(1 for p in all_pairs if p[0] == 'exact')} exact, "
+      f"{sum(1 for p in all_pairs if p[0] == 'near')} near)")
 
 # ---- embeddings: noisy replicas ----
 embs = con.execute(
