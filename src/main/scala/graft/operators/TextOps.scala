@@ -1513,7 +1513,22 @@ object TextOps {
     * any group within the target (only a drop-everything cap
     * satisfies it). A production caller pairs this with
     * [[pairMassPreflight]]: warn at the configured cap, re-cap at the
-    * suggestion. */
+    * suggestion.
+    *
+    * THE SUGGESTION BOUNDS COST, NOT RECALL — the trade is MEASURED
+    * (r11, graft.CapRecallProbe on the planted-dup ladder; BASELINE.md
+    * §Round 11): at sf1 the default-target suggestion keeps 90-100% of
+    * each sweep's reachable planted near pairs, but by sf10 it keeps
+    * 17% (winnow) / 7% (jaccard) / 0% (simhash), because on that
+    * corpus family the df of TRUE near-pair keys grows ~10× per rung
+    * (winnow p50 min-shared-df 19 → 187) alongside the boilerplate;
+    * full reachable recall at sf10 needs winnow cap ≈ 1022 — the
+    * measured pathological mass (3.3×10⁹ pairs). Before adopting a
+    * recommendation at scale: validate recall on labeled/sampled
+    * pairs (the probe's min-shared-key-df criterion), or rely on the
+    * cap-independent GROUP faces for the exact tier (measured 100%
+    * family coverage on every rung), or set the cap from the quality
+    * floor and pay the measured mass. */
   def suggestDfCap(e: DataFrame, keys: Seq[String],
       maxMassPerPosting: Double = PairMassWarnRatio): Int = {
     val hist = e.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
