@@ -96,7 +96,14 @@ object CorpusIngest {
       .map(spark.sparkContext.broadcast(_))
     val batchFp = bcOpt match {
       case Some(bc) =>
+        // asNondeterministic: keep this pre-screen out of the plan's
+        // CONSTRAINT set — localCheckpoint preserves origin
+        // constraints, and InferFiltersFromConstraints would resurrect
+        // the UDF (and its by-then DESTROYED broadcast) across any
+        // later equi-join against the pinned frame; see
+        // SubstrIngest.probeStore (r11, found at the sf10 store)
         val might = udf((fp: String) => bc.value.mightContainString(fp))
+          .asNondeterministic()
         batchFp0.filter(might(col("fp")))
       case None => batchFp0 // pre-bloom store: no pre-screen
     }
@@ -181,7 +188,10 @@ object CorpusIngest {
       .map(spark.sparkContext.broadcast(_))
     val ids = bcOpt match {
       case Some(bc) =>
+        // asNondeterministic — same constraint-resurrection guard as
+        // probeStore above / SubstrIngest.probeStore (r11)
         val might = udf((id: Long) => bc.value.mightContainLong(id))
+          .asNondeterministic()
         ids0.filter(might(col("doc_id")))
       case None => ids0 // pre-idbloom store: no pre-screen
     }

@@ -190,8 +190,21 @@ object SubstrIngest {
     val batchH = bcOpt match {
       case Some(bc) =>
         // the one-UDF bloom idiom (TextOps.contaminationBloom):
-        // might_contain has no public Column form
+        // might_contain has no public Column form.
+        // asNondeterministic (r11, found by PipeBench at the sf10
+        // store): a DETERMINISTIC filter becomes a plan CONSTRAINT,
+        // and Dataset.localCheckpoint preserves origin constraints on
+        // its LogicalRDD — so InferFiltersFromConstraints RESURRECTS
+        // this UDF on the other side of any later equi-join against
+        // the pinned frame (measured: inferred onto the store scan of
+        // the nCand>threshold semi-join), serializing the by-then
+        // DESTROYED broadcast → INTERNAL_ERROR_BROADCAST. The
+        // nondeterministic mark keeps the filter where it is written,
+        // out of the constraint set (also shedding the inferred
+        // per-store-row bloom evaluation, a pure pessimization —
+        // over-selection is the screen's contract either way).
         val might = udf((h: Long) => bc.value.mightContainLong(h))
+          .asNondeterministic()
         batchH0.filter(might(col("h")))
       case None => batchH0 // pre-bloom store: no pre-screen
     }

@@ -143,6 +143,29 @@ class DfCutSpec extends SparkSpec {
     assert(emittedCorpus == pmCorpus.mass)
   }
 
+  test("pairCount: exact integer df*(df-1)/2 past the double-precision " +
+    "boundary (r10 ADVICE #2 — Spark `/` is double division)") {
+    // df values whose product exceeds 2^53 (where double loses integer
+    // exactness) up to near the long-product bound; odd and even both
+    // exercise their shift branch
+    val dfs = Seq(94906266L, 134217728L, 134217729L,
+      4000000000L, 4000000001L)
+    val got = dfs.toDF("df")
+      .select(TextOps.pairCount(col("df")).as("pc"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = dfs.map(d => (BigInt(d) * (d - 1) / 2).toLong)
+    assert(got == want, s"got $got, want $want")
+    // and the double-division form actually differs up there — the
+    // regression this test guards (restricted to dfs whose long
+    // product doesn't trip ANSI overflow in the naive multiply)
+    val small = dfs.take(3)
+    val naive = small.toDF("df")
+      .select((col("df") * (col("df") - 1) / lit(2)).cast("long").as("pc"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(naive != want.take(3),
+      "double division became exact?! drop this guard")
+  }
+
   test("pairMassPreflight: detect-don't-reject — the quadratic-regime " +
     "counter bumps and only then (WARN face of the r9 mass finding)") {
     val c0 = TextOps.quadraticPairRegimes.get()

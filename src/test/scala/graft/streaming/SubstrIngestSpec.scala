@@ -349,4 +349,43 @@ class SubstrIngestSpec extends SparkSpec {
       s"per-batch cost grew with the store: first-3 median $first, " +
         s"last-3 median $last")
   }
+
+  test("store probe survives the >IsinThreshold candidate path after " +
+    "the bloom broadcast is destroyed (r11: PipeBench at the sf10 store " +
+    "crashed on the constraint-resurrected pre-screen UDF)") {
+    // The failure mechanism: the bloom pre-screen filter, if
+    // DETERMINISTIC, enters the plan's constraint set; localCheckpoint
+    // preserves origin constraints on the pinned candidate frame; the
+    // nCand > IsinThreshold semi-join then lets
+    // InferFiltersFromConstraints re-materialize the UDF on the store
+    // side AFTER the broadcast was destroyed -> INTERNAL_ERROR_BROADCAST.
+    // This spec drives the real probe through that exact path: a store
+    // whose bloom passes > IsinThreshold batch hashes.
+    val store = Files.createTempDirectory("ss-bcfix").toString + "/st"
+    def wideDoc(id: Long, tag: String) =
+      (id, "en", (0 until 120).map(j => s"${tag}_$j").mkString(" "))
+    // 40 unique 120-token docs: ~113 hashes each, ~4520 distinct total
+    val b1 = (0L until 40L).map(i => wideDoc(i, s"u$i"))
+      .toDF("doc_id", "lang", "text")
+    val (ad, rj) = SubstrIngest.mergeBatch(spark, b1, store)
+    assert((ad, rj) == (40L, 0L))
+    // batch 2 = the same texts under fresh higher ids: every hash is a
+    // TRUE bloom hit, so the candidate set crosses IsinThreshold and
+    // the probe takes the broadcast-join path
+    val b2 = (0L until 40L).map(i => wideDoc(1000L + i, s"u$i"))
+      .toDF("doc_id", "lang", "text")
+    val bp = SubstrIngest.probe(spark, b2, store)
+    val nCand = bp.pos.select("h").distinct().count()
+    assert(nCand > SubstrIngest.IsinThreshold,
+      s"spec must exercise the join path, got $nCand candidates")
+    // the probe is COMPLETE for the batch hashes: every stored twin row
+    // surfaces (40 docs x ~113 hashes), and consuming the pinned frame
+    // through a further join (the admission anti-join shape) stays
+    // healthy post-destroy
+    assert(bp.storeHits.count() == b1.count() * 113L,
+      "probe must return every stored twin row")
+    val fresh = bp.pos.select("doc_id", "h").distinct()
+      .join(bp.storeHits, Seq("doc_id", "h"), "left_anti").count()
+    assert(fresh == 40L * 113L) // same hashes, different doc_ids
+  }
 }
