@@ -1392,10 +1392,15 @@ object TextOps {
     * DfCap=1000 trap: ~97× mass per 10× docs between sf1 and sf10)
     * costs quadratic wall. */
   /** df·(df−1)/2 in INTEGER arithmetic (r10 ADVICE #2): Spark's `/` is
-    * double division, so the naive form silently loses exactness once
-    * df·(df−1) exceeds 2^53 (df ≳ 9.4e7 in one key). Halve the EVEN
-    * factor with a shift instead — exact up to the long product bound
-    * (df ≈ 6.07e9, where the pair count itself no longer fits a long). */
+    * double division. The product is always EVEN so the /2.0 itself is
+    * exact; the naive form loses exactness only when the long→double
+    * cast of the PRODUCT rounds — product ≥ 2^54 and not a multiple of
+    * the ulp (first at product ≡ 2 mod 4, i.e. df ≡ 2,3 mod 4 past
+    * df ≈ 1.34e8 in one key; r11 ADVICE corrected the earlier 2^53
+    * model). Halve the EVEN factor with a shift instead — exact up to
+    * the long product bound (df ≈ 6.07e9, where the pair count itself
+    * no longer fits a long), and the naive multiply's ANSI overflow at
+    * df ≳ 3.04e9 never happens. */
   private[graft] def pairCount(df: Column): Column =
     when(df.bitwiseAND(lit(1L)) === 0L, shiftright(df, 1) * (df - 1))
       .otherwise(df * shiftright(df - 1, 1))

@@ -145,25 +145,39 @@ class DfCutSpec extends SparkSpec {
 
   test("pairCount: exact integer df*(df-1)/2 past the double-precision " +
     "boundary (r10 ADVICE #2 — Spark `/` is double division)") {
-    // df values whose product exceeds 2^53 (where double loses integer
-    // exactness) up to near the long-product bound; odd and even both
-    // exercise their shift branch
-    val dfs = Seq(94906266L, 134217728L, 134217729L,
+    // df·(df−1) is always EVEN, so the /2.0 step is exact in binary FP;
+    // the naive form only loses exactness when the long→double cast of
+    // the PRODUCT rounds — product ≥ 2^54 with product ≡ 2 (mod 4),
+    // i.e. df ≡ 2 or 3 (mod 4) past ~1.34e8. (94906266·94906265 ≈
+    // 9.007e15 < 2^53 and the 2^27±1 products are multiples of 4 up to
+    // 2^55 — all exactly representable, r11 verdict #1.) Odd and even
+    // df exercise both shift branches; the ~4e9 pair exercises the
+    // range where the naive long multiply would overflow.
+    val dfs = Seq(94906266L, 134217730L, 134217731L,
       4000000000L, 4000000001L)
     val got = dfs.toDF("df")
       .select(TextOps.pairCount(col("df")).as("pc"))
       .collect().map(_.getLong(0)).toSeq
     val want = dfs.map(d => (BigInt(d) * (d - 1) / 2).toLong)
     assert(got == want, s"got $got, want $want")
-    // and the double-division form actually differs up there — the
-    // regression this test guards (restricted to dfs whose long
-    // product doesn't trip ANSI overflow in the naive multiply)
-    val small = dfs.take(3)
-    val naive = small.toDF("df")
+    // and the double-division form actually differs on the two dfs
+    // chosen to round (≡ 2,3 mod 4, product ≥ 2^54): 134217730 →
+    // naive 9007199456067584 vs exact …585 (tie-to-even at ulp 4),
+    // 134217731 → naive 9007199590285316 vs exact …315. The ~4e9 dfs
+    // are excluded: their naive long product trips ANSI overflow.
+    val rounding = dfs.slice(1, 3)
+    val naive = rounding.toDF("df")
       .select((col("df") * (col("df") - 1) / lit(2)).cast("long").as("pc"))
       .collect().map(_.getLong(0)).toSeq
-    assert(naive != want.take(3),
+    assert(naive != want.slice(1, 3),
       "double division became exact?! drop this guard")
+    // the boundary pair stays exact in BOTH forms — pins the real model
+    val below = dfs.take(1)
+    val naiveBelow = below.toDF("df")
+      .select((col("df") * (col("df") - 1) / lit(2)).cast("long").as("pc"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(naiveBelow == want.take(1),
+      "sub-2^54 product rounded?! the exactness model is wrong")
   }
 
   test("pairMassPreflight: detect-don't-reject — the quadratic-regime " +
