@@ -55,8 +55,12 @@ object CapRecallProbe {
     for (dir <- dirs) {
       val docs = Tables.documentsPar(spark, dir)
       val plantedPath = s"$dir/planted_pairs.parquet"
+      // Hadoop FS existence (r11 ADVICE #3): java.io.File silently
+      // reports "no ledger" for any non-local filesystem dir
+      val hp = new org.apache.hadoop.fs.Path(plantedPath)
       val planted: Option[DataFrame] =
-        if (new java.io.File(plantedPath).exists())
+        if (hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(hp))
           Some(spark.read.parquet(plantedPath).localCheckpoint(true))
         else None
       planted match {
@@ -102,55 +106,43 @@ object CapRecallProbe {
           }.mkString("  "))
 
         planted.foreach { p =>
-          // analytic min shared-key df per planted pair
-          val dfs = e.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
-          val ka = e.join(p.select(col("d1"), col("d2")),
-              e("doc_id") === col("d1"))
-            .select((Seq(col("d1"), col("d2")) ++ keys.map(col)): _*)
-          val kb = e.select((col("doc_id").as("d2") +: keys.map(col)): _*)
-          val shared = ka.join(kb, keys :+ "d2").distinct()
-          var minDf = shared.join(dfs, keys)
-            .groupBy("d1", "d2").agg(min(col("df")).as("min_df"))
-          // simhash's verify stage: candidates past Hamming 2 are cut
-          if (sweep == "simhash") {
-            val s = operators.MinHashOps.simhashShared(docs, 60)
-            minDf = minDf
-              .join(s.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
-              .join(s.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
-              .filter(bit_count(col("s1").bitwiseXOR(col("s2"))) <= 2)
-              .select("d1", "d2", "min_df")
-          }
-          val scored = p.join(minDf, Seq("d1", "d2"), "left")
+          // analytic min shared-key df per planted pair — the LIBRARY
+          // face (r11 verdict #4): TextOps.recallFloor is this probe's
+          // former inline computation, promoted; simhash routes
+          // through the verify-stage variant
+          val scored = (if (sweep == "simhash")
+              operators.MinHashOps.simhashRecallFloor(docs,
+                p.select("d1", "d2", "kind"))
+            else operators.TextOps.recallFloor(e, keys,
+              p.select("d1", "d2", "kind")))
             .localCheckpoint(true)
           for (kind <- Seq("near", "exact")) {
             val k = scored.filter(col("kind") === kind)
-            val n = k.count()
-            if (n > 0) {
-              // REACHABLE = findable by this sweep with NO cap at all:
-              // ≥1 shared key (and Hamming ≤ 2 for simhash's verify).
-              // The rest is sweep SCOPE, not cap loss — jaccard keys on
-              // (lang, gram) and the ledger plants cross-lang pairs;
-              // simhash's "near" is Hamming≤2, tighter than the planted
-              // 80% token overlap. Recall vs cap is measured against
-              // the reachable set: what the CAP sheds of what the
-              // uncapped sweep would have found.
+            // REACHABLE = findable by this sweep with NO cap at all:
+            // ≥1 shared key (and Hamming ≤ 2 for simhash's verify).
+            // The rest is sweep SCOPE, not cap loss — jaccard keys on
+            // (lang, gram) and the ledger plants cross-lang pairs;
+            // simhash's "near" is Hamming≤2, tighter than the planted
+            // 80% token overlap. Recall vs cap is measured against
+            // the reachable set: what the CAP sheds of what the
+            // uncapped sweep would have found.
+            val st = operators.TextOps.recallFloorStats(k)
+            if (st.pairs > 0) {
               val reachable = k.filter(col("min_df").isNotNull)
-              val reach = reachable.count()
               val rec = capSet.map { c =>
                 val f = reachable.filter(col("min_df") <= c).count()
-                val pct = if (reach == 0) 100.0 else 100.0 * f / reach
-                f"@$c=$f/$reach ($pct%.0f%%)"
+                val pct = if (st.reachable == 0) 100.0
+                  else 100.0 * f / st.reachable
+                f"@$c=$f/${st.reachable} ($pct%.0f%%)"
               }.mkString("  ")
               println(f"[recall] $dir $sweep $kind pair-face: " +
-                f"reachable=$reach/$n (${100.0 * reach / n}%.0f%% of " +
+                f"reachable=${st.reachable}/${st.pairs} " +
+                f"(${100.0 * st.reachable / st.pairs}%.0f%% of " +
                 s"planted)  of reachable: $rec")
-              if (kind == "near" && reach > 0) {
-                val qs = reachable.stat
-                  .approxQuantile("min_df", Array(0.5, 0.9, 0.95, 1.0), 0.0)
+              if (kind == "near" && st.reachable > 0)
                 println(f"[recall] $dir $sweep near min-shared-df: " +
-                  f"p50=${qs(0)}%.0f p90=${qs(1)}%.0f p95=${qs(2)}%.0f " +
-                  f"max=${qs(3)}%.0f (the cap for FULL reachable recall)")
-              }
+                  f"p50=${st.p50}%.0f p90=${st.p90}%.0f p95=${st.p95}%.0f " +
+                  f"max=${st.max}%.0f (the cap for FULL reachable recall)")
             }
           }
           // end-to-end cross-check at the suggested cap and at 50,

@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   * JOB COUNT (the fixed-cost proxy the optimization targets), and the
   * per-store commit breakdown from the afterStage seam.
   *
-  * Usage: runMain graft.PipeBench [docsDir [batchSize [nBatches]]]
+  * Usage: runMain graft.PipeBench [docsDir [batchSize [nBatches [compactEvery]]]]
+  * `compactEvery` > 0 opts into the auto-compaction cadence (r11
+  * verdict #5's store-scale soak: sweeps must fire on schedule and
+  * per-batch walls stay flat through a sweep).
   */
 object PipeBench {
   def main(args: Array[String]): Unit = {
@@ -27,6 +30,7 @@ object PipeBench {
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val batchSize = if (args.length > 1) args(1).toInt else 12500
     val nBatches = if (args.length > 2) args(2).toInt else 4
+    val compactEvery = if (args.length > 3) args(3).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,7 +76,8 @@ object PipeBench {
         val t0 = System.nanoTime()
         val r = streaming.IngestPipeline.mergeBatch(spark, batch, root,
           b.toLong,
-          afterStage = s => marks(s) = (System.nanoTime() - t0) / 1e9)
+          afterStage = s => marks(s) = (System.nanoTime() - t0) / 1e9,
+          compactEvery = compactEvery)
         val sec = (System.nanoTime() - t0) / 1e9
         val nJobs = settle() - j0
         totalDocs += n; totalSec += sec
@@ -81,8 +86,12 @@ object PipeBench {
           marks.toSeq.sliding(2).collect {
             case Seq((_, a), (k, t)) => k -> (t - a) }.toSeq)
           .map { case (k, v) => f"$k=$v%.1f" }.mkString(" ")
+        val compacted = if (compactEvery > 0)
+          s"  ctr=${streaming.IngestPipeline.appendsSinceCompact(spark, root)}"
+          else ""
         println(f"[pipe] batch=$b n=$n%-6d wall=$sec%7.1f s  " +
-          f"docs/s=${n / sec}%7.0f  jobs=$nJobs%-4d admitted=${r.admitted}  $stages")
+          f"docs/s=${n / sec}%7.0f  jobs=$nJobs%-4d admitted=${r.admitted}  " +
+          f"$stages$compacted")
       }
     }
     println(f"[pipe] TOTAL $totalDocs docs in $totalSec%.1f s = " +

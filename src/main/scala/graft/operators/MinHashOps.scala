@@ -450,6 +450,30 @@ object MinHashOps {
         col("bp.probe").as("probe"))
   }
 
+  /** [[TextOps.recallFloor]]'s simhash variant (r11 verdict #4): the
+    * banded-probe postings feed the shared-key min-df, then the
+    * VERIFY stage's Hamming bound nulls out pairs it would cut —
+    * Hamming(sh1, sh2) > `maxHamming` means the pair is outside the
+    * sweep's scope at ANY cap (min_df → null), exactly the analytic
+    * criterion CapRecallProbe cross-checked end-to-end-equal on every
+    * ladder rung. Pairs whose docs lack a fingerprint (absent from
+    * `docsIn`) are likewise unreachable. */
+  def simhashRecallFloor(docsIn: DataFrame, pairs: DataFrame,
+      bits: Int = SimBits, maxHamming: Int = 2): DataFrame = {
+    val sh = simhashShared(docsIn, bits)
+    val floor = TextOps.recallFloor(simhashProbes(sh, bits),
+      Seq("band_idx", "probe"), pairs)
+    floor
+      .join(sh.select(col("doc_id").as("d1"), col("sh").as("s1")),
+        Seq("d1"), "left")
+      .join(sh.select(col("doc_id").as("d2"), col("sh").as("s2")),
+        Seq("d2"), "left")
+      .withColumn("min_df",
+        when(bit_count(col("s1").bitwiseXOR(col("s2"))) <= maxHamming,
+          col("min_df")))
+      .select(floor.columns.map(col): _*)
+  }
+
   private[graft] def simhashPairsFrame(spark: SparkSession, docsIn: DataFrame,
       dfCap: Int, bits: Int = SimBits): DataFrame = {
     val sh = simhashShared(docsIn, bits)

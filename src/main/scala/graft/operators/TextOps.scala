@@ -1530,10 +1530,12 @@ object TextOps {
     * full reachable recall at sf10 needs winnow cap ≈ 1022 — the
     * measured pathological mass (3.3×10⁹ pairs). Before adopting a
     * recommendation at scale: validate recall on labeled/sampled
-    * pairs (the probe's min-shared-key-df criterion), or rely on the
-    * cap-independent GROUP faces for the exact tier (measured 100%
-    * family coverage on every rung), or set the cap from the quality
-    * floor and pay the measured mass. */
+    * pairs via [[recallFloor]]/[[recallFloorStats]] (the probe's
+    * min-shared-key-df criterion as a library call; simhash:
+    * MinHashOps.simhashRecallFloor), or rely on the cap-independent
+    * GROUP faces for the exact tier (measured 100% family coverage on
+    * every rung), or set the cap from the quality floor and pay the
+    * measured mass. */
   def suggestDfCap(e: DataFrame, keys: Seq[String],
       maxMassPerPosting: Double = PairMassWarnRatio): Int = {
     val hist = e.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
@@ -1549,6 +1551,57 @@ object TextOps {
       .agg(coalesce(max(col("df")), lit(0L)))
       .head.getLong(0)
     math.min(best, Int.MaxValue.toLong).toInt
+  }
+
+  /** The RECALL-FLOOR face (r11 verdict #4, promoting CapRecallProbe's
+    * analytic criterion to a library call) — option (a) of
+    * [[suggestDfCap]]'s guidance, executable by a production caller:
+    * given the sweep's exact postings frame `e` (doc_id + `keys`, the
+    * same frame [[postingsPairs]] pairs on) and a labeled/sampled pair
+    * frame (`d1`, `d2`, any extra columns pass through), compute each
+    * pair's MIN SHARED-KEY DF — the smallest df cap at which the
+    * candidate stage still emits that pair. `min_df` IS the analytic
+    * recall criterion measured end-to-end-equal on every planted-dup
+    * ladder rung (BASELINE.md §Round 11: every e2e count equals its
+    * analytic count): a pair survives a df-cut at `cap` iff
+    * `min_df <= cap`; `min_df` null = no shared key at all — outside
+    * the sweep's scope at ANY cap. Simhash sweeps need the verify-stage
+    * variant, MinHashOps.simhashRecallFloor.
+    *
+    * Scale: the postings side is restricted to the labeled docs BEFORE
+    * the shared-key join, so cost is bounded by |pairs| × keys-per-doc
+    * plus one df pass over `e` — a labeled-sample cost, not a corpus
+    * pair sweep. */
+  def recallFloor(e: DataFrame, keys: Seq[String],
+      pairs: DataFrame): DataFrame = {
+    val dfs = e.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
+    val ka = e.join(pairs.select(col("d1"), col("d2")).distinct(),
+        e("doc_id") === col("d1"))
+      .select((Seq(col("d1"), col("d2")) ++ keys.map(col)): _*)
+    val kb = e.select((col("doc_id").as("d2") +: keys.map(col)): _*)
+    val shared = ka.join(kb, keys :+ "d2").distinct()
+    val minDf = shared.join(dfs, keys)
+      .groupBy("d1", "d2").agg(min(col("df")).as("min_df"))
+    pairs.join(minDf, Seq("d1", "d2"), "left")
+      .select(pairs.columns.map(col) :+ col("min_df"): _*)
+  }
+
+  /** Summary of a [[recallFloor]] frame: pair count, the REACHABLE
+    * count (min_df non-null — findable by the uncapped sweep), and the
+    * exact quantiles of min_df over the reachable set. `max` is the
+    * cap for FULL reachable recall (the quality floor suggestDfCap's
+    * scaladoc routes callers to); recall at any cap c is
+    * `floor.filter(col("min_df") <= c).count() / reachable`. */
+  final case class RecallFloorStats(pairs: Long, reachable: Long,
+      p50: Double, p90: Double, p95: Double, max: Double)
+
+  def recallFloorStats(floor: DataFrame): RecallFloorStats = {
+    val reach = floor.filter(col("min_df").isNotNull)
+    val r = reach.count()
+    val qs = if (r == 0L) Array(0.0, 0.0, 0.0, 0.0)
+      else reach.stat.approxQuantile("min_df",
+        Array(0.5, 0.9, 0.95, 1.0), 0.0)
+    RecallFloorStats(floor.count(), r, qs(0), qs(1), qs(2), qs(3))
   }
 
   /** Pre-flight face for [[winnowPairs]] — the fingerprint-postings df
