@@ -19,10 +19,13 @@ import org.apache.spark.sql.functions._
   * JOB COUNT (the fixed-cost proxy the optimization targets), and the
   * per-store commit breakdown from the afterStage seam.
   *
-  * Usage: runMain graft.PipeBench [docsDir [batchSize [nBatches [compactEvery]]]]
-  * `compactEvery` > 0 opts into the auto-compaction cadence (r11
-  * verdict #5's store-scale soak: sweeps must fire on schedule and
-  * per-batch walls stay flat through a sweep).
+  * Usage: runMain graft.PipeBench
+  *   [docsDir [batchSize [nBatches [compactEvery [compactGrowth]]]]]
+  * `compactEvery` > 0 opts into the batch-count auto-compaction
+  * cadence (r11 verdict #5's store-scale soak: sweeps must fire on
+  * schedule and per-batch walls stay flat through a sweep);
+  * `compactGrowth` > 0 switches to the geometric growth trigger
+  * (r12 — compact on each `compactGrowth`-fraction of store growth).
   */
 object PipeBench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +34,7 @@ object PipeBench {
     val batchSize = if (args.length > 1) args(1).toInt else 12500
     val nBatches = if (args.length > 2) args(2).toInt else 4
     val compactEvery = if (args.length > 3) args(3).toInt else 0
+    val compactGrowth = if (args.length > 4) args(4).toDouble else 0.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -77,7 +81,7 @@ object PipeBench {
         val r = streaming.IngestPipeline.mergeBatch(spark, batch, root,
           b.toLong,
           afterStage = s => marks(s) = (System.nanoTime() - t0) / 1e9,
-          compactEvery = compactEvery)
+          compactEvery = compactEvery, compactGrowth = compactGrowth)
         val sec = (System.nanoTime() - t0) / 1e9
         val nJobs = settle() - j0
         totalDocs += n; totalSec += sec
@@ -86,7 +90,7 @@ object PipeBench {
           marks.toSeq.sliding(2).collect {
             case Seq((_, a), (k, t)) => k -> (t - a) }.toSeq)
           .map { case (k, v) => f"$k=$v%.1f" }.mkString(" ")
-        val compacted = if (compactEvery > 0)
+        val compacted = if (compactEvery > 0 || compactGrowth > 0)
           s"  ctr=${streaming.IngestPipeline.appendsSinceCompact(spark, root)}"
           else ""
         println(f"[pipe] batch=$b n=$n%-6d wall=$sec%7.1f s  " +

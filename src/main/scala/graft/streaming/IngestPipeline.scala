@@ -162,7 +162,8 @@ object IngestPipeline {
   def mergeBatch(spark: SparkSession, batch: DataFrame, root: String,
       batchId: Long, dfCap: Int = TextOps.DfCap, k: Int = TextOps.SubstrK,
       afterStage: String => Unit = _ => (),
-      compactEvery: Int = 0, compactFiles: Int = 4): BatchReport = {
+      compactEvery: Int = 0, compactFiles: Int = 4,
+      compactGrowth: Double = 0.0): BatchReport = {
     val corpus = corpusDir(root)
     // resume-before-probe (StagedSwap's contract) for the DOOR's
     // stored-id probe below: a corpus mid-compaction/erasure swap
@@ -297,7 +298,8 @@ object IngestPipeline {
     // 7. opt-in maintenance cadence — LAST, after every store commit
     // (a crash inside the sweep replays the batch: the door absorbs
     // the docs, the staged sub-compactions resume, verdicts unchanged)
-    if (nAdmitted > 0 && maybeCompact(spark, root, compactEvery, compactFiles))
+    if (nAdmitted > 0 && maybeCompact(spark, root, compactEvery,
+        compactFiles, compactGrowth, nAdmitted))
       afterStage("compact")
 
     BatchReport(nIn, nAbsorbed, nDoor - nGated, nExactRej, nNearRej,
@@ -433,27 +435,47 @@ object IngestPipeline {
   private def ctrPath(root: String) =
     new org.apache.hadoop.fs.Path(s"$root/_compact_ctr")
 
+  /** The persisted cadence state: appending batches and admitted docs
+    * since the last auto-compaction, and the store's admitted total AT
+    * the last compaction (the growth trigger's base). Serialized as
+    * three space-separated longs; a legacy single-long file (pre-r12)
+    * parses as (appends, 0, 0) and a torn write as all-zero — either
+    * merely delays one compaction by a cadence, never skips one
+    * forever. */
+  private[graft] final case class CompactCtr(appends: Long,
+      admittedSince: Long, baseDocs: Long)
+
+  private[graft] def readCompactCtr(spark: SparkSession,
+      root: String): CompactCtr = {
+    val p = ctrPath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return CompactCtr(0L, 0L, 0L)
+    scala.util.Try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      s.split("\\s+").map(_.toLong) match {
+        case Array(a) => CompactCtr(a, 0L, 0L)
+        case Array(a, m, b) => CompactCtr(a, m, b)
+        case _ => CompactCtr(0L, 0L, 0L)
+      }
+    }.getOrElse(CompactCtr(0L, 0L, 0L))
+  }
+
   /** Appending batches since the last auto-compaction — the exposed
     * cadence counter (readable for ops dashboards; a torn write parses
     * as 0, which merely delays one compaction by a cadence). */
-  def appendsSinceCompact(spark: SparkSession, root: String): Long = {
-    val p = ctrPath(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return 0L
-    scala.util.Try {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }.getOrElse(0L)
-  }
+  def appendsSinceCompact(spark: SparkSession, root: String): Long =
+    readCompactCtr(spark, root).appends
 
   private def writeCompactCounter(spark: SparkSession, root: String,
-      v: Long): Unit = {
+      v: CompactCtr): Unit = {
     val p = ctrPath(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact_ctr.tmp")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"${v.appends} ${v.admittedSince} ${v.baseDocs}"
+      .getBytes("UTF-8")) finally out.close()
     // OVERWRITING rename (r10 ADVICE #1): the previous delete-then-
     // rename had a crash window in which the live counter was gone
     // entirely (next read parses as 0 — a full-cadence delay).
@@ -477,18 +499,59 @@ object IngestPipeline {
     * fires up to one batch early. The counter is a maintenance
     * cadence, not a correctness input; making it exactly-once would
     * need the counter inside the stores' staged commits, coupling
-    * five independent swap protocols for no semantic gain. */
+    * five independent swap protocols for no semantic gain.
+    *
+    * TWO trigger policies (r12, from the sf10 soak's measured face —
+    * BASELINE.md §Round 12: compactAll is O(store), so a FIXED batch
+    * cadence spends O(N²/cadence) total compaction work on an
+    * unbounded store and the sweep wall grows without bound):
+    *  - `compactGrowth` ≤ 0 (default): the r9 batch-count cadence —
+    *    every `compactEvery` appending batches. Right for bounded or
+    *    slowly-growing stores where the sweep wall is known-small.
+    *  - `compactGrowth` > 0: GEOMETRIC back-off — fire when the docs
+    *    admitted since the last sweep reach `compactGrowth` × the
+    *    store's admitted total at that sweep (growth 1.0 = compact on
+    *    each doubling, 0.5 = every +50%). Sweep count over a store's
+    *    life is O(log N) and total compaction work O(N log N) — the
+    *    LSM-style amortization; the trade is file-count between
+    *    sweeps grows with the gap (one file per appending batch per
+    *    store), which the bloom fold-at-32 and parquet listing
+    *    tolerance already absorb (FileSoak, 400-batch horizon).
+    *    `compactEvery` is ignored in this mode. `baseDocs` counts
+    *    admissions only — keyed erasure (`forget`) shrinkage is not
+    *    tracked, so after a mass erasure the next sweep fires LATE by
+    *    the erased fraction: cadence skew, never a missed sweep. */
   private def maybeCompact(spark: SparkSession, root: String,
-      compactEvery: Int, nFiles: Int): Boolean = {
-    if (compactEvery <= 0) return false
-    val n = appendsSinceCompact(spark, root) + 1
-    if (n >= compactEvery) {
-      compactAll(spark, root, nFiles)
-      writeCompactCounter(spark, root, 0L) // reset AFTER the sweep
-      true
-    } else {
-      writeCompactCounter(spark, root, n)
-      false
+      compactEvery: Int, nFiles: Int, compactGrowth: Double,
+      nAdmitted: Long): Boolean = {
+    if (compactGrowth > 0.0) {
+      val c = readCompactCtr(spark, root)
+      val admitted = c.admittedSince + nAdmitted
+      if (admitted.toDouble >= compactGrowth * c.baseDocs) {
+        compactAll(spark, root, nFiles)
+        // reset AFTER the sweep; the base advances by what arrived
+        writeCompactCounter(spark, root,
+          CompactCtr(0L, 0L, c.baseDocs + admitted))
+        true
+      } else {
+        writeCompactCounter(spark, root,
+          CompactCtr(c.appends + 1, admitted, c.baseDocs))
+        false
+      }
+    } else if (compactEvery <= 0) false
+    else {
+      val c = readCompactCtr(spark, root)
+      val n = c.appends + 1
+      if (n >= compactEvery) {
+        compactAll(spark, root, nFiles)
+        writeCompactCounter(spark, root, // reset AFTER the sweep
+          CompactCtr(0L, 0L, c.baseDocs + c.admittedSince + nAdmitted))
+        true
+      } else {
+        writeCompactCounter(spark, root,
+          CompactCtr(n, c.admittedSince + nAdmitted, c.baseDocs))
+        false
+      }
     }
   }
 
@@ -593,7 +656,8 @@ object IngestPipeline {
   def ingest(spark: SparkSession, srcDir: String, root: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
-      compactEvery: Int = 0): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactEvery: Int = 0,
+      compactGrowth: Double = 0.0): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.schema(CorpusIngest.docSchema).json(srcDir)
       .writeStream
       .outputMode("append")
@@ -601,7 +665,7 @@ object IngestPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch.sparkSession, batch, root, id,
-          compactEvery = compactEvery)
+          compactEvery = compactEvery, compactGrowth = compactGrowth)
         ()
       }
 }

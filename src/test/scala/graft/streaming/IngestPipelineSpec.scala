@@ -480,6 +480,48 @@ class IngestPipelineSpec extends SparkSpec {
       "counter must reflect the completed pre-crash compaction")
   }
 
+  test("growth-based compaction cadence (r12, from the sf10 soak's " +
+    "O(store) sweep face): compactGrowth fires on each fractional " +
+    "store growth — geometric schedule, stores bit-identical to an " +
+    "uncompacted twin, legacy single-long counter files still parse") {
+    val rootA = Files.createTempDirectory("pipe-gc-a").toString + "/p"
+    val rootB = Files.createTempDirectory("pipe-gc-b").toString + "/p"
+    def freshBatch(i: Int) =
+      (0 until 3).map { j =>
+        row(i * 10L + j, passText(f"gro$i%02d${('a' + j).toChar}", s"t$i$j"))
+      }.toDF("doc_id", "text", "lang", "source")
+    // growth 1.0 = compact on each doubling. All batches admit 3 docs:
+    // base 0 → batch 1 fires (3 ≥ 0), base 3 → batch 2 fires (3 ≥ 3),
+    // base 6 → batch 4 fires (6 ≥ 6), base 12 → batch 8 fires
+    // (12 ≥ 12), base 24. Geometric back-off, measured per batch.
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (i <- 1 to 8) {
+      IngestPipeline.mergeBatch(spark, freshBatch(i), rootA, i.toLong,
+        afterStage = s => if (s == "compact") fired += i,
+        compactGrowth = 1.0, compactFiles = 2)
+      IngestPipeline.mergeBatch(spark, freshBatch(i), rootB, i.toLong)
+    }
+    assert(fired.toSeq == Seq(1, 2, 4, 8),
+      s"geometric schedule violated: fired at $fired")
+    val ctr = IngestPipeline.readCompactCtr(spark, rootA)
+    assert(ctr == IngestPipeline.CompactCtr(0L, 0L, 24L),
+      s"post-sweep counter state: $ctr")
+    assert(snapshot(rootA) == snapshot(rootB),
+      "growth-cadence compaction changed store contents vs the twin")
+
+    // legacy single-long counter (pre-r12 format) parses as
+    // (appends, 0, 0) — an upgraded deployment resumes its batch
+    // cadence and treats the store as growth-base 0 (one early sweep,
+    // never a skipped one)
+    val p = new org.apache.hadoop.fs.Path(s"$rootA/_compact_ctr")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("7".getBytes("UTF-8")) finally out.close()
+    assert(IngestPipeline.readCompactCtr(spark, rootA) ==
+      IngestPipeline.CompactCtr(7L, 0L, 0L), "legacy counter parse")
+    assert(IngestPipeline.appendsSinceCompact(spark, rootA) == 7L)
+  }
+
   test("zero-survivor batches still advance the substring arrival " +
     "watermark and run the contract guard on the composed face (r10 " +
     "review: the bookkeeping lived inside the admission block, so a " +
