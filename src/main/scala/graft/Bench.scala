@@ -127,19 +127,38 @@ object Bench {
     // fabricated the official record (r7: four phantom 5-6 s entries; r8:
     // 125 s recorded vs 86.5 s clean at identical settings) and the
     // protocol only DETECTED it (pct_within_1p5x). Now it responds: while
-    // the run's own fidelity signal is below the 95% bar, run up to
+    // the run's own fidelity signals say contended, run up to
     // SPARK_GRAFT_EXTRA_REPS (default 3) additional interleaved rounds —
     // each clean extra sample pulls a load-inflated median back toward
     // the plan's true cost — and recompute. If fidelity is STILL below
     // the bar after the bounded extras, the summary line carries
     // "contended":true so the record is machine-readably adjudicated
     // rather than silently wrong.
+    //
+    // The gate's triggers are EXACTLY the published `contended`
+    // predicate's two conditions (r12 verdict #1: BENCH_r12 shipped
+    // contended=true with extra_reps=0 because the loop keyed only on
+    // the per-query pct bar while the flag also keys on the headline
+    // median-sum vs min-sum ratio — a broad mild load inflates the sum
+    // past 1.2× while 97% of queries individually stay inside 1.5×):
+    //  (a) pct_within_1p5x < 95, and
+    //  (b) median-sum > 1.2 × min-sum.
+    // Either condition spends the bounded extras, so a driver record
+    // self-heals where it previously only self-flagged.
     def pctNow(): Double = {
       val measured = names.filter(n => samples(n).nonEmpty)
       if (measured.isEmpty) -1.0
       else math.round(100.0 * measured.count { n =>
         medianOf(samples(n)) <= 1.5 * math.max(samples(n).min, 1e-9)
       } / measured.size) / 1.0
+    }
+    def contendedNow(): Boolean = {
+      val p = pctNow()
+      if (p < 0) return false // nothing measured yet — extras add nothing
+      val measured = names.filter(n => samples(n).nonEmpty)
+      val medSum = measured.map(n => medianOf(samples(n))).sum
+      val minSum = measured.map(n => samples(n).min).sum
+      p < 95.0 || (minSum > 0 && medSum > 1.2 * minSum)
     }
     // Pre-extras snapshot (ADVICE r9 #4): the gated extras can only
     // improve value_min and pull medians down, so gated and ungated
@@ -151,8 +170,7 @@ object Bench {
     val pctPre = pctNow()
     val maxExtra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_REPS", "3").toInt
     var extraReps = 0
-    while (extraReps < maxExtra && {
-        val p = pctNow(); p >= 0 && p < 95.0 }) {
+    while (extraReps < maxExtra && contendedNow()) {
       extraReps += 1
       runRound()
     }

@@ -1568,17 +1568,25 @@ object TextOps {
     * the sweep's scope at ANY cap. Simhash sweeps need the verify-stage
     * variant, MinHashOps.simhashRecallFloor.
     *
-    * Scale: the postings side is restricted to the labeled docs BEFORE
-    * the shared-key join, so cost is bounded by |pairs| × keys-per-doc
-    * plus one df pass over `e` — a labeled-sample cost, not a corpus
-    * pair sweep. */
+    * Scale: BOTH sides of the shared-key join are restricted to the
+    * labeled docs before joining (the d1 side by the pair join, the d2
+    * side by a semi-join on the pairs' d2 ids — r12 ADVICE #3: the
+    * previous unrestricted kb side shuffled the full postings frame on
+    * (keys, d2) even though only labeled d2 rows could ever match), so
+    * the join cost is bounded by |pairs| × keys-per-doc. The one
+    * corpus-scale pass that remains is the df histogram over `e` —
+    * that pass IS the criterion (df is a global document frequency),
+    * and its output is one slim row per distinct key group. A
+    * labeled-sample cost, not a corpus pair sweep. */
   def recallFloor(e: DataFrame, keys: Seq[String],
       pairs: DataFrame): DataFrame = {
     val dfs = e.groupBy(keys.map(col): _*).agg(count(lit(1)).as("df"))
     val ka = e.join(pairs.select(col("d1"), col("d2")).distinct(),
         e("doc_id") === col("d1"))
       .select((Seq(col("d1"), col("d2")) ++ keys.map(col)): _*)
-    val kb = e.select((col("doc_id").as("d2") +: keys.map(col)): _*)
+    val kb = e.join(pairs.select(col("d2")).distinct(),
+        e("doc_id") === col("d2"), "left_semi")
+      .select((col("doc_id").as("d2") +: keys.map(col)): _*)
     val shared = ka.join(kb, keys :+ "d2").distinct()
     val minDf = shared.join(dfs, keys)
       .groupBy("d1", "d2").agg(min(col("df")).as("min_df"))

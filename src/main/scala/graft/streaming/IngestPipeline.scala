@@ -436,31 +436,30 @@ object IngestPipeline {
     new org.apache.hadoop.fs.Path(s"$root/_compact_ctr")
 
   /** The persisted cadence state: appending batches and admitted docs
-    * since the last auto-compaction, and the store's admitted total AT
-    * the last compaction (the growth trigger's base). Serialized as
-    * three space-separated longs; a legacy single-long file (pre-r12)
-    * parses as (appends, 0, 0) and a torn write as all-zero — either
-    * merely delays one compaction by a cadence, never skips one
-    * forever. */
+    * since the last auto-compaction, and the corpus row count AT the
+    * last compaction (the growth trigger's base — since r13 an actual
+    * store count taken at sweep/erasure time, not an admissions
+    * accumulator, so keyed erasure cannot leave it stale-high).
+    * Serialized as three space-separated longs; a legacy single-long
+    * file (pre-r12) parses as (appends, 0, 0) and a torn write as
+    * all-zero. Consequence of either, PER MODE (r12 ADVICE #2): in
+    * batch-count mode a zeroed `appends` merely delays one compaction
+    * by a cadence; in growth mode a zeroed `baseDocs` RE-SEEDS from
+    * the corpus's actual row count at the next appending batch (minus
+    * that counter-epoch's own admissions), so the next sweep fires at
+    * most one growth fraction late — never early, never skipped.
+    * (Pre-r13 a zeroed base fired the next batch immediately plus
+    * consecutive early sweeps; the seed closed that.) */
   private[graft] final case class CompactCtr(appends: Long,
       admittedSince: Long, baseDocs: Long)
 
   private[graft] def readCompactCtr(spark: SparkSession,
-      root: String): CompactCtr = {
-    val p = ctrPath(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return CompactCtr(0L, 0L, 0L)
-    scala.util.Try {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      s.split("\\s+").map(_.toLong) match {
-        case Array(a) => CompactCtr(a, 0L, 0L)
-        case Array(a, m, b) => CompactCtr(a, m, b)
-        case _ => CompactCtr(0L, 0L, 0L)
-      }
-    }.getOrElse(CompactCtr(0L, 0L, 0L))
-  }
+      root: String): CompactCtr =
+    CtrFile.read(spark, ctrPath(root).toString) match {
+      case Some(Array(a)) => CompactCtr(a, 0L, 0L)
+      case Some(Array(a, m, b)) => CompactCtr(a, m, b)
+      case _ => CompactCtr(0L, 0L, 0L)
+    }
 
   /** Appending batches since the last auto-compaction — the exposed
     * cadence counter (readable for ops dashboards; a torn write parses
@@ -468,25 +467,12 @@ object IngestPipeline {
   def appendsSinceCompact(spark: SparkSession, root: String): Long =
     readCompactCtr(spark, root).appends
 
+  // torn-write-safe IO shared with Scd2Maintain's cadence (r13):
+  // CtrFile carries the r10 ADVICE #1 atomic-replacement discipline
   private def writeCompactCounter(spark: SparkSession, root: String,
-      v: CompactCtr): Unit = {
-    val p = ctrPath(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$root/_compact_ctr.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"${v.appends} ${v.admittedSince} ${v.baseDocs}"
-      .getBytes("UTF-8")) finally out.close()
-    // OVERWRITING rename (r10 ADVICE #1): the previous delete-then-
-    // rename had a crash window in which the live counter was gone
-    // entirely (next read parses as 0 — a full-cadence delay).
-    // FileContext.rename(OVERWRITE) is the FS-contract atomic
-    // replacement (true on HDFS; best-effort single-call on local fs),
-    // so the counter is now always either the old or the new value.
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    ()
-  }
+      v: CompactCtr): Unit =
+    CtrFile.write(spark, ctrPath(root).toString,
+      Seq(v.appends, v.admittedSince, v.baseDocs))
 
   /** Bump-or-fire: called once per APPENDING batch. Returns true when
     * this call ran compactAll.
@@ -517,25 +503,41 @@ object IngestPipeline {
     *    sweeps grows with the gap (one file per appending batch per
     *    store), which the bloom fold-at-32 and parquet listing
     *    tolerance already absorb (FileSoak, 400-batch horizon).
-    *    `compactEvery` is ignored in this mode. `baseDocs` counts
-    *    admissions only — keyed erasure (`forget`) shrinkage is not
-    *    tracked, so after a mass erasure the next sweep fires LATE by
-    *    the erased fraction: cadence skew, never a missed sweep. */
+    *    `compactEvery` is ignored in this mode. `baseDocs` is the
+    *    corpus's ACTUAL row count, re-anchored by one cheap
+    *    footer-stats count at each sweep and at each `forget` (r12
+    *    verdict #2: the pre-r13 admissions accumulator went stale-high
+    *    under mass erasure, firing the next sweep late by the erased
+    *    fraction; anchoring on true mass makes the trigger track the
+    *    store, not its ingest history). A zero base on an existing
+    *    store (legacy/torn counter, see [[CompactCtr]]) re-seeds from
+    *    the same count. */
   private def maybeCompact(spark: SparkSession, root: String,
       compactEvery: Int, nFiles: Int, compactGrowth: Double,
       nAdmitted: Long): Boolean = {
     if (compactGrowth > 0.0) {
       val c = readCompactCtr(spark, root)
       val admitted = c.admittedSince + nAdmitted
-      if (admitted.toDouble >= compactGrowth * c.baseDocs) {
+      // seed a zero base (fresh store, legacy counter, torn write)
+      // from the store's true mass. maybeCompact runs AFTER the corpus
+      // append, so this counter epoch's own admissions are excluded —
+      // on a genuinely fresh store the seed is 0 and the first
+      // admitted batch sweeps (establishing the anchor), while on a
+      // pre-existing store the seed is its real pre-epoch mass, so no
+      // burst of early sweeps (r12 ADVICE #1).
+      val base =
+        if (c.baseDocs > 0L) c.baseDocs
+        else math.max(0L, corpusDocCount(spark, root) - admitted)
+      if (admitted.toDouble >= compactGrowth * base) {
         compactAll(spark, root, nFiles)
-        // reset AFTER the sweep; the base advances by what arrived
+        // reset AFTER the sweep; anchor the base on the store's actual
+        // post-sweep row count (≠ base + admitted once erasure ran)
         writeCompactCounter(spark, root,
-          CompactCtr(0L, 0L, c.baseDocs + admitted))
+          CompactCtr(0L, 0L, corpusDocCount(spark, root)))
         true
       } else {
         writeCompactCounter(spark, root,
-          CompactCtr(c.appends + 1, admitted, c.baseDocs))
+          CompactCtr(c.appends + 1, admitted, base))
         false
       }
     } else if (compactEvery <= 0) false
@@ -545,7 +547,7 @@ object IngestPipeline {
       if (n >= compactEvery) {
         compactAll(spark, root, nFiles)
         writeCompactCounter(spark, root, // reset AFTER the sweep
-          CompactCtr(0L, 0L, c.baseDocs + c.admittedSince + nAdmitted))
+          CompactCtr(0L, 0L, corpusDocCount(spark, root)))
         true
       } else {
         writeCompactCounter(spark, root,
@@ -554,6 +556,14 @@ object IngestPipeline {
       }
     }
   }
+
+  /** The corpus store's current row count — the growth trigger's
+    * anchor. A parquet count() is footer-metadata work (no column
+    * bytes), paid once per sweep/seed/erasure, never per batch. */
+  private def corpusDocCount(spark: SparkSession, root: String): Long =
+    if (dirExists(spark, corpusDir(root)))
+      spark.read.parquet(corpusDir(root)).count()
+    else 0L
 
   /** METADATA-FILTERED vector search over the composed store — the
     * "filtered ANN" face every production vector store ships: `pred`
@@ -644,6 +654,17 @@ object IngestPipeline {
     afterStage("substr_grams")
     VectorIndex.forget(spark, indexDir(root), ids)
     afterStage("index")
+    // growth-cadence re-anchor (r12 verdict #2): the trigger base is
+    // the corpus's row count, so erasure must refresh it or the next
+    // growth sweep fires late by the erased fraction. Unconditional on
+    // an anchored counter (idempotent — a crash anywhere above leaves
+    // the old base: sweeps late, never early, and the re-run of this
+    // idempotent call re-anchors). A zero base is left for
+    // maybeCompact's seed path, which excludes in-epoch admissions.
+    val ctr = readCompactCtr(spark, root)
+    if (ctr.baseDocs > 0L)
+      writeCompactCounter(spark, root,
+        ctr.copy(baseDocs = corpusDocCount(spark, root)))
     removed
   }
 

@@ -511,8 +511,9 @@ class IngestPipelineSpec extends SparkSpec {
 
     // legacy single-long counter (pre-r12 format) parses as
     // (appends, 0, 0) — an upgraded deployment resumes its batch
-    // cadence and treats the store as growth-base 0 (one early sweep,
-    // never a skipped one)
+    // cadence; in growth mode the zero base RE-SEEDS from the store's
+    // true mass at the next appending batch (r13 — see the
+    // re-anchoring test below), so no early-sweep burst
     val p = new org.apache.hadoop.fs.Path(s"$rootA/_compact_ctr")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -520,6 +521,61 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.readCompactCtr(spark, rootA) ==
       IngestPipeline.CompactCtr(7L, 0L, 0L), "legacy counter parse")
     assert(IngestPipeline.appendsSinceCompact(spark, rootA) == 7L)
+  }
+
+  test("growth-base re-anchoring (r12 verdict #2 + ADVICE #1): the " +
+    "trigger base is the corpus's TRUE row count — erasure refreshes " +
+    "it (a forget-half store fires on the halved base, not the stale " +
+    "admissions total) and a zero-base counter over an existing store " +
+    "re-seeds from store mass instead of firing an early-sweep burst") {
+    val rootA = Files.createTempDirectory("pipe-ra-a").toString + "/p"
+    def freshBatch(i: Int) =
+      (0 until 3).map { j =>
+        row(i * 10L + j, passText(f"anc$i%02d${('a' + j).toChar}", s"t$i$j"))
+      }.toDF("doc_id", "text", "lang", "source")
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def merge(i: Int): Unit = {
+      IngestPipeline.mergeBatch(spark, freshBatch(i), rootA, i.toLong,
+        afterStage = s => if (s == "compact") fired += i,
+        compactGrowth = 1.0, compactFiles = 2)
+      ()
+    }
+    (1 to 8).foreach(merge)
+    assert(fired.toSeq == Seq(1, 2, 4, 8), s"pre-erasure schedule: $fired")
+    assert(IngestPipeline.readCompactCtr(spark, rootA) ==
+      IngestPipeline.CompactCtr(0L, 0L, 24L), "anchor after batch 8")
+
+    // forget HALF the store (batches 1-4's 12 docs): the base
+    // re-anchors to the surviving 12 rows...
+    val removed = IngestPipeline.forget(spark, rootA,
+      (1 to 4).flatMap(i => (0 until 3).map(j => i * 10L + j)))
+    assert(removed == 12L, s"removed $removed")
+    assert(IngestPipeline.readCompactCtr(spark, rootA) ==
+      IngestPipeline.CompactCtr(0L, 0L, 12L),
+      "erasure did not re-anchor the growth base")
+    // ...so the next sweep fires once 12 docs are admitted (batch 12);
+    // the stale admissions total (24) would have waited until batch 16
+    (9 to 12).foreach(merge)
+    assert(fired.toSeq == Seq(1, 2, 4, 8, 12),
+      s"post-erasure schedule: $fired")
+    assert(IngestPipeline.readCompactCtr(spark, rootA) ==
+      IngestPipeline.CompactCtr(0L, 0L, 24L),
+      "post-sweep anchor must be the actual store count")
+
+    // zero-base seed: a legacy/torn counter over this EXISTING 24-row
+    // store re-seeds from pre-epoch store mass at the next appending
+    // batch (pre-r13: base 0 fired immediately — an early O(store)
+    // sweep, then more on each doubling of post-reset admits)
+    val p = new org.apache.hadoop.fs.Path(s"$rootA/_compact_ctr")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("7".getBytes("UTF-8")) finally out.close()
+    merge(13)
+    assert(fired.toSeq == Seq(1, 2, 4, 8, 12),
+      "zero-base counter fired an early sweep on an existing store")
+    assert(IngestPipeline.readCompactCtr(spark, rootA) ==
+      IngestPipeline.CompactCtr(8L, 3L, 24L),
+      "seeded base must be the pre-epoch store mass")
   }
 
   test("zero-survivor batches still advance the substring arrival " +
