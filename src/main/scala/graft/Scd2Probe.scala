@@ -20,8 +20,18 @@ import org.apache.spark.sql.functions._
   * full-horizon expireVersions, then runs a post-retention tail of
   * batches to show the per-batch wall recovering.
   *
+  * CADENCE MODE (round 13, r12 verdict #1): with a policy argument the
+  * probe instead soaks the SCHEDULED maintenance — every batch runs
+  * through `mergeBatch(policy = …)`, sweeps fire on the policy's own
+  * trigger, and the per-batch walls (sweep batches marked) show
+  * whether the policy keeps the busy-table cost BOUNDED where the
+  * unmaintained run's wall grew 2.98 → 12.27 s (BASELINE.md §Round
+  * 12). Retention is expressed in BATCHES of event time (the
+  * generator's ts unit is 1e6 per batch).
+  *
   * Usage: runMain graft.Scd2Probe
-  *   [nBatches [eventsPerBatch [universe [buckets]]]]
+  *   [nBatches [eventsPerBatch [universe [buckets
+  *     [off|fixed:N|growth:X [retainBatches]]]]]]
   */
 object Scd2Probe {
   def main(args: Array[String]): Unit = {
@@ -29,6 +39,16 @@ object Scd2Probe {
     val perBatch = if (args.length > 1) args(1).toInt else 25000
     val universe = if (args.length > 2) args(2).toLong else 500000L
     val buckets = if (args.length > 3) args(3).toInt else 64
+    val retainMs =
+      if (args.length > 5) (args(5).toDouble * 1000000L).toLong
+      else Long.MaxValue
+    val policy = (if (args.length > 4) args(4) else "off").split(":") match {
+      case Array("fixed", n) => streaming.Scd2Maintain.MaintainPolicy(
+        compactEvery = n.toInt, retainMs = retainMs)
+      case Array("growth", g) => streaming.Scd2Maintain.MaintainPolicy(
+        compactGrowth = g.toDouble, retainMs = retainMs)
+      case _ => streaming.Scd2Maintain.MaintainPolicy()
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,16 +78,25 @@ object Scd2Probe {
       rows.toDF("user_id", "event_type", "value", "ts_ms", "event_id")
     }
 
+    val sweepBatches = scala.collection.mutable.ArrayBuffer.empty[Int]
     def runBatches(from: Int, n: Int, label: String): Seq[Double] =
       (from until from + n).map { b =>
         val df = batchDf(b).localCheckpoint(true)
+        var swept = false
         val t0 = System.nanoTime()
-        val applied = streaming.Scd2Maintain.mergeBatch(spark, df, store, buckets)
+        val applied = streaming.Scd2Maintain.mergeBatch(spark, df, store,
+          buckets, policy = policy,
+          afterSweep = () => { swept = true; sweepBatches += b })
         val sec = (System.nanoTime() - t0) / 1e9
-        println(f"[scd2] $label batch=$b wall=$sec%6.2f s applied=$applied")
+        val mark = if (swept) " SWEEP" else ""
+        println(f"[scd2] $label batch=$b wall=$sec%6.2f s applied=$applied$mark")
         sec
       }
 
+    if (policy.cadenceOn)
+      println(s"[scd2] cadence policy: compactEvery=${policy.compactEvery} " +
+        s"compactGrowth=${policy.compactGrowth} retainMs=" +
+        (if (policy.retainMs == Long.MaxValue) "off" else policy.retainMs.toString))
     val walls = runBatches(0, nBatches, "grow")
     def med(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
@@ -80,25 +109,45 @@ object Scd2Probe {
     println(s"[scd2] store after growth: log=$logRows history=$histRows " +
       s"(${nBatches}x$perBatch events over $universe keys, $buckets buckets)")
 
-    var t0 = System.nanoTime()
-    streaming.Scd2Maintain.compactLog(spark, store)
-    println(f"[scd2] compactLog: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-    // separate the two maintenance levers: file accretion (compaction)
-    // vs retained row mass (retention)
-    val tailC = runBatches(nBatches, 3, "post-compact")
+    if (policy.cadenceOn) {
+      // the policy soak's summary: where sweeps fired, what the
+      // steady-state (non-sweep) wall looks like per decade, and the
+      // bounded-tail number the unmaintained run's 12.27 s compares to
+      println(s"[scd2] sweeps fired at batches: ${sweepBatches.mkString(",")}")
+      val nonSweep = walls.zipWithIndex
+        .filterNot { case (_, b) => sweepBatches.contains(b) }.map(_._1)
+      val nsDecades = nonSweep.grouped(math.max(1, nonSweep.size / 10)).toSeq
+      println("[scd2] per-decade NON-SWEEP median walls: " +
+        nsDecades.map(d => f"${med(d)}%.2f").mkString(" "))
+      val sweepWalls = sweepBatches.map(b => walls(b))
+      if (sweepWalls.nonEmpty)
+        println(f"[scd2] sweep-batch walls: " +
+          sweepWalls.map(w => f"$w%.1f").mkString(" "))
+      println(f"[scd2] tail: last-10 all-batch median=" +
+        f"${med(walls.takeRight(10))}%.2f s non-sweep median=" +
+        f"${med(nonSweep.takeRight(10))}%.2f s " +
+        f"(unmaintained r12 tail: 12.27 s)")
+    } else {
+      var t0 = System.nanoTime()
+      streaming.Scd2Maintain.compactLog(spark, store)
+      println(f"[scd2] compactLog: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // separate the two maintenance levers: file accretion (compaction)
+      // vs retained row mass (retention)
+      val tailC = runBatches(nBatches, 3, "post-compact")
 
-    // horizon past every event: retain only each key's open run
-    t0 = System.nanoTime()
-    val purged = streaming.Scd2Maintain.expireVersions(spark, store,
-      horizonMs = (nBatches.toLong + 10L) * 1000000L)
-    println(f"[scd2] expireVersions: purged=$purged " +
-      f"retained=${streaming.Scd2Maintain.changeLog(spark, store).count()} " +
-      f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // horizon past every event: retain only each key's open run
+      t0 = System.nanoTime()
+      val purged = streaming.Scd2Maintain.expireVersions(spark, store,
+        horizonMs = (nBatches.toLong + 10L) * 1000000L)
+      println(f"[scd2] expireVersions: purged=$purged " +
+        f"retained=${streaming.Scd2Maintain.changeLog(spark, store).count()} " +
+        f"in ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
-    val tail = runBatches(nBatches + 3, 5, "post-retention")
-    println(f"[scd2] growth tail median=${med(walls.takeRight(10))}%.2f s " +
-      f"post-compact median=${med(tailC)}%.2f s " +
-      f"post-retention median=${med(tail)}%.2f s")
+      val tail = runBatches(nBatches + 3, 5, "post-retention")
+      println(f"[scd2] growth tail median=${med(walls.takeRight(10))}%.2f s " +
+        f"post-compact median=${med(tailC)}%.2f s " +
+        f"post-retention median=${med(tail)}%.2f s")
+    }
     Artifacts.unpersistAll()
     spark.stop()
   }

@@ -69,6 +69,137 @@ object Scd2Maintain {
   private def logDir(store: String) = s"$store/log"
   private def histDir(store: String) = s"$store/history"
 
+  /** Opt-in maintenance cadence POLICY (r12 verdict #1, promoting the
+    * Scd2Probe-measured levers from manual calls to a schedule — the
+    * same promotion [[IngestPipeline]]'s `compactEvery`/`compactGrowth`
+    * gave `compactAll`). The probe separated the two cost components of
+    * the busy-table profile (BASELINE.md §Round 12: per-batch wall
+    * 2.98 → 12.27 s over 100×25k events): FILE ACCRETION — one file
+    * set per applying batch, reclaimed by [[compactLog]] (12.27 →
+    * 6.00 s/batch) — and RETAINED ROW MASS — every touched bucket's
+    * recompute reads its whole log, bounded only by [[expireVersions]]
+    * (→ 3.12 s). This policy schedules both:
+    *
+    *  - `compactEvery` > 0: sweep every N applying batches (fixed
+    *    cadence — right when retention keeps the log bounded, making
+    *    the sweep wall itself bounded);
+    *  - `compactGrowth` > 0: sweep when events applied since the last
+    *    sweep reach `compactGrowth` × the log's row count at that
+    *    sweep (geometric back-off — O(log N) sweeps / O(N log N)
+    *    lifetime work on an unbounded store; overrides `compactEvery`);
+    *  - `retainMs` < Long.MaxValue: each sweep first expires versions
+    *    closed more than `retainMs` before the log's max event time
+    *    (EVENT-time retention — deterministic, replay-stable, no
+    *    wall-clock in the trigger), then compacts the shrunken log.
+    *    With retention on, the growth base tracks the RETAINED mass,
+    *    so sweep frequency follows what recomputes actually read.
+    *
+    * All-defaults = off: cadence is deployment policy, not library
+    * policy. Counter: `$store/_maintain_ctr`, torn-write-safe
+    * ([[CtrFile]]); reset only AFTER the sweep completes, so a crash
+    * mid-sweep re-triggers on the next applying batch and the staged
+    * swaps resume — one redundant-but-idempotent sweep, never a
+    * skipped one. A torn/zeroed counter re-seeds its base from the
+    * log's actual row count (at most one cadence late, never early). */
+  final case class MaintainPolicy(compactEvery: Int = 0,
+      compactGrowth: Double = 0.0, retainMs: Long = Long.MaxValue) {
+    def cadenceOn: Boolean = compactEvery > 0 || compactGrowth > 0.0
+  }
+
+  /** Persisted cadence state: applying batches and events applied
+    * since the last sweep, and the log's row count at that sweep (the
+    * growth trigger's base). Missing/torn file = all-zero: in fixed
+    * mode one delayed sweep; in growth mode the base re-seeds from
+    * the log's true mass at the next applying batch. */
+  private[graft] final case class MaintainCtr(applies: Long,
+      appliedSince: Long, baseEvents: Long)
+
+  private def maintainCtrPath(store: String) = s"$store/_maintain_ctr"
+
+  private[graft] def readMaintainCtr(spark: SparkSession,
+      store: String): MaintainCtr =
+    CtrFile.read(spark, maintainCtrPath(store)) match {
+      case Some(Array(a, m, b)) => MaintainCtr(a, m, b)
+      case _ => MaintainCtr(0L, 0L, 0L)
+    }
+
+  private def writeMaintainCtr(spark: SparkSession, store: String,
+      v: MaintainCtr): Unit =
+    CtrFile.write(spark, maintainCtrPath(store),
+      Seq(v.applies, v.appliedSince, v.baseEvents))
+
+  /** The log's current row count — the growth trigger's anchor. A
+    * parquet count() is footer-metadata work, paid per sweep/seed/
+    * erasure, never per batch. */
+  private def logEventCount(spark: SparkSession, store: String): Long =
+    if (SnapshotMaintain.storeExists(spark, logDir(store)))
+      spark.read.parquet(logDir(store)).count()
+    else 0L
+
+  /** One maintenance sweep under `policy`: event-time retention first
+    * (shrinks the retained set), then log compaction (rewrites the
+    * shrunken log to one file per bucket). Both legs keep their own
+    * crash discipline; the whole sweep is idempotent. Returns events
+    * purged by retention. */
+  def maintainSweep(spark: SparkSession, store: String,
+      policy: MaintainPolicy): Long = {
+    val purged =
+      if (policy.retainMs < Long.MaxValue &&
+          SnapshotMaintain.storeExists(spark, logDir(store))) {
+        val maxTs = changeLog(spark, store).agg(max(col("ts_ms"))).head
+        if (maxTs.isNullAt(0)) 0L
+        else expireVersions(spark, store, maxTs.getLong(0) - policy.retainMs)
+      } else 0L
+    compactLog(spark, store)
+    purged
+  }
+
+  /** Bump-or-fire, mirroring IngestPipeline.maybeCompact: called once
+    * per APPLYING batch. Returns true when this call ran the sweep.
+    * Counter resets AFTER the sweep; the growth base is the log's
+    * actual post-sweep row count (so retention shrinkage re-anchors it
+    * every sweep by construction). Replay skew: same argument as the
+    * ingest cadence — a replayed batch applies zero events (set-union
+    * log) and never bumps, so the counter is exactly-once up to a
+    * crash between the bump and the stream checkpoint commit, which
+    * costs at most one early sweep, never a skipped one. */
+  private def maybeMaintain(spark: SparkSession, store: String,
+      policy: MaintainPolicy, nApplied: Long): Boolean = {
+    if (policy.compactGrowth > 0.0) {
+      val c = readMaintainCtr(spark, store)
+      val applied = c.appliedSince + nApplied
+      // zero base (fresh store / torn counter): seed from the log's
+      // true mass, excluding this counter epoch's own applies
+      val base =
+        if (c.baseEvents > 0L) c.baseEvents
+        else math.max(0L, logEventCount(spark, store) - applied)
+      if (applied.toDouble >= policy.compactGrowth * base) {
+        maintainSweep(spark, store, policy)
+        writeMaintainCtr(spark, store,
+          MaintainCtr(0L, 0L, logEventCount(spark, store)))
+        true
+      } else {
+        writeMaintainCtr(spark, store,
+          MaintainCtr(c.applies + 1, applied, base))
+        false
+      }
+    } else if (policy.compactEvery <= 0) false
+    else {
+      val c = readMaintainCtr(spark, store)
+      val n = c.applies + 1
+      if (n >= policy.compactEvery) {
+        maintainSweep(spark, store, policy)
+        writeMaintainCtr(spark, store,
+          MaintainCtr(0L, 0L, logEventCount(spark, store)))
+        true
+      } else {
+        writeMaintainCtr(spark, store,
+          MaintainCtr(n, c.appliedSince + nApplied, c.baseEvents))
+        false
+      }
+    }
+  }
+
   /** The published SCD2 table — the store's derived history, partition
     * column stripped. */
   def history(spark: SparkSession, store: String): DataFrame =
@@ -81,11 +212,15 @@ object Scd2Maintain {
   /** Merge one micro-batch of change events into the store. Returns the
     * number of NEW events applied (replayed/duplicate events excluded).
     * `numBuckets` applies only at store creation; the store's marker
-    * governs afterwards. `afterLogAppend` is the crash-injection hook
-    * (test only). */
+    * governs afterwards. `policy` schedules the maintenance sweep
+    * (default: off — see [[MaintainPolicy]]); the sweep runs LAST,
+    * after both store commits. `afterLogAppend` and `afterSweep` are
+    * the crash-injection hooks (test only). */
   def mergeBatch(spark: SparkSession, batch: DataFrame, store: String,
       numBuckets: Int = DefaultBuckets,
-      afterLogAppend: () => Unit = () => ()): Long = {
+      afterLogAppend: () => Unit = () => (),
+      policy: MaintainPolicy = MaintainPolicy(),
+      afterSweep: () => Unit = () => ()): Long = {
     resumePendingCompact(spark, store)
     val exists = SnapshotMaintain.storeExists(spark, logDir(store))
     val buckets =
@@ -123,6 +258,14 @@ object Scd2Maintain {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(histDir(store))
+    // opt-in maintenance cadence — LAST, after both store commits (a
+    // crash inside the sweep replays the batch: the anti-join applies
+    // nothing, the history recompute repairs, the un-reset counter
+    // re-triggers the sweep on the next applying batch and the staged
+    // swap resumes)
+    if (applied > 0 && policy.cadenceOn &&
+        maybeMaintain(spark, store, policy, applied))
+      afterSweep()
     applied
   }
 
@@ -165,7 +308,22 @@ object Scd2Maintain {
       .partitionBy("bucket")
       .parquet(histDir(store))
     SnapshotMaintain.dropEmptiedBuckets(spark, histDir(store), touched, present)
+    reanchorBase(spark, store)
     removed
+  }
+
+  /** Re-anchor the growth cadence's base on the log's true row count
+    * after an out-of-cadence mass change (erasure, manual retention) —
+    * the IngestPipeline.forget re-anchor (r12 verdict #2) applied to
+    * this store: without it the next growth sweep fires late by the
+    * purged fraction. One cheap count, only when a base is anchored;
+    * idempotent (a crash before it leaves sweeps late, never early,
+    * and a re-run re-anchors). */
+  private def reanchorBase(spark: SparkSession, store: String): Unit = {
+    val c = readMaintainCtr(spark, store)
+    if (c.baseEvents > 0L)
+      writeMaintainCtr(spark, store,
+        c.copy(baseEvents = logEventCount(spark, store)))
   }
 
   /** RETENTION / VACUUM — expire history closed strictly before
@@ -208,6 +366,10 @@ object Scd2Maintain {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(histDir(store))
+    // a manual (out-of-cadence) retention pass shrinks the mass the
+    // growth trigger tracks; inside maintainSweep this is immediately
+    // superseded by the post-sweep reset — redundant, never wrong
+    reanchorBase(spark, store)
     removed
   }
 
@@ -245,17 +407,20 @@ object Scd2Maintain {
 
   /** Streaming entry: JSON change-event directory → SCD2 history store
     * (same change schema as SnapshotMaintain — the two consumers read
-    * the same routed topic). */
+    * the same routed topic). `policy` opts the deployment into the
+    * scheduled maintenance sweep (see [[MaintainPolicy]]). */
   def maintain(spark: SparkSession, srcDir: String, store: String,
       checkpoint: String,
-      numBuckets: Int = DefaultBuckets): DataStreamWriter[org.apache.spark.sql.Row] =
+      numBuckets: Int = DefaultBuckets,
+      policy: MaintainPolicy = MaintainPolicy()): DataStreamWriter[org.apache.spark.sql.Row] =
     spark.readStream.schema(SnapshotMaintain.changeSchema).json(srcDir)
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBatch(batch.sparkSession, batch, store, numBuckets)
+        mergeBatch(batch.sparkSession, batch, store, numBuckets,
+          policy = policy)
         ()
       }
 }

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.CdcRoute
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The SCD2 maintenance CADENCE (r12 verdict #1): Scd2Probe measured
+  * the busy-table cost growth and the two reclamation levers
+  * (compactLog for file accretion, expireVersions for retained mass);
+  * this spec pins their promotion to a scheduled policy — fire on
+  * schedule (fixed and growth modes), store content invariant vs an
+  * unmaintained twin (retention off), retention's horizon derived from
+  * event time exactly as a manual twin would, crash-at-sweep replay
+  * convergence, and the counter lifecycle (reset-after-sweep,
+  * torn/legacy re-seed, erasure re-anchor). */
+class Scd2CadenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val Buckets = 4
+
+  /** Deterministic busy-table micro-batches (Scd2Probe's shape, tiny):
+    * 6 events over 5 keys per batch, type churn on recurring keys,
+    * unique event_ids, monotone event time. */
+  private def batchDf(b: Int): DataFrame = {
+    val rows = (0 until 6).map { i =>
+      val uid = (b.toLong * 7L + i.toLong * 3L) % 5L
+      (uid, s"t${(uid + b) % 3}", (b * 100 + i).toDouble,
+        b.toLong * 1000L + i, b.toLong * 100000L + i)
+    }
+    rows.toDF("user_id", "event_type", "value", "ts_ms", "event_id")
+  }
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def storeState(store: String): (Seq[String], Seq[String]) =
+    (rowsOf(Scd2Maintain.changeLog(spark, store)),
+      rowsOf(Scd2Maintain.history(spark, store)))
+
+  private def parquetFiles(p: String): Int = {
+    val it = Files.walk(java.nio.file.Paths.get(p)).iterator()
+    var n = 0
+    while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+    n
+  }
+
+  test("fixed cadence fires every compactEvery applying batches: log " +
+    "and history stay bit-identical to an unmaintained twin, the log's " +
+    "file count is bounded, and the counter resets after each sweep") {
+    val a = Files.createTempDirectory("scd2cad-a").toString + "/store"
+    val b = Files.createTempDirectory("scd2cad-b").toString + "/store"
+    val policy = Scd2Maintain.MaintainPolicy(compactEvery = 2)
+    var swept = List.empty[Int]
+    for (i <- 1 to 5) {
+      Scd2Maintain.mergeBatch(spark, batchDf(i), a, Buckets,
+        policy = policy, afterSweep = () => swept ::= i)
+      Scd2Maintain.mergeBatch(spark, batchDf(i), b, Buckets)
+    }
+    assert(swept.reverse == List(2, 4), s"sweep schedule: ${swept.reverse}")
+    assert(storeState(a) == storeState(b),
+      "cadence maintenance changed log/history vs the unmaintained twin")
+    assert(parquetFiles(s"$a/log") < parquetFiles(s"$b/log"),
+      "cadence did not bound the log's file accretion")
+    // counter: reset at batch 4's sweep, bumped once by batch 5; base
+    // anchored on the log's actual row count at the sweep (4×6 events)
+    assert(Scd2Maintain.readMaintainCtr(spark, a) ==
+      Scd2Maintain.MaintainCtr(1L, 6L, 24L),
+      s"counter: ${Scd2Maintain.readMaintainCtr(spark, a)}")
+  }
+
+  test("growth cadence backs off geometrically (fire on each doubling " +
+    "of the retained log), anchors its base on the post-sweep row " +
+    "count, and a torn/zeroed counter re-seeds from log mass instead " +
+    "of firing an early sweep") {
+    val a = Files.createTempDirectory("scd2cad-g").toString + "/store"
+    val policy = Scd2Maintain.MaintainPolicy(compactGrowth = 1.0)
+    var swept = List.empty[Int]
+    for (i <- 1 to 8)
+      Scd2Maintain.mergeBatch(spark, batchDf(i), a, Buckets,
+        policy = policy, afterSweep = () => swept ::= i)
+    // 6 events/batch: base 0 → batch 1 fires (seed on a fresh store is
+    // 0), base 6 → batch 2 (6 ≥ 6), base 12 → batch 4, base 24 →
+    // batch 8, base 48
+    assert(swept.reverse == List(1, 2, 4, 8),
+      s"geometric schedule violated: ${swept.reverse}")
+    assert(Scd2Maintain.readMaintainCtr(spark, a) ==
+      Scd2Maintain.MaintainCtr(0L, 0L, 48L),
+      s"post-sweep anchor: ${Scd2Maintain.readMaintainCtr(spark, a)}")
+
+    // torn counter (unparseable) reads all-zero; the next applying
+    // batch re-seeds the base from the log's true mass (48 + its own
+    // 6 applies excluded) — no early sweep on the existing store
+    val p = new org.apache.hadoop.fs.Path(s"$a/_maintain_ctr")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write("torn garbage".getBytes("UTF-8")) finally out.close()
+    assert(Scd2Maintain.readMaintainCtr(spark, a) ==
+      Scd2Maintain.MaintainCtr(0L, 0L, 0L), "torn counter parse")
+    Scd2Maintain.mergeBatch(spark, batchDf(9), a, Buckets,
+      policy = policy, afterSweep = () => swept ::= 9)
+    assert(swept.reverse == List(1, 2, 4, 8),
+      "torn counter fired an early sweep on an existing store")
+    assert(Scd2Maintain.readMaintainCtr(spark, a) ==
+      Scd2Maintain.MaintainCtr(1L, 6L, 48L),
+      "seeded base must be the pre-epoch log mass")
+
+    // keyed erasure re-anchors the base on the purged log's count
+    val removed = Scd2Maintain.forgetKeys(spark, a, Seq(0L, 1L))
+    assert(removed > 0L)
+    val afterForget = Scd2Maintain.readMaintainCtr(spark, a)
+    assert(afterForget.baseEvents == 54L - removed,
+      s"erasure did not re-anchor: $afterForget")
+  }
+
+  test("retention policy: each sweep expires versions closed more than " +
+    "retainMs before the log's max event time — log and history match " +
+    "a twin maintained by MANUAL expireVersions+compactLog calls at " +
+    "the same points, and history stays the fold of the retained log") {
+    val a = Files.createTempDirectory("scd2cad-r").toString + "/store"
+    val b = Files.createTempDirectory("scd2cad-rt").toString + "/store"
+    // retain 1.5 batches of event time: versions closed earlier than
+    // (maxTs - 1500) at sweep time are purged
+    val policy = Scd2Maintain.MaintainPolicy(compactEvery = 2,
+      retainMs = 1500L)
+    for (i <- 1 to 4) {
+      Scd2Maintain.mergeBatch(spark, batchDf(i), a, Buckets,
+        policy = policy)
+      Scd2Maintain.mergeBatch(spark, batchDf(i), b, Buckets)
+      if (i % 2 == 0) {
+        // the manual twin: same horizon derivation, by hand
+        val maxTs = Scd2Maintain.changeLog(spark, b)
+          .agg(max(col("ts_ms"))).head.getLong(0)
+        Scd2Maintain.expireVersions(spark, b, maxTs - 1500L)
+        Scd2Maintain.compactLog(spark, b)
+      }
+    }
+    assert(storeState(a) == storeState(b),
+      "scheduled retention diverged from the manual twin")
+    // something was actually purged (the policy is not a no-op here)
+    assert(Scd2Maintain.changeLog(spark, a).count() < 24L,
+      "retention horizon purged nothing — fixture too loose")
+    // derived-state consistency: history == fold of the retained log
+    assert(rowsOf(Scd2Maintain.history(spark, a)) ==
+      rowsOf(CdcRoute.scd2FromChanges(Scd2Maintain.changeLog(spark, a))),
+      "history is not the fold of the retained log")
+  }
+
+  test("crash at the sweep point converges on replay: the completed " +
+    "sweep's counter reset persists, the replayed batch applies " +
+    "nothing and does not re-sweep, and the store matches a crash-free " +
+    "twin through subsequent batches") {
+    val a = Files.createTempDirectory("scd2cad-c").toString + "/store"
+    val b = Files.createTempDirectory("scd2cad-ct").toString + "/store"
+    val policy = Scd2Maintain.MaintainPolicy(compactEvery = 2)
+    var sweptA = 0
+    def mergeA(i: Int, inject: Boolean = false): Long =
+      Scd2Maintain.mergeBatch(spark, batchDf(i), a, Buckets,
+        policy = policy, afterSweep = () => {
+          sweptA += 1
+          if (inject) throw new RuntimeException("injected")
+        })
+    mergeA(1)
+    // batch 2 trips the cadence; the crash lands AFTER the sweep and
+    // counter reset, BEFORE the stream checkpoint would commit
+    intercept[RuntimeException] { mergeA(2, inject = true) }
+    assert(Scd2Maintain.readMaintainCtr(spark, a) ==
+      Scd2Maintain.MaintainCtr(0L, 0L, 12L),
+      "counter must reflect the completed pre-crash sweep")
+    // replay of batch 2: set-union log applies nothing, the history
+    // recompute repairs, and no second sweep fires
+    assert(mergeA(2) == 0L, "replayed batch must apply nothing")
+    assert(sweptA == 1, s"replay re-swept: $sweptA sweeps")
+    // crash-free twin, same policy, no injection
+    for (i <- 1 to 4)
+      Scd2Maintain.mergeBatch(spark, batchDf(i), b, Buckets,
+        policy = policy)
+    mergeA(3); mergeA(4)
+    assert(sweptA == 2, s"batch-4 sweep missing: $sweptA")
+    assert(storeState(a) == storeState(b),
+      "crash-at-sweep replay diverged from the crash-free twin")
+    assert(Scd2Maintain.readMaintainCtr(spark, a) ==
+      Scd2Maintain.readMaintainCtr(spark, b),
+      "counters diverged from the crash-free twin")
+  }
+}
