@@ -152,13 +152,16 @@ object Bench {
         medianOf(samples(n)) <= 1.5 * math.max(samples(n).min, 1e-9)
       } / measured.size) / 1.0
     }
+    // THE published predicate — one definition shared by the gate loop
+    // and the final flag (r13 review: two hand-synced copies is the
+    // exact drift class r12 verdict #1 closed)
+    def contendedOf(pct: Double, medSum: Double, minSum: Double): Boolean =
+      (pct >= 0 && pct < 95.0) || (minSum > 0 && medSum > 1.2 * minSum)
     def contendedNow(): Boolean = {
-      val p = pctNow()
-      if (p < 0) return false // nothing measured yet — extras add nothing
       val measured = names.filter(n => samples(n).nonEmpty)
-      val medSum = measured.map(n => medianOf(samples(n))).sum
-      val minSum = measured.map(n => samples(n).min).sum
-      p < 95.0 || (minSum > 0 && medSum > 1.2 * minSum)
+      contendedOf(pctNow(),
+        measured.map(n => medianOf(samples(n))).sum,
+        measured.map(n => samples(n).min).sum)
     }
     // Pre-extras snapshot (ADVICE r9 #4): the gated extras can only
     // improve value_min and pull medians down, so gated and ungated
@@ -208,8 +211,7 @@ object Bench {
     // headline warm number must sit within 1.2× of its own min-sum AND
     // the per-query fidelity share must clear 95% — otherwise the record
     // says so itself instead of impersonating a regression
-    val contended = (pctWithin >= 0 && pctWithin < 95.0) ||
-      (totalMin > 0 && total > 1.2 * totalMin)
+    val contended = contendedOf(pctWithin, total, totalMin)
     // field order matters: the driver keeps only the TAIL of the output
     // (~4 KB), so the warm medians — the numbers the judge grades — go
     // LAST in the line; the cold dict, which is twice as long and less

@@ -42,12 +42,19 @@ object Scd2Probe {
     val retainMs =
       if (args.length > 5) (args(5).toDouble * 1000000L).toLong
       else Long.MaxValue
+    // fail-loud parse (r13 review): a typo'd policy must not silently
+    // soak the unmaintained branch and record the wrong experiment
     val policy = (if (args.length > 4) args(4) else "off").split(":") match {
       case Array("fixed", n) => streaming.Scd2Maintain.MaintainPolicy(
         compactEvery = n.toInt, retainMs = retainMs)
       case Array("growth", g) => streaming.Scd2Maintain.MaintainPolicy(
         compactGrowth = g.toDouble, retainMs = retainMs)
-      case _ => streaming.Scd2Maintain.MaintainPolicy()
+      case Array("off") =>
+        require(args.length <= 5,
+          "retainBatches requires a fixed:N or growth:X policy")
+        streaming.Scd2Maintain.MaintainPolicy()
+      case other => sys.error(s"unrecognized policy '${other.mkString(":")}'" +
+        " — use off, fixed:N or growth:X")
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     val spark = SparkSession.builder()
@@ -123,10 +130,12 @@ object Scd2Probe {
       if (sweepWalls.nonEmpty)
         println(f"[scd2] sweep-batch walls: " +
           sweepWalls.map(w => f"$w%.1f").mkString(" "))
+      // every-batch-sweeps leaves nonSweep empty (fixed:1) — guard
+      val nsTail = if (nonSweep.isEmpty) Double.NaN
+        else med(nonSweep.takeRight(10))
       println(f"[scd2] tail: last-10 all-batch median=" +
         f"${med(walls.takeRight(10))}%.2f s non-sweep median=" +
-        f"${med(nonSweep.takeRight(10))}%.2f s " +
-        f"(unmaintained r12 tail: 12.27 s)")
+        f"$nsTail%.2f s (unmaintained r12 tail: 12.27 s)")
     } else {
       var t0 = System.nanoTime()
       streaming.Scd2Maintain.compactLog(spark, store)

@@ -355,11 +355,18 @@ object Scd2Maintain {
       .drop("keep_from")
       .localCheckpoint(true)
     val removed = log.count() - kept.count()
-    if (removed == 0L) return 0L
-    kept.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket")
-      .parquet(logDir(store))
+    if (removed > 0L)
+      kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(logDir(store))
+    // the HISTORY rewrite runs even when removed == 0 (r13 review):
+    // the crash window between the log overwrite and this write
+    // replays with a log that has nothing left to purge, and an early
+    // return here would leave the expired versions live in history
+    // indefinitely (merges only recompute TOUCHED buckets). Rewriting
+    // unconditionally makes the retention pass idempotent end-to-end:
+    // any replay converges history to the fold of the retained log.
     CdcRoute.scd2FromChanges(kept.drop("bucket"))
       .withColumn("bucket", SnapshotMaintain.bucketOf(buckets))
       .write.mode("overwrite")

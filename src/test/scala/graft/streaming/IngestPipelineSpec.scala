@@ -410,10 +410,13 @@ class IngestPipelineSpec extends SparkSpec {
     IngestPipeline.compactAll(spark, root, nFiles = 2)
     assert(snapshot(root) == pre, "compaction changed store contents")
     def parquetFiles(p: String): Int = {
-      val it = Files.walk(java.nio.file.Paths.get(p)).iterator()
-      var n = 0
-      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
-      n
+      val s = Files.walk(java.nio.file.Paths.get(p))
+      try {
+        val it = s.iterator()
+        var n = 0
+        while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+        n
+      } finally s.close()
     }
     assert(parquetFiles(IngestPipeline.corpusDir(root)) <= 2)
     assert(parquetFiles(s"${IngestPipeline.nearDir(root)}/grams") <= 2)
@@ -450,10 +453,13 @@ class IngestPipelineSpec extends SparkSpec {
     assert(snapshot(rootA) == snapshot(rootB),
       "auto-compaction changed store contents vs the uncompacted twin")
     def parquetFiles(p: String): Int = {
-      val it = Files.walk(java.nio.file.Paths.get(p)).iterator()
-      var n = 0
-      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
-      n
+      val s = Files.walk(java.nio.file.Paths.get(p))
+      try {
+        val it = s.iterator()
+        var n = 0
+        while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+        n
+      } finally s.close()
     }
     assert(parquetFiles(IngestPipeline.corpusDir(rootA)) <
       parquetFiles(IngestPipeline.corpusDir(rootB)),

@@ -41,10 +41,13 @@ class Scd2CadenceSpec extends SparkSpec {
       rowsOf(Scd2Maintain.history(spark, store)))
 
   private def parquetFiles(p: String): Int = {
-    val it = Files.walk(java.nio.file.Paths.get(p)).iterator()
-    var n = 0
-    while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
-    n
+    val s = Files.walk(java.nio.file.Paths.get(p))
+    try {
+      val it = s.iterator()
+      var n = 0
+      while (it.hasNext) if (it.next().toString.endsWith(".parquet")) n += 1
+      n
+    } finally s.close()
   }
 
   test("fixed cadence fires every compactEvery applying batches: log " +
@@ -146,6 +149,35 @@ class Scd2CadenceSpec extends SparkSpec {
     assert(rowsOf(Scd2Maintain.history(spark, a)) ==
       rowsOf(CdcRoute.scd2FromChanges(Scd2Maintain.changeLog(spark, a))),
       "history is not the fold of the retained log")
+  }
+
+  test("retention's log-written/history-unwritten crash window " +
+    "self-heals: a re-run with nothing left to purge (removed == 0) " +
+    "still rewrites history to the fold of the retained log") {
+    val a = Files.createTempDirectory("scd2cad-w").toString + "/store"
+    for (i <- 1 to 4)
+      Scd2Maintain.mergeBatch(spark, batchDf(i), a, Buckets)
+    val allEvents = Scd2Maintain.changeLog(spark, a).localCheckpoint(true)
+    val horizon = 4005L - 1500L
+    assert(Scd2Maintain.expireVersions(spark, a, horizon) > 0L,
+      "fixture must purge something")
+    // simulate the crash: the log overwrite committed but the history
+    // write was lost — history still shows the PRE-retention fold
+    CdcRoute.scd2FromChanges(allEvents.drop("bucket"))
+      .withColumn("bucket", SnapshotMaintain.bucketOf(Buckets))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(s"$a/history")
+    assert(rowsOf(Scd2Maintain.history(spark, a)) !=
+      rowsOf(CdcRoute.scd2FromChanges(Scd2Maintain.changeLog(spark, a))),
+      "fixture must start with a stale history")
+    // the replayed retention pass purges nothing — pre-r13 it early-
+    // returned here and the expired versions survived in history
+    assert(Scd2Maintain.expireVersions(spark, a, horizon) == 0L)
+    assert(rowsOf(Scd2Maintain.history(spark, a)) ==
+      rowsOf(CdcRoute.scd2FromChanges(Scd2Maintain.changeLog(spark, a))),
+      "no-op retention re-run did not repair the stale history")
   }
 
   test("crash at the sweep point converges on replay: the completed " +
