@@ -51,6 +51,20 @@ class RecallFloorSpec extends SparkSpec {
     assert(st0 == TextOps.RecallFloorStats(1L, 0L, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("recallFloor plan shape (r12 ADVICE #3): the postings frame " +
+    "feeds the shared-key join through a LEFT-SEMI restriction to the " +
+    "pairs' d2 ids — no unrestricted corpus-scale side in the join") {
+    val e = (1L to 200L).flatMap(d => Seq((d, s"k${d % 40}"),
+      (d, s"k${(d + 1) % 40}"))).toDF("doc_id", "k")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("d1", "d2")
+    val plan = TextOps.recallFloor(e, Seq("k"), pairs)
+      .queryExecution.executedPlan.toString
+    // the pre-r13 shape had exactly one semi-free pass of e into the
+    // (keys, d2) join; the fix adds the LeftSemi that label-bounds it
+    assert(plan.contains("LeftSemi"),
+      s"kb side lost its semi-join restriction:\n$plan")
+  }
+
   test("simhashRecallFloor: the generic floor masked by the " +
     "verify-stage Hamming bound, against a driver-side recomputation") {
     // identical pair (Hamming 0 by construction), a ladder of near
