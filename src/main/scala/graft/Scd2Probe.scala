@@ -43,12 +43,19 @@ object Scd2Probe {
       if (args.length > 5) (args(5).toDouble * 1000000L).toLong
       else Long.MaxValue
     // fail-loud parse (r13 review): a typo'd policy must not silently
-    // soak the unmaintained branch and record the wrong experiment
+    // soak the unmaintained branch and record the wrong experiment —
+    // and (r13 ADVICE) neither may a degenerate value: fixed:0 or
+    // growth:0 would build a cadence-off policy and silently run the
+    // unmaintained branch with retainBatches ignored
     val policy = (if (args.length > 4) args(4) else "off").split(":") match {
-      case Array("fixed", n) => streaming.Scd2Maintain.MaintainPolicy(
-        compactEvery = n.toInt, retainMs = retainMs)
-      case Array("growth", g) => streaming.Scd2Maintain.MaintainPolicy(
-        compactGrowth = g.toDouble, retainMs = retainMs)
+      case Array("fixed", n) =>
+        require(n.toInt > 0, s"fixed:N requires N > 0, got fixed:$n")
+        streaming.Scd2Maintain.MaintainPolicy(
+          compactEvery = n.toInt, retainMs = retainMs)
+      case Array("growth", g) =>
+        require(g.toDouble > 0.0, s"growth:X requires X > 0, got growth:$g")
+        streaming.Scd2Maintain.MaintainPolicy(
+          compactGrowth = g.toDouble, retainMs = retainMs)
       case Array("off") =>
         require(args.length <= 5,
           "retainBatches requires a fixed:N or growth:X policy")
@@ -108,7 +115,11 @@ object Scd2Probe {
     def med(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }
-    val decades = walls.grouped(math.max(1, nBatches / 10)).toSeq
+    // ceil-sized groups (r13 ADVICE): floor sizing yields an 11th
+    // stub group whenever the count is not a multiple of 10
+    def decadesOf(xs: Seq[Double]): Seq[Seq[Double]] =
+      xs.grouped(math.max(1, (xs.size + 9) / 10)).toSeq
+    val decades = decadesOf(walls)
     println("[scd2] per-decade median walls: " +
       decades.map(d => f"${med(d)}%.2f").mkString(" "))
     val logRows = streaming.Scd2Maintain.changeLog(spark, store).count()
@@ -123,7 +134,7 @@ object Scd2Probe {
       println(s"[scd2] sweeps fired at batches: ${sweepBatches.mkString(",")}")
       val nonSweep = walls.zipWithIndex
         .filterNot { case (_, b) => sweepBatches.contains(b) }.map(_._1)
-      val nsDecades = nonSweep.grouped(math.max(1, nonSweep.size / 10)).toSeq
+      val nsDecades = decadesOf(nonSweep)
       println("[scd2] per-decade NON-SWEEP median walls: " +
         nsDecades.map(d => f"${med(d)}%.2f").mkString(" "))
       val sweepWalls = sweepBatches.map(b => walls(b))

@@ -111,7 +111,7 @@ object Scd2Maintain {
     * growth trigger's base). Missing/torn file = all-zero: in fixed
     * mode one delayed sweep; in growth mode the base re-seeds from
     * the log's true mass at the next applying batch. */
-  private[graft] final case class MaintainCtr(applies: Long,
+  final case class MaintainCtr(applies: Long,
       appliedSince: Long, baseEvents: Long)
 
   private def maintainCtrPath(store: String) = s"$store/_maintain_ctr"
@@ -122,6 +122,14 @@ object Scd2Maintain {
       case Some(Array(a, m, b)) => MaintainCtr(a, m, b)
       case _ => MaintainCtr(0L, 0L, 0L)
     }
+
+  /** Ops/dashboard face of the cadence counter, mirroring
+    * [[IngestPipeline.appendsSinceCompact]]: applying batches and
+    * events applied since the last [[MaintainPolicy]] sweep, and the
+    * growth trigger's base. All-zero on a fresh, unmaintained, or
+    * torn-counter store (see [[MaintainCtr]]). */
+  def maintainStatus(spark: SparkSession, store: String): MaintainCtr =
+    readMaintainCtr(spark, store)
 
   private def writeMaintainCtr(spark: SparkSession, store: String,
       v: MaintainCtr): Unit =

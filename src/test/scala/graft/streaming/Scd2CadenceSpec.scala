@@ -180,6 +180,69 @@ class Scd2CadenceSpec extends SparkSpec {
       "no-op retention re-run did not repair the stale history")
   }
 
+  test("growth+retention settles (unit pin of the BASELINE.md r13 " +
+    "combined soak): after a retention-active sweep the growth base " +
+    "anchors on the RETAINED log count, so the sweep interval stops " +
+    "doubling and settles at the retention-capped mass") {
+    val a = Files.createTempDirectory("scd2cad-gr").toString + "/store"
+    val policy = Scd2Maintain.MaintainPolicy(compactGrowth = 1.0,
+      retainMs = 1500L)
+    // (batch, post-sweep base, post-sweep retained log count)
+    var recs = List.empty[(Int, Long, Long)]
+    for (i <- 1 to 13)
+      Scd2Maintain.mergeBatch(spark, batchDf(i), a, Buckets,
+        policy = policy, afterSweep = () => {
+          val c = Scd2Maintain.readMaintainCtr(spark, a)
+          recs ::= ((i, c.baseEvents,
+            Scd2Maintain.changeLog(spark, a).count()))
+        })
+    val sweeps = recs.reverse
+    // (a) the base anchors on the RETAINED log count at EVERY sweep —
+    // never the pre-retention mass
+    for ((b, base, retained) <- sweeps)
+      assert(base == retained,
+        s"batch $b: base $base != retained log count $retained")
+    // retention is genuinely active: the settled mass sits far below
+    // the total applied (13×6 = 78 events)
+    val settledBases = sweeps.map(_._2).takeRight(3)
+    assert(settledBases.max < 30L,
+      s"retention never capped the mass: bases ${sweeps.map(_._2)}")
+    // the capped base is CONSTANT across the settled tail
+    assert(settledBases.distinct.size == 1,
+      s"settled base not constant: $settledBases")
+    // (b) the trigger interval derives from the capped base: the
+    // schedule doubles while young (1,2,4) then settles at a fixed
+    // interval — a growth-only run fires only {1,2,4,8} in 13 batches
+    val schedule = sweeps.map(_._1)
+    assert(schedule.take(3) == List(1, 2, 4),
+      s"young-store doubling violated: $schedule")
+    val tailGaps = schedule.drop(3).zip(schedule.drop(2))
+      .map { case (n, p) => n - p }
+    assert(tailGaps.nonEmpty && tailGaps.distinct.size == 1,
+      s"interval did not settle: $schedule (gaps $tailGaps)")
+    assert(schedule.last > 8 && schedule.size > 4,
+      s"settled schedule should out-fire pure doubling's {1,2,4,8}: " +
+        s"$schedule")
+  }
+
+  test("maintainStatus is the public ops face of the cadence counter: " +
+    "it tracks mergeBatch bump-for-bump and resets at the sweep") {
+    val a = Files.createTempDirectory("scd2cad-s").toString + "/store"
+    val policy = Scd2Maintain.MaintainPolicy(compactEvery = 3)
+    // fresh / unmaintained store reads all-zero
+    assert(Scd2Maintain.maintainStatus(spark, a) ==
+      Scd2Maintain.MaintainCtr(0L, 0L, 0L))
+    Scd2Maintain.mergeBatch(spark, batchDf(1), a, Buckets, policy = policy)
+    Scd2Maintain.mergeBatch(spark, batchDf(2), a, Buckets, policy = policy)
+    assert(Scd2Maintain.maintainStatus(spark, a) ==
+      Scd2Maintain.MaintainCtr(2L, 12L, 0L),
+      s"status after 2 applying batches: ${Scd2Maintain.maintainStatus(spark, a)}")
+    Scd2Maintain.mergeBatch(spark, batchDf(3), a, Buckets, policy = policy)
+    assert(Scd2Maintain.maintainStatus(spark, a) ==
+      Scd2Maintain.MaintainCtr(0L, 0L, 18L),
+      "status must reset at the sweep with the post-sweep base anchored")
+  }
+
   test("crash at the sweep point converges on replay: the completed " +
     "sweep's counter reset persists, the replayed batch applies " +
     "nothing and does not re-sweep, and the store matches a crash-free " +
