@@ -53,7 +53,11 @@ object Scd2Probe {
         streaming.Scd2Maintain.MaintainPolicy(
           compactEvery = n.toInt, retainMs = retainMs)
       case Array("growth", g) =>
-        require(g.toDouble > 0.0, s"growth:X requires X > 0, got growth:$g")
+        // finite too: growth:Infinity passes > 0 yet never fires a
+        // sweep (applied >= Inf*base is false forever) — the same
+        // silent-unmaintained soak the guard exists to reject
+        require(g.toDouble > 0.0 && !g.toDouble.isInfinite,
+          s"growth:X requires a finite X > 0, got growth:$g")
         streaming.Scd2Maintain.MaintainPolicy(
           compactGrowth = g.toDouble, retainMs = retainMs)
       case Array("off") =>
