@@ -164,6 +164,11 @@ object IngestPipeline {
       afterStage: String => Unit = _ => (),
       compactEvery: Int = 0, compactFiles: Int = 4,
       compactGrowth: Double = 0.0): BatchReport = {
+    // same construction-time guard as Scd2Maintain.MaintainPolicy: a
+    // non-finite growth factor silently disables the sweep it claims
+    // to schedule (Inf never fires; NaN reads as cadence-off)
+    require(!compactGrowth.isNaN && !compactGrowth.isInfinite,
+      s"compactGrowth must be finite, got $compactGrowth")
     val corpus = corpusDir(root)
     // resume-before-probe (StagedSwap's contract) for the DOOR's
     // stored-id probe below: a corpus mid-compaction/erasure swap

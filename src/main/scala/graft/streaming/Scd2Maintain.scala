@@ -103,6 +103,12 @@ object Scd2Maintain {
     * log's actual row count (at most one cadence late, never early). */
   final case class MaintainPolicy(compactEvery: Int = 0,
       compactGrowth: Double = 0.0, retainMs: Long = Long.MaxValue) {
+    // fail at construction, not silently at runtime: Infinity reads
+    // as cadence-on yet `applied >= Inf * base` never fires (NaN on a
+    // fresh store), and NaN reads as cadence-OFF — either way a
+    // policy the caller believes is maintaining isn't
+    require(!compactGrowth.isNaN && !compactGrowth.isInfinite,
+      s"compactGrowth must be finite, got $compactGrowth")
     def cadenceOn: Boolean = compactEvery > 0 || compactGrowth > 0.0
   }
 

@@ -529,6 +529,22 @@ class IngestPipelineSpec extends SparkSpec {
     assert(IngestPipeline.appendsSinceCompact(spark, rootA) == 7L)
   }
 
+  test("a non-finite compactGrowth fails loudly at the library face: " +
+    "Inf claims cadence-on yet can never fire, NaN reads as " +
+    "cadence-off — both would silently skip the sweep they schedule") {
+    val root = Files.createTempDirectory("pipe-gc-nf").toString + "/p"
+    val batch = Seq(row(1L, passText("nfx", "t0")))
+      .toDF("doc_id", "text", "lang", "source")
+    intercept[IllegalArgumentException] {
+      IngestPipeline.mergeBatch(spark, batch, root, 1L,
+        compactGrowth = Double.PositiveInfinity)
+    }
+    intercept[IllegalArgumentException] {
+      IngestPipeline.mergeBatch(spark, batch, root, 1L,
+        compactGrowth = Double.NaN)
+    }
+  }
+
   test("growth-base re-anchoring (r12 verdict #2 + ADVICE #1): the " +
     "trigger base is the corpus's TRUE row count — erasure refreshes " +
     "it (a forget-half store fires on the halved base, not the stale " +

@@ -225,6 +225,18 @@ class Scd2CadenceSpec extends SparkSpec {
         s"$schedule")
   }
 
+  test("a non-finite compactGrowth fails at policy construction: Inf " +
+    "claims cadence-on yet can never fire a sweep, NaN reads as " +
+    "cadence-off — both are a policy the caller believes is " +
+    "maintaining but isn't") {
+    intercept[IllegalArgumentException] {
+      Scd2Maintain.MaintainPolicy(compactGrowth = Double.PositiveInfinity)
+    }
+    intercept[IllegalArgumentException] {
+      Scd2Maintain.MaintainPolicy(compactGrowth = Double.NaN)
+    }
+  }
+
   test("maintainStatus is the public ops face of the cadence counter: " +
     "it tracks mergeBatch bump-for-bump and resets at the sweep") {
     val a = Files.createTempDirectory("scd2cad-s").toString + "/store"
