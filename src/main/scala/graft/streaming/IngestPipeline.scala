@@ -156,6 +156,22 @@ object IngestPipeline {
       grams1, post1, substrProbe)
   }
 
+  /** Cadence-knob validation shared by [[mergeBatch]] and [[ingest]]
+    * (mirrors Scd2Maintain.MaintainPolicy's construction guard): a
+    * non-finite growth factor silently disables the sweep it claims
+    * to schedule (Inf never fires; NaN reads as cadence-off), and a
+    * NEGATIVE growth or compactEvery also reads as cadence-off — in
+    * every case a policy the caller believes is maintaining isn't.
+    * The documented off values are exactly 0. */
+  private def requireCadence(compactEvery: Int,
+      compactGrowth: Double): Unit = {
+    require(!compactGrowth.isNaN && !compactGrowth.isInfinite &&
+      compactGrowth >= 0.0,
+      s"compactGrowth must be finite and >= 0 (0 = off), got $compactGrowth")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 = off), got $compactEvery")
+  }
+
   /** Run one micro-batch through the full DAG. `afterStage` fires after
     * each store commits ("neardup", "substr", "index", "corpus",
     * "stats") — the crash-injection seam for the spec's matrix. */
@@ -164,11 +180,8 @@ object IngestPipeline {
       afterStage: String => Unit = _ => (),
       compactEvery: Int = 0, compactFiles: Int = 4,
       compactGrowth: Double = 0.0): BatchReport = {
-    // same construction-time guard as Scd2Maintain.MaintainPolicy: a
-    // non-finite growth factor silently disables the sweep it claims
-    // to schedule (Inf never fires; NaN reads as cadence-off)
-    require(!compactGrowth.isNaN && !compactGrowth.isInfinite,
-      s"compactGrowth must be finite, got $compactGrowth")
+    // same construction-time guards as Scd2Maintain.MaintainPolicy
+    requireCadence(compactEvery, compactGrowth)
     val corpus = corpusDir(root)
     // resume-before-probe (StagedSwap's contract) for the DOOR's
     // stored-id probe below: a corpus mid-compaction/erasure swap
@@ -683,7 +696,11 @@ object IngestPipeline {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       compactEvery: Int = 0,
-      compactGrowth: Double = 0.0): DataStreamWriter[org.apache.spark.sql.Row] =
+      compactGrowth: Double = 0.0): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // validate HERE, not just in mergeBatch: otherwise a misconfigured
+    // stream starts cleanly and only fails inside foreachBatch at the
+    // first micro-batch (r14 ADVICE)
+    requireCadence(compactEvery, compactGrowth)
     spark.readStream.schema(CorpusIngest.docSchema).json(srcDir)
       .writeStream
       .outputMode("append")
@@ -694,4 +711,5 @@ object IngestPipeline {
           compactEvery = compactEvery, compactGrowth = compactGrowth)
         ()
       }
+  }
 }

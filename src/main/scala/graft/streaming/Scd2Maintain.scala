@@ -103,12 +103,21 @@ object Scd2Maintain {
     * log's actual row count (at most one cadence late, never early). */
   final case class MaintainPolicy(compactEvery: Int = 0,
       compactGrowth: Double = 0.0, retainMs: Long = Long.MaxValue) {
-    // fail at construction, not silently at runtime: Infinity reads
-    // as cadence-on yet `applied >= Inf * base` never fires (NaN on a
-    // fresh store), and NaN reads as cadence-OFF — either way a
-    // policy the caller believes is maintaining isn't
-    require(!compactGrowth.isNaN && !compactGrowth.isInfinite,
-      s"compactGrowth must be finite, got $compactGrowth")
+    // fail at construction, not silently at runtime — each degenerate
+    // value below builds a policy the caller believes is maintaining
+    // (or retaining) but isn't: Infinity reads as cadence-on yet
+    // `applied >= Inf * base` never fires (NaN on a fresh store), NaN
+    // reads as cadence-OFF, a NEGATIVE growth or compactEvery also
+    // reads as cadence-off (the documented off values are exactly 0),
+    // and retainMs <= 0 reads as retain-NOTHING — every closed
+    // version expires at the next sweep (off is Long.MaxValue)
+    require(!compactGrowth.isNaN && !compactGrowth.isInfinite &&
+      compactGrowth >= 0.0,
+      s"compactGrowth must be finite and >= 0 (0 = off), got $compactGrowth")
+    require(compactEvery >= 0,
+      s"compactEvery must be >= 0 (0 = off), got $compactEvery")
+    require(retainMs > 0L,
+      s"retainMs must be > 0 (Long.MaxValue = off), got $retainMs")
     def cadenceOn: Boolean = compactEvery > 0 || compactGrowth > 0.0
   }
 

@@ -545,6 +545,34 @@ class IngestPipelineSpec extends SparkSpec {
     }
   }
 
+  test("the cadence guard covers negative knobs at BOTH faces and the " +
+    "streaming entry validates at construction (r14 verdict #4 + " +
+    "ADVICE): negative compactGrowth/compactEvery silently read as " +
+    "cadence-off, and a misconfigured ingest must fail before the " +
+    "stream starts, not inside foreachBatch at the first micro-batch") {
+    val root = Files.createTempDirectory("pipe-gc-neg").toString + "/p"
+    val batch = Seq(row(1L, passText("ngx", "t0")))
+      .toDF("doc_id", "text", "lang", "source")
+    intercept[IllegalArgumentException] {
+      IngestPipeline.mergeBatch(spark, batch, root, 1L,
+        compactGrowth = -0.5)
+    }
+    intercept[IllegalArgumentException] {
+      IngestPipeline.mergeBatch(spark, batch, root, 1L,
+        compactEvery = -2)
+    }
+    // ingest throws at CONSTRUCTION: no stream, no checkpoint, no
+    // first-batch surprise (paths are never touched)
+    intercept[IllegalArgumentException] {
+      IngestPipeline.ingest(spark, s"$root/src", s"$root/store",
+        s"$root/ckpt", compactGrowth = Double.PositiveInfinity)
+    }
+    intercept[IllegalArgumentException] {
+      IngestPipeline.ingest(spark, s"$root/src", s"$root/store",
+        s"$root/ckpt", compactEvery = -1)
+    }
+  }
+
   test("growth-base re-anchoring (r12 verdict #2 + ADVICE #1): the " +
     "trigger base is the corpus's TRUE row count — erasure refreshes " +
     "it (a forget-half store fires on the halved base, not the stale " +

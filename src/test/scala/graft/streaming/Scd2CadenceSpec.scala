@@ -237,6 +237,27 @@ class Scd2CadenceSpec extends SparkSpec {
     }
   }
 
+  test("the remaining degenerate knobs fail at construction too (r14 " +
+    "verdict #4 symmetry sweep): negative compactGrowth and negative " +
+    "compactEvery silently read as cadence-off, retainMs <= 0 as " +
+    "retain-nothing — while the documented off values still build") {
+    intercept[IllegalArgumentException] {
+      Scd2Maintain.MaintainPolicy(compactGrowth = -1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Scd2Maintain.MaintainPolicy(compactEvery = -1)
+    }
+    intercept[IllegalArgumentException] {
+      Scd2Maintain.MaintainPolicy(retainMs = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Scd2Maintain.MaintainPolicy(retainMs = -5L)
+    }
+    // the documented off defaults remain constructible
+    val off = Scd2Maintain.MaintainPolicy()
+    assert(!off.cadenceOn && off.retainMs == Long.MaxValue)
+  }
+
   test("maintainStatus is the public ops face of the cadence counter: " +
     "it tracks mergeBatch bump-for-bump and resets at the sweep") {
     val a = Files.createTempDirectory("scd2cad-s").toString + "/store"
