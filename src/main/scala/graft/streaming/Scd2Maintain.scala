@@ -228,9 +228,13 @@ object Scd2Maintain {
   def history(spark: SparkSession, store: String): DataFrame =
     spark.read.parquet(histDir(store)).drop("bucket")
 
-  /** The durable event set (diagnostics / rebuild input). */
+  /** The durable event set (diagnostics / rebuild input). Projected to
+    * the wire `changeSchema` order explicitly so the frame layout is
+    * deterministic even over a store whose files predate the canonical
+    * write order (see [[canonLog]]). */
   def changeLog(spark: SparkSession, store: String): DataFrame =
-    spark.read.parquet(logDir(store)).drop("bucket")
+    spark.read.parquet(logDir(store))
+      .select(SnapshotMaintain.changeSchema.fieldNames.map(col).toSeq: _*)
 
   /** Merge one micro-batch of change events into the store. Returns the
     * number of NEW events applied (replayed/duplicate events excluded).
@@ -269,7 +273,8 @@ object Scd2Maintain {
        else delta).localCheckpoint(true)
     val applied = fresh.count()
     if (applied > 0)
-      fresh.write.mode("append").partitionBy("bucket").parquet(logDir(store))
+      canonLog(fresh).write.mode("append")
+        .partitionBy("bucket").parquet(logDir(store))
     if (!exists) SnapshotMaintain.writeBucketMarker(spark, store, buckets)
     afterLogAppend()
     // recompute touched buckets' history even when nothing fresh landed:
@@ -316,7 +321,7 @@ object Scd2Maintain {
       .localCheckpoint(true)
     val removed = curLog.count() - keptLog.count()
     if (removed == 0L) return 0L
-    keptLog.write.mode("overwrite")
+    canonLog(keptLog).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(logDir(store))
@@ -379,7 +384,7 @@ object Scd2Maintain {
       .localCheckpoint(true)
     val removed = log.count() - kept.count()
     if (removed > 0L)
-      kept.write.mode("overwrite")
+      canonLog(kept).write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(logDir(store))
@@ -426,7 +431,7 @@ object Scd2Maintain {
     if (!SnapshotMaintain.storeExists(spark, logDir(store))) return
     StagedSwap.clearStale(spark, stage)
     val buckets = SnapshotMaintain.storedBuckets(spark, store, DefaultBuckets)
-    spark.read.parquet(logDir(store))
+    canonLog(spark.read.parquet(logDir(store)))
       .repartition(buckets, col("bucket"))
       .write.partitionBy("bucket").parquet(stage)
     StagedSwap.commit(spark, logDir(store), stage)
@@ -434,6 +439,23 @@ object Scd2Maintain {
 
   private def resumePendingCompact(spark: SparkSession, store: String): Boolean =
     StagedSwap.resume(spark, logDir(store), Seq(s"${logDir(store)}.compact"))
+
+  /** Canonical on-disk column order for the log store, applied at
+    * EVERY log write. The write paths reach their frame through
+    * different joins — mergeBatch's replay gate (left_anti on
+    * event_id) moves event_id to the front, expireVersions' horizon
+    * join moves user_id, the first-ever batch writes the raw batch
+    * order — so without this select the log accumulates files with
+    * MIXED column orders. Parquet reads values by NAME, so the data
+    * is always correct, but `spark.read.parquet`'s inferred COLUMN
+    * ORDER follows whichever file footer the (parallel,
+    * order-unstable) listing samples first: every downstream read of
+    * the store gets a nondeterministic frame layout. One canonical
+    * order (the wire `changeSchema` + bucket) makes every file
+    * uniform and every read deterministic. */
+  private def canonLog(df: DataFrame): DataFrame =
+    df.select((SnapshotMaintain.changeSchema.fieldNames :+ "bucket")
+      .map(col).toSeq: _*)
 
   /** Streaming entry: JSON change-event directory → SCD2 history store
     * (same change schema as SnapshotMaintain — the two consumers read

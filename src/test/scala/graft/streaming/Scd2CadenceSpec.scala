@@ -258,6 +258,47 @@ class Scd2CadenceSpec extends SparkSpec {
     assert(!off.cadenceOn && off.retainMs == Long.MaxValue)
   }
 
+  test("every log write path lands the SAME on-disk column order (r15 " +
+    "root-cause of the twin-compare flake): the first-ever batch, the " +
+    "replay-gated append (left_anti fronts event_id), the retention " +
+    "rewrite (horizon join fronts user_id), erasure and compaction all " +
+    "reached parquet with different column orders, so the dir's " +
+    "inferred frame layout depended on which file footer the " +
+    "order-unstable listing sampled first") {
+    val a = Files.createTempDirectory("scd2cad-c").toString + "/store"
+    val canonical = SnapshotMaintain.changeSchema.fieldNames.toSeq
+    // first-ever batch + two replay-gated appends (pre-fix: two orders)
+    for (i <- 1 to 3)
+      Scd2Maintain.mergeBatch(spark, batchDf(i), a, Buckets)
+    // compaction rewrite, then an append AFTER it
+    Scd2Maintain.compactLog(spark, a)
+    Scd2Maintain.mergeBatch(spark, batchDf(4), a, Buckets)
+    // retention rewrite + keyed erasure rewrite
+    val maxTs = Scd2Maintain.changeLog(spark, a)
+      .agg(max(col("ts_ms"))).head.getLong(0)
+    Scd2Maintain.expireVersions(spark, a, maxTs - 1500L)
+    assert(Scd2Maintain.forgetKeys(spark, a, Seq(0L)) > 0L)
+    // EVERY surviving data file carries the canonical column order
+    // (single-file reads see no partition context, so the expected
+    // order is exactly the wire changeSchema, no bucket)
+    val files = {
+      val s = Files.walk(java.nio.file.Paths.get(s"$a/log"))
+      try {
+        val b = Seq.newBuilder[String]
+        s.forEach(p => if (p.toString.endsWith(".parquet")) b += p.toString)
+        b.result()
+      } finally s.close()
+    }
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      assert(spark.read.parquet(f).schema.fieldNames.toSeq == canonical,
+        s"non-canonical column order in $f")
+    }
+    // and the public read face is the canonical order too
+    assert(Scd2Maintain.changeLog(spark, a)
+      .schema.fieldNames.toSeq == canonical)
+  }
+
   test("maintainStatus is the public ops face of the cadence counter: " +
     "it tracks mergeBatch bump-for-bump and resets at the sweep") {
     val a = Files.createTempDirectory("scd2cad-s").toString + "/store"
