@@ -121,6 +121,36 @@ object CorpusIngest {
     hits.localCheckpoint(true)
   }
 
+  /** Canonical on-disk column order for a corpus store, applied at
+    * EVERY corpus write (this append tail, IngestPipeline.compactAll's
+    * range-layout rewrite, and IngestPipeline.forget's purge rewrite)
+    * — the Scd2Maintain.canonLog pattern (r15's root-caused flake
+    * class): parquet reads values by NAME so data is always correct,
+    * but `spark.read.parquet` on a dir whose files carry MIXED column
+    * orders infers the frame's column ORDER from whichever footer the
+    * parallel, order-unstable listing samples first — a
+    * nondeterministic layout for every downstream read. The corpus
+    * store was exposed on two counts: the standalone `mergeBatch`
+    * writes whatever order the CALLER's batch arrives in (two
+    * differently-ordered batches to one store mix files), and the
+    * composed pipeline's survivors carry a different join-chain order
+    * than the standalone face — uniform per store only by the
+    * convention that the faces never share a dir (VERDICT r15 #1).
+    *
+    * Unlike the log store, the two faces legitimately persist
+    * DIFFERENT column sets (the composed face stores the gate's
+    * admission-evidence columns), so the canonical order is a pure
+    * function of the column SET — wire `docSchema` order, then `fp`,
+    * then any remaining columns sorted by name — never of the
+    * incoming frame's order. Same set ⇒ same order, at every write
+    * site, from every face. */
+  private[streaming] def canonCorpus(df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val front = (docSchema.fieldNames.toSeq :+ "fp").filter(present)
+    val rest = (present -- front).toSeq.sorted
+    df.select((front ++ rest).map(col): _*)
+  }
+
   /** The shared append tail (bloom-before-rows, with the pre-bloom
     * migration segment — the superset invariant): `admitted` must
     * already be anti-joined against the store and PINNED, so the
@@ -130,7 +160,8 @@ object CorpusIngest {
     * segment discipline, both blooms before the rows) so the composed
     * pipeline's doc_id guard (`dropStoredIds`) stays zero-store-bytes
     * for fresh batches; a pre-idbloom store gets its covering
-    * migration segment at the first round-8-era append. */
+    * migration segment at the first round-8-era append. Rows land in
+    * the canonical column order (see [[canonCorpus]]). */
   private[streaming] def appendFresh(spark: SparkSession, store: String,
       admitted: DataFrame): Unit = {
     val bloomDir = s"$store.bloom"
@@ -154,7 +185,7 @@ object CorpusIngest {
     val (fpB, idB) = BloomSide.buildStrLong(admitted, "fp", "doc_id")
     BloomSide.writeSegmentFolding(spark, bloomDir, fpB)
     BloomSide.writeSegmentFolding(spark, idBloomDir, idB)
-    admitted.write.mode(SaveMode.Append).parquet(store)
+    canonCorpus(admitted).write.mode(SaveMode.Append).parquet(store)
   }
 
   /** Bounded doc_id guard for the composed pipeline's corpus admission

@@ -162,14 +162,21 @@ object IngestPipeline {
     * to schedule (Inf never fires; NaN reads as cadence-off), and a
     * NEGATIVE growth or compactEvery also reads as cadence-off — in
     * every case a policy the caller believes is maintaining isn't.
-    * The documented off values are exactly 0. */
+    * The documented off values are exactly 0. compactFiles has NO off
+    * value — it is the sweep's target file count, so a degenerate 0 or
+    * negative would pass construction and only fail inside
+    * compactAll's repartition(nFiles) at the first sweep, mid-stream:
+    * the same fails-late class (r15 ADVICE). */
   private def requireCadence(compactEvery: Int,
-      compactGrowth: Double): Unit = {
+      compactGrowth: Double, compactFiles: Int): Unit = {
     require(!compactGrowth.isNaN && !compactGrowth.isInfinite &&
       compactGrowth >= 0.0,
       s"compactGrowth must be finite and >= 0 (0 = off), got $compactGrowth")
     require(compactEvery >= 0,
       s"compactEvery must be >= 0 (0 = off), got $compactEvery")
+    require(compactFiles >= 1,
+      s"compactFiles must be >= 1 (the sweep's target file count), " +
+        s"got $compactFiles")
   }
 
   /** Run one micro-batch through the full DAG. `afterStage` fires after
@@ -181,7 +188,7 @@ object IngestPipeline {
       compactEvery: Int = 0, compactFiles: Int = 4,
       compactGrowth: Double = 0.0): BatchReport = {
     // same construction-time guards as Scd2Maintain.MaintainPolicy
-    requireCadence(compactEvery, compactGrowth)
+    requireCadence(compactEvery, compactGrowth, compactFiles)
     val corpus = corpusDir(root)
     // resume-before-probe (StagedSwap's contract) for the DOOR's
     // stored-id probe below: a corpus mid-compaction/erasure swap
@@ -421,8 +428,13 @@ object IngestPipeline {
     val swapped = StagedSwap.resume(spark, live, Seq(stage, s"$live.forget"))
     if (!swapped && dirExists(spark, live)) {
       StagedSwap.clearStale(spark, stage)
+      // canonical column order on the rewrite (CorpusIngest.canonCorpus):
+      // a legacy mixed-order store converges to uniform files at its
+      // first compaction instead of re-mixing against the next
+      // canonical-order append
       graft.sources.CorpusSink.writeRangeLayout(
-        spark.read.parquet(live), stage, "doc_id", nFiles)
+        CorpusIngest.canonCorpus(spark.read.parquet(live)),
+        stage, "doc_id", nFiles)
       StagedSwap.commit(spark, live, stage)
     }
     // rebuild the fp bloom to ONE covering segment — also sheds the
@@ -644,7 +656,13 @@ object IngestPipeline {
       afterStage: String => Unit = _ => ()): Long = {
     if (ids.isEmpty) return 0L
     var removed = 0L
-    def purge(live: String, alsoCount: Boolean): Unit = {
+    // `canon` = per-store canonical column order on the rewrite: the
+    // corpus store passes CorpusIngest.canonCorpus (every corpus write
+    // is canonical — see its scaladoc); the gram/posting stores are
+    // write-uniform already (both call sites end in one fixed select,
+    // r15 audit) so they keep the identity
+    def purge(live: String, alsoCount: Boolean,
+        canon: DataFrame => DataFrame = identity): Unit = {
       val stage = s"$live.forget"
       // resume ANY pending swap of this store — its own `.forget` AND
       // the compaction stages (`.stage`, `.tmp`): a probe-first erasure
@@ -659,10 +677,11 @@ object IngestPipeline {
       if (alsoCount) removed += delta
       if (delta == 0L) return
       StagedSwap.clearStale(spark, stage)
-      kept.write.parquet(stage)
+      canon(kept).write.parquet(stage)
       StagedSwap.commit(spark, live, stage)
     }
-    purge(corpusDir(root), alsoCount = true)
+    purge(corpusDir(root), alsoCount = true,
+      canon = CorpusIngest.canonCorpus)
     afterStage("corpus")
     purge(s"${nearDir(root)}/grams", alsoCount = false)
     afterStage("near_grams")
@@ -696,11 +715,13 @@ object IngestPipeline {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("1 second"),
       compactEvery: Int = 0,
-      compactGrowth: Double = 0.0): DataStreamWriter[org.apache.spark.sql.Row] = {
+      compactGrowth: Double = 0.0,
+      compactFiles: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] = {
     // validate HERE, not just in mergeBatch: otherwise a misconfigured
     // stream starts cleanly and only fails inside foreachBatch at the
-    // first micro-batch (r14 ADVICE)
-    requireCadence(compactEvery, compactGrowth)
+    // first micro-batch (r14 ADVICE); compactFiles included, else a
+    // degenerate target only fails inside the first SWEEP (r15 ADVICE)
+    requireCadence(compactEvery, compactGrowth, compactFiles)
     spark.readStream.schema(CorpusIngest.docSchema).json(srcDir)
       .writeStream
       .outputMode("append")
@@ -708,7 +729,8 @@ object IngestPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         mergeBatch(batch.sparkSession, batch, root, id,
-          compactEvery = compactEvery, compactGrowth = compactGrowth)
+          compactEvery = compactEvery, compactGrowth = compactGrowth,
+          compactFiles = compactFiles)
         ()
       }
   }

@@ -452,7 +452,16 @@ object Scd2Maintain {
     * order-unstable) listing samples first: every downstream read of
     * the store gets a nondeterministic frame layout. One canonical
     * order (the wire `changeSchema` + bucket) makes every file
-    * uniform and every read deterministic. */
+    * uniform and every read deterministic.
+    *
+    * DELIBERATE TIGHTENING (vs pre-r15): maintenance rewrites
+    * (compactLog / expireVersions / forgetKeys) now project to EXACTLY
+    * changeSchema+bucket, where they previously preserved whatever
+    * columns a store happened to hold. The log dir is not a
+    * user-writable surface — every writer is in this object and writes
+    * only these columns — so extra columns were never a supported
+    * contract; if a store acquired any out-of-band, the first
+    * maintenance pass drops them (see README migration notes). */
   private def canonLog(df: DataFrame): DataFrame =
     df.select((SnapshotMaintain.changeSchema.fieldNames :+ "bucket")
       .map(col).toSeq: _*)

@@ -573,6 +573,91 @@ class IngestPipelineSpec extends SparkSpec {
     }
   }
 
+  test("a degenerate compactFiles fails at construction at BOTH faces " +
+    "(r15 ADVICE): 0 or negative passed the old guard and only failed " +
+    "inside compactAll's repartition(nFiles) at the FIRST SWEEP — " +
+    "mid-stream, the exact fails-late class the other knob guards close") {
+    val root = Files.createTempDirectory("pipe-gc-cf").toString + "/p"
+    val batch = Seq(row(1L, passText("cfx", "t0")))
+      .toDF("doc_id", "text", "lang", "source")
+    intercept[IllegalArgumentException] {
+      IngestPipeline.mergeBatch(spark, batch, root, 1L, compactFiles = 0)
+    }
+    intercept[IllegalArgumentException] {
+      IngestPipeline.mergeBatch(spark, batch, root, 1L, compactFiles = -4)
+    }
+    intercept[IllegalArgumentException] {
+      IngestPipeline.ingest(spark, s"$root/src", s"$root/store",
+        s"$root/ckpt", compactFiles = 0)
+    }
+    // the documented default remains constructible and SWEEPS: a real
+    // cadence with the default target compacts without the late failure
+    IngestPipeline.mergeBatch(spark, batch, root, 1L, compactEvery = 1)
+  }
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    val s = Files.walk(java.nio.file.Paths.get(dir))
+    try {
+      val b = Seq.newBuilder[String]
+      s.forEach(p => if (p.toString.endsWith(".parquet")) b += p.toString)
+      b.result()
+    } finally s.close()
+  }
+
+  test("every corpus write path lands the SAME on-disk column order " +
+    "(r16, closing the r15 canonLog-class residual): the standalone " +
+    "maintainer inherited the CALLER's batch column order (two " +
+    "differently-ordered batches to one store mixed files), the " +
+    "composed pipeline wrote its own join-chain order, and the " +
+    "rewrites (compactAll, forget) preserved whichever order the " +
+    "listing-sampled read inferred — canonCorpus makes every file a " +
+    "pure function of its column SET") {
+    // ---- standalone face: one store, two caller column orders ----
+    val store = Files.createTempDirectory("pipe-canon-s").toString + "/c"
+    val canonical5 = Seq("doc_id", "text", "lang", "source", "fp")
+    assert(CorpusIngest.mergeBatch(spark,
+      Seq(row(1L, passText("cna", "t1"))).toDF(
+        "doc_id", "text", "lang", "source"), store) == 1L)
+    assert(CorpusIngest.mergeBatch(spark,
+      Seq(row(2L, passText("cnb", "t2"))).toDF(
+        "doc_id", "text", "lang", "source")
+        .select("source", "lang", "text", "doc_id"), store) == 1L)
+    val sFiles = parquetFiles(store)
+    assert(sFiles.size >= 2)
+    sFiles.foreach { f =>
+      assert(spark.read.parquet(f).schema.fieldNames.toSeq == canonical5,
+        s"non-canonical column order in standalone-face file $f")
+    }
+
+    // ---- composed face: append, compaction rewrite, erasure rewrite,
+    // append AFTER the rewrites ----
+    val root = Files.createTempDirectory("pipe-canon-p").toString + "/p"
+    // wire docSchema order, then fp, then the gate's evidence columns
+    // sorted by name — hardcoded so a formula drift fails the pin
+    val canonical14 = Seq("doc_id", "text", "lang", "source", "fp",
+      "frac_alpha", "mean_wl", "n_email", "n_id9", "n_ip", "n_phone",
+      "n_pii", "n_stop", "n_words")
+    IngestPipeline.mergeBatch(spark, b1, root, 1L)
+    IngestPipeline.mergeBatch(spark, b2, root, 2L)
+    IngestPipeline.compactAll(spark, root, 2)
+    assert(IngestPipeline.forget(spark, root, Seq(1L)) == 1L)
+    IngestPipeline.mergeBatch(spark,
+      Seq(row(20L, passText("cnc", "t20")))
+        .toDF("doc_id", "text", "lang", "source"), root, 3L)
+    val cFiles = parquetFiles(IngestPipeline.corpusDir(root))
+    assert(cFiles.nonEmpty)
+    cFiles.foreach { f =>
+      assert(spark.read.parquet(f).schema.fieldNames.toSeq == canonical14,
+        s"non-canonical column order in composed-face file $f")
+    }
+    // canonCorpus is order-insensitive and idempotent: any permutation
+    // of one column set projects to the one canonical order
+    val perm = spark.read.parquet(IngestPipeline.corpusDir(root))
+      .select(canonical14.reverse.map(col): _*)
+    assert(CorpusIngest.canonCorpus(perm)
+      .schema.fieldNames.toSeq == canonical14)
+  }
+
   test("growth-base re-anchoring (r12 verdict #2 + ADVICE #1): the " +
     "trigger base is the corpus's TRUE row count — erasure refreshes " +
     "it (a forget-half store fires on the halved base, not the stale " +
